@@ -1,0 +1,115 @@
+"""Content-vs-boilerplate block classifier (boilerpipe/trafilatura-style).
+
+The reference delegates "which text is the page's content" to a temperature-0
+LLM (ref: apps/queue/src/pipeline/convert-to-html.ts:20-52); we replace the
+judgment with deterministic DOM heuristics using the canonical published
+signals — link density, text density (word count), tag path — with fixed
+thresholds, as mandated by BASELINE.json's north_star.
+
+Pure function; no Spark imports.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ocr_platform_spark.extract.html_blocks import Block
+
+# Fixed thresholds (boilerpipe's NumWordsRulesClassifier uses link density
+# 0.33 as its primary cut; short low-density blocks are chrome).
+MAX_LINK_DENSITY = 0.33
+MIN_CONTENT_WORDS = 3
+
+# Path components that mark navigation / chrome subtrees.
+CHROME_PATH_TAGS = ("nav", "aside", "form")
+CHROME_CLASS_RE = re.compile(
+    r"\b(nav|menu|sidebar|breadcrumb|banner|advert|ad-|social|share|comment|"
+    r"related|widget|cookie|copyright)\b",
+    re.IGNORECASE,
+)
+FOOTNOTE_CLASS_RE = re.compile(r"\b(footnote|footnotes|fn|hamish)\b", re.IGNORECASE)
+
+# Footnote line marker: (1) / 1. / 1) with Western or Eastern-Arabic digits,
+# numbering styles per ref convert-to-html.ts:15 ("(1)/1./1)").
+FOOTNOTE_MARK_RE = re.compile(r"^[\(\[]?[0-9٠-٩۰-۹]{1,3}[\)\]\.\-:]\s")
+
+# Standalone page number: digits possibly wrapped in decoration (- 31 -, ~31~).
+PAGENUM_RE = re.compile(
+    r"^[\s\-–—~_\*\[\(]*[0-9٠-٩۰-۹]{1,5}[\s\-–—~_\*\]\)]*$"
+)
+
+# Structural containers emit their own (usually whitespace-only or duplicated)
+# blocks; only leaf-ish tags carry content.
+CONTENT_TAGS = frozenset(
+    {
+        "p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "dt", "dd",
+        "td", "th", "caption", "blockquote", "pre", "figcaption",
+        "div", "center", "section", "article", "main", "body", "header",
+    }
+)
+
+
+def _in_chrome(block: Block) -> bool:
+    parts = block.path.split("/")
+    if any(t in parts for t in CHROME_PATH_TAGS):
+        return True
+    if block.tag in ("nav", "aside", "form"):
+        return True
+    if CHROME_CLASS_RE.search(block.classes):
+        return True
+    return False
+
+
+def _in_footer(block: Block) -> bool:
+    return block.tag == "footer" or "footer" in block.path.split("/")
+
+
+def is_footnote_text(text: str) -> bool:
+    return bool(FOOTNOTE_MARK_RE.match(text))
+
+
+def is_page_number(text: str) -> bool:
+    return bool(PAGENUM_RE.match(text))
+
+
+def classify_blocks(blocks: list[Block]) -> list[tuple[Block, str]]:
+    """Label each block ``content`` / ``footnote`` / ``pagenum`` / ``heading``
+    / ``boilerplate``. Returns (block, label) pairs in document order —
+    dropped blocks stay in the list (labelled ``boilerplate``) so lineage
+    counters (blocks kept/dropped) fall out for free.
+    """
+    out: list[tuple[Block, str]] = []
+    for b in blocks:
+        label = _classify_one(b)
+        out.append((b, label))
+    return out
+
+
+def _classify_one(b: Block) -> str:
+    if b.tag == "title":
+        return "boilerplate"  # window title, not page content
+    if b.tag not in CONTENT_TAGS and b.tag != "footer":
+        return "boilerplate"  # structural container (ul/table/tr/...)
+    if _in_chrome(b):
+        return "boilerplate"
+    if b.link_density > MAX_LINK_DENSITY and not b.headline:
+        return "boilerplate"
+
+    footnote_hint = bool(FOOTNOTE_CLASS_RE.search(b.classes))
+    if is_page_number(b.text):
+        return "pagenum"
+    if footnote_hint or (is_footnote_text(b.text) and b.sup_marks == 0 and not b.headline):
+        # marker-led short lines in the page tail are footnotes; the
+        # segmenter enforces the "trailing region" constraint
+        return "footnote"
+
+    if _in_footer(b):
+        # footers hold either footnotes (handled above) or copyright chrome
+        return "boilerplate"
+    if b.headline:
+        return "heading"
+    if b.n_words < MIN_CONTENT_WORDS:
+        # short stray fragments are chrome unless they look like a header
+        # line (the segmenter may still promote the first heading)
+        return "boilerplate"
+    return "content"

@@ -1,0 +1,197 @@
+"""DOM → flat block model, built on the stdlib ``html.parser``.
+
+The reference recovers document structure with an LLM pass whose contract is
+"add structure tags, never alter text" (ref: apps/queue/src/pipeline/
+convert-to-html.ts:3-18). We recover the same structure deterministically:
+parse the HTML byte stream into a flat, document-ordered list of *blocks*
+(the classic boilerpipe/trafilatura unit), each carrying the features the
+classifier needs — text, link-character count, tag path, class hints.
+
+No Spark imports. Pure function of the input string.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# Tags that open a new text block. Everything else (span, a, b, i, sup, ...)
+# is inline and accumulates into the enclosing block.
+BLOCK_TAGS = frozenset(
+    {
+        "p", "h1", "h2", "h3", "h4", "h5", "h6",
+        "li", "dt", "dd", "td", "th", "caption",
+        "blockquote", "pre", "figcaption",
+        "title", "header", "footer", "article", "section",
+        "aside", "nav", "main", "div", "center",
+        "table", "ul", "ol", "dl", "tr", "form", "body",
+    }
+)
+
+# Content inside these is never text (dropped at parse time).
+IGNORED_CONTENT_TAGS = frozenset({"script", "style", "noscript", "template", "svg", "iframe"})
+
+# Self-closing / void tags that force a block break without opening one.
+BREAK_TAGS = frozenset({"br", "hr"})
+
+# Ancestor tags that mark a block as chrome (recorded in the path for the
+# classifier; the parser itself stays judgment-free).
+_WS_RE = re.compile(r"\s+")
+
+
+def _collapse_ws(s: str) -> str:
+    """Canonical whitespace: any run of whitespace → one space, trimmed."""
+    return _WS_RE.sub(" ", s).strip()
+
+
+@dataclass
+class Block:
+    """One document-ordered text block with classifier features."""
+
+    block_id: int
+    tag: str                      # block-level tag that opened it
+    path: str                     # '/'-joined open-tag stack at open time
+    classes: str                  # space-joined class attrs on the path
+    text: str = ""                # whitespace-canonical text
+    total_chars: int = 0          # chars of canonical text
+    link_chars: int = 0           # chars of canonical text inside <a>
+    n_words: int = 0              # rough word count (split on space)
+    headline: bool = False        # h1-h6 / title / header
+    sup_marks: int = 0            # count of <sup> elements seen in the block
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / self.total_chars if self.total_chars else 0.0
+
+
+class _BlockParser(HTMLParser):
+    """Streaming HTML → Block list. Tolerates malformed/truncated HTML the
+    way browsers do: unclosed tags are fine; stray end-tags are ignored."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._stack: list[str] = []
+        self._class_stack: list[str] = []
+        self._ignore_depth = 0
+        self._anchor_depth = 0
+        self._parts: list[str] = []       # raw text fragments of open block
+        self._link_flags: list[bool] = [] # parallel: fragment was inside <a>
+        self._open: Block | None = None
+
+    # -- block lifecycle -------------------------------------------------
+    def _flush(self) -> None:
+        blk = self._open
+        if blk is None:
+            self._parts.clear()
+            self._link_flags.clear()
+            return
+        raw = "".join(self._parts)
+        text = _collapse_ws(raw)
+        if text:
+            blk.text = text
+            blk.total_chars = len(text)
+            # link chars: canonicalize the linked fragments the same way,
+            # then cap at total (joining can only shrink whitespace).
+            linked = _collapse_ws(
+                "".join(p for p, is_link in zip(self._parts, self._link_flags) if is_link)
+            )
+            blk.link_chars = min(len(linked), blk.total_chars)
+            blk.n_words = text.count(" ") + 1
+            self.blocks.append(blk)
+        self._open = None
+        self._parts.clear()
+        self._link_flags.clear()
+
+    def _begin(self, tag: str) -> None:
+        self._flush()
+        self._open = Block(
+            block_id=len(self.blocks),
+            tag=tag,
+            path="/".join(self._stack),
+            classes=" ".join(c for c in self._class_stack if c),
+            headline=tag in ("h1", "h2", "h3", "h4", "h5", "h6", "title", "header"),
+        )
+
+    # -- parser callbacks -------------------------------------------------
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag in IGNORED_CONTENT_TAGS:
+            self._flush()
+            self._ignore_depth += 1
+            return
+        if self._ignore_depth:
+            return
+        if tag in BREAK_TAGS:
+            # <br>/<hr> are whitespace inside the block, not a new block
+            self._parts.append(" ")
+            self._link_flags.append(self._anchor_depth > 0)
+            return
+        cls = ""
+        for k, v in attrs:
+            if k == "class" and v:
+                cls = _collapse_ws(v)
+        if tag == "a":
+            self._anchor_depth += 1
+        if tag in BLOCK_TAGS:
+            self._stack.append(tag)
+            self._class_stack.append(cls)
+            self._begin(tag)
+        # inline tags: nothing to track beyond <a>/<sup>
+        elif tag == "sup" and self._open is not None:
+            self._open.sup_marks += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in IGNORED_CONTENT_TAGS:
+            if self._ignore_depth:
+                self._ignore_depth -= 1
+            return
+        if self._ignore_depth:
+            return
+        if tag == "a":
+            self._anchor_depth = max(0, self._anchor_depth - 1)
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            # pop to the matching open tag if present (tolerant matching)
+            if tag in self._stack:
+                while self._stack:
+                    popped = self._stack.pop()
+                    self._class_stack.pop()
+                    if popped == tag:
+                        break
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag in BREAK_TAGS:
+            self._parts.append(" ")
+            self._link_flags.append(self._anchor_depth > 0)
+
+    def handle_data(self, data: str) -> None:
+        if self._ignore_depth or not data:
+            return
+        if self._open is None:
+            # text outside any block tag (common in fragment/malformed HTML)
+            self._begin("body")
+        self._parts.append(data)
+        self._link_flags.append(self._anchor_depth > 0)
+
+    def close(self) -> None:  # flush trailing open block
+        super().close()
+        self._flush()
+
+
+def parse_blocks(html: str) -> list[Block]:
+    """Parse an HTML string into document-ordered blocks.
+
+    Never raises on malformed input: html.parser is recovery-oriented; any
+    residual exception is treated as "no blocks" by the caller (pipeline.py
+    maps that to the CONVERT_TO_HTML error envelope, mirroring the staged
+    failure routing of ref apps/queue/src/pipeline/index.ts:60-104).
+    """
+    p = _BlockParser()
+    p.feed(html)
+    p.close()
+    # re-number after filtering empties (flush only appends non-empty)
+    for i, b in enumerate(p.blocks):
+        b.block_id = i
+    return p.blocks

@@ -1,0 +1,134 @@
+"""Golden-file + property tests for the pure-Python extraction core.
+
+Mirrors the reference's operational correctness model (SURVEY.md §5):
+golden records shaped like apps/web/output.json, never-drop row policy,
+word-count recomputation invariant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from ocr_platform_spark.datagen import gen_document
+from ocr_platform_spark.extract import extract_document
+from ocr_platform_spark.extract.pipeline import FLAG_NEEDS_REVIEW
+from ocr_platform_spark.functions.words import count_page_words, count_words
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+GOLDENS = json.loads((FIXTURES / "extraction_goldens.json").read_text())
+
+
+def _as_record(r) -> dict:
+    rec = dataclasses.asdict(r)
+    rec["spans"] = [list(s) for s in rec["spans"]]
+    return rec
+
+
+class TestGoldens:
+    def test_goldens_byte_identical(self):
+        """Re-extract every golden doc; every field must match exactly
+        (extracted_text compared at the byte level)."""
+        for i, gold in enumerate(GOLDENS):
+            d = gen_document(i, seed=42)
+            got = _as_record(extract_document(d["url"], d["html"]))
+            assert got["extracted_text"].encode("utf-8") == gold[
+                "extracted_text"
+            ].encode("utf-8"), f"doc {i} text drift"
+            assert got == gold, f"doc {i} record drift"
+
+    def test_golden_shape(self):
+        """Golden records carry the reference's segmented-page contract
+        (header/body/footnotes/pageNumber per segment.ts:4-24)."""
+        assert len(GOLDENS) == 64
+        for g in GOLDENS:
+            assert set(g) >= {
+                "url", "extracted_text", "header", "body", "footnotes",
+                "page_number", "total_words", "spans", "failed_stage",
+            }
+        # the grammar guarantees presence of each regime somewhere
+        assert any(g["header"] is not None for g in GOLDENS)
+        assert any(g["footnotes"] is not None for g in GOLDENS)
+        assert any(g["page_number"] is not None for g in GOLDENS)
+        assert any(g["failed_stage"] is not None for g in GOLDENS)
+
+
+class TestPipelineInvariants:
+    def test_never_drop(self):
+        """Failed docs still produce a row, flagged NEEDS_ADDITIONAL_REVIEW
+        (ref page/worker.ts:41-46)."""
+        r = extract_document("u", b"")
+        assert r.failed_stage == "CORRECT"
+        assert FLAG_NEEDS_REVIEW in r.flags
+        r2 = extract_document("u", "\x00\x01".encode())
+        assert r2 is not None
+
+    def test_word_count_recomputation(self):
+        """total_words == countPageWords(body, footnotes) always
+        (ref page.ts (router):196-202 recompute-on-edit invariant)."""
+        for i in range(100):
+            d = gen_document(i)
+            r = extract_document(d["url"], d["html"])
+            assert r.total_words == count_page_words(r.body, r.footnotes)
+
+    def test_spans_cover_text(self):
+        """Char spans tile extracted_text with single-\\n gaps."""
+        for i in range(100):
+            d = gen_document(i)
+            r = extract_document(d["url"], d["html"])
+            prev_end = None
+            for (_bid, start, end, _kind) in r.spans:
+                assert 0 <= start <= end <= len(r.extracted_text)
+                if prev_end is not None:
+                    assert start == prev_end + 1  # the \n separator
+                    assert r.extracted_text[prev_end] == "\n"
+                assert r.extracted_text[start:end] != "" or start == end
+                prev_end = end
+
+    def test_boilerplate_stripped(self):
+        """Nav/footer/script chrome never reaches extracted text."""
+        for i in range(100):
+            d = gen_document(i)
+            r = extract_document(d["url"], d["html"])
+            assert "var x=1" not in r.extracted_text
+            assert "Example Library" not in r.extracted_text
+            assert "Site Title" not in r.extracted_text
+
+    @given(st.binary(max_size=2048))
+    @settings(max_examples=200, deadline=None)
+    def test_never_raises(self, payload: bytes):
+        r = extract_document("u", payload)
+        assert r.url == "u"
+        assert r.total_words >= 0
+
+    @given(st.text(max_size=500))
+    @settings(max_examples=200, deadline=None)
+    def test_word_count_nonneg_and_html_strip_idempotent(self, s: str):
+        assert count_words(s) >= 0
+        from ocr_platform_spark.functions.words import strip_html
+        once = strip_html(s)
+        assert strip_html(once) == strip_html(once)
+
+
+class TestDatagen:
+    def test_deterministic(self):
+        a = [gen_document(i) for i in range(50)]
+        b = [gen_document(i) for i in range(50)]
+        assert a == b
+
+    def test_schema(self):
+        d = gen_document(7)
+        assert isinstance(d["html"], bytes)
+        assert set(d) == {"url", "warc_ts", "html", "text", "lang"}
+        assert d["lang"] in {"ar", "en", "fa", "tr"}
+
+    def test_skew_exists(self):
+        """Hot domains must dominate (exercises the salted-skew path)."""
+        from collections import Counter
+        doms = Counter(gen_document(i)["url"].split("/")[2] for i in range(500))
+        top = doms.most_common(1)[0][1]
+        assert top > 500 / len(doms) * 2
