@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction job on synthesized
+Common-Crawl-style pages (the BASELINE.json input_hint shape) and returns
+the per-language rollup. ``queries()``/``oracle_sql()`` expose each
+implemented operator from SURVEY.md §2 for the DuckDB correctness gate.
+
+Column-name discipline: every computed column is aliased identically in the
+Spark code and the oracle SQL (the driver hashes values after sorting
+columns by name).
 """
 
 from __future__ import annotations
@@ -12,27 +15,66 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# flagship: extraction pipeline → per-language rollup (SURVEY.md §7 slice)
+# --------------------------------------------------------------------------
+
+FLAGSHIP_DOCS = 500  # synthesized deterministically; no external data
+
+
+def _extracted(spark: SparkSession, n_docs: int = FLAGSHIP_DOCS) -> DataFrame:
+    from ocr_platform_spark.plans.extract_job import extract_pages
+    from ocr_platform_spark.sources.pages import pages_df
+
+    return extract_pages(pages_df(spark, n_docs), n_buckets=16)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extract synthetic pages, roll up by language.
+
+    Exercises P1-P3 (correct/structure/segment), P7-P8 (word count), R11
+    (sum agg), D5 (lineage counters) end-to-end.
+    """
+    ext = _extracted(spark)
+    return (
+        ext.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("total_words").alias("sum_words"),
+            F.sum(F.when(F.col("failed_stage").isNotNull(), 1).otherwise(0))
+            .alias("n_failed"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# queries / oracles
+# --------------------------------------------------------------------------
+
+def _q_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return entry(spark)
+
+
+def _q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw extraction output (non-SQL-expressible — rows-only check)."""
+    return _extracted(spark).select(
+        "url", "lang", "page_number", "total_words", "failed_stage",
+        "blocks_kept", "blocks_dropped")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "extract_rollup": _q_extract_rollup,
+        "extract_pages": _q_extract_pages,
+    }
+    from ocr_platform_spark.operators import registry
+    q.update(registry.spark_queries())
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ocr_platform_spark.operators import registry
+    return registry.oracle_queries()

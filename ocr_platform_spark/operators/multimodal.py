@@ -1,0 +1,99 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as BinaryType columns with a
+struct of metadata; decode / feature-extraction runs in Arrow-batched
+``mapInPandas`` kernels. The decode step itself is STUBBED (no image/audio
+libraries in this container): ``decode_image`` raises NotImplementedError
+unless the deterministic-fake mode is used, while everything Spark-side —
+schema, batching, partitioning, UDF signatures — is real and tested.
+
+The reference's analogue is the page-rasterization path
+(apps/queue/src/lib/ocr.ts:56-71: PDF page → PNG buffer → base64) and the
+R2 image sink (apps/queue/src/lib/r2.ts:13-27).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+MEDIA_FEATURE_DIM = 8
+
+MEDIA_META_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("n_bytes", LongType(), False),
+    StructField("format", StringType(), True),       # magic-byte sniff
+    StructField("sha256", StringType(), False),
+    StructField("feature", ArrayType(DoubleType()), True),
+    StructField("decode_error", StringType(), True),
+])
+
+_MAGIC = [
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF8", "gif"),
+    (b"%PDF", "pdf"),
+    (b"RIFF", "riff"),
+    (b"<!DOCTYPE", "html"),
+    (b"<html", "html"),
+]
+
+
+def sniff_format(payload: bytes) -> str | None:
+    head = payload[:16]
+    for magic, name in _MAGIC:
+        if head.startswith(magic):
+            return name
+    return None
+
+
+def decode_image(payload: bytes) -> object:
+    """Real decode — unavailable in this container (no PIL/ffmpeg).
+    The Spark plumbing calls fake_features() instead; on a cluster with
+    codec libraries, swap this in via ``decode=decode_image``."""
+    raise NotImplementedError(
+        "image/audio codecs are not installed in this environment; "
+        "use fake_features for deterministic testing")
+
+
+def fake_features(payload: bytes, dim: int = MEDIA_FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a decoder+embedder: dim doubles derived
+    from the payload's sha256 — a pure function of bytes, so results are
+    identical at any parallelism (same invariant as text extraction)."""
+    h = hashlib.sha256(payload).digest()
+    return [int.from_bytes(h[8 * i: 8 * i + 4], "big") / 2**32
+            for i in range(dim)]
+
+
+def _media_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in MEDIA_META_SCHEMA.fields]
+    for pdf in batches:
+        out = []
+        for url, payload in zip(pdf["url"], pdf["html"]):
+            if payload is None or len(payload) == 0:
+                out.append((url, 0, None, hashlib.sha256(b"").hexdigest(),
+                            None, "empty payload"))
+                continue
+            b = bytes(payload)
+            try:
+                feat = fake_features(b)
+                err = None
+            except Exception as e:   # the never-drop error envelope again
+                feat, err = None, str(e)
+            out.append((url, len(b), sniff_format(b),
+                        hashlib.sha256(b).hexdigest(), feat, err))
+        yield pd.DataFrame(out, columns=cols)
+
+
+def media_features(pages: DataFrame) -> DataFrame:
+    """pages(url, html:binary, ...) → metadata + feature vectors.
+    One Arrow pass; binary payloads never surface on the driver."""
+    return pages.select("url", "html").mapInPandas(
+        _media_kernel, schema=MEDIA_META_SCHEMA)

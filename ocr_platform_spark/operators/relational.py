@@ -1,0 +1,345 @@
+"""Relational operator set (SURVEY.md §2.3 R1-R20) over the testdata tables.
+
+Each entry is ``name → (spark_fn, oracle_sql)`` where spark_fn(spark, sf_dir)
+returns a DataFrame and oracle_sql is the DuckDB-equivalent ANSI SQL. Every
+computed column is aliased identically on both sides (the driver hashes
+values after sorting columns by name).
+
+Money aggregates are cast to DECIMAL(18,2) BEFORE summing on both sides:
+decimal arithmetic is exact and order-independent, so the value-hash cannot
+be broken by float summation order differing between Spark and DuckDB.
+
+Reference provenance for each operator is cited in SURVEY.md §2.3 (Prisma
+call sites in apps/web/src/server/ and apps/web/src/app/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocr_platform_spark.operators.tables import load
+
+DEC = "decimal(18,2)"
+
+
+# --- R1+R2: projection + equality filter (ref page.ts:24-68) --------------
+def r01_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_quantity") == 30) & (F.col("l_returnflag") == "R"))
+            .select("l_orderkey", "l_linenumber", "l_partkey",
+                    F.col("l_extendedprice").cast(DEC).alias("price")))
+
+
+R01_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+FROM lineitem WHERE l_quantity = 30 AND l_returnflag = 'R'
+"""
+
+
+# --- R3/R4: case-insensitive contains (ref book.ts:13-25) -----------------
+def r03_ilike_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return (part.filter(F.col("p_name").ilike("%RED%") |
+                        F.col("p_name").ilike("%blue%"))
+            .select("p_partkey", "p_name", "p_brand"))
+
+
+R03_SQL = """
+SELECT p_partkey, p_name, p_brand FROM part
+WHERE p_name ILIKE '%RED%' OR p_name ILIKE '%blue%'
+"""
+
+
+# --- R5: IN-list / semi join access control (ref page.ts:28-38) -----------
+def r05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    asia_nations = (nat.join(F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+                             nat.n_regionkey == reg.r_regionkey, "left_semi"))
+    return (cust.join(F.broadcast(asia_nations),
+                      cust.c_nationkey == asia_nations.n_nationkey, "left_semi")
+            .select("c_custkey", "c_name", "c_nationkey"))
+
+
+R05_SQL = """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE c_nationkey IN (
+  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA')
+"""
+
+
+# --- R6: anti join / NULL filter (ref book.ts:12, texts/page.tsx:79-86) ---
+def r06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with NO high-value order — the `none: {}` Prisma shape."""
+    cust = load(spark, sf_dir, "customer")
+    big = (load(spark, sf_dir, "orders")
+           .filter(F.col("o_totalprice") > 450000))
+    return (cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+R06_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+"""
+
+
+# --- R7: existence semi join through a bridge (ref texts/page.tsx:61-107) -
+def r07_bridge_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    rich_nations = (cust.filter(F.col("c_acctbal") > 9000)
+                    .select("c_nationkey").distinct())
+    return (supp.join(F.broadcast(rich_nations),
+                      supp.s_nationkey == rich_nations.c_nationkey, "left_semi")
+            .select("s_suppkey", "s_name", "s_nationkey"))
+
+
+R07_SQL = """
+SELECT s_suppkey, s_name, s_nationkey FROM supplier
+WHERE s_nationkey IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 9000)
+"""
+
+
+# --- R8: 1:N join + fan-out aggregate (ref review/[bookId]/page.tsx:30-59)
+def r08_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"))
+    return (orders.filter(F.col("o_orderstatus") == "F")
+            .join(per_order, orders.o_orderkey == per_order.l_orderkey)
+            .select("o_orderkey", "o_custkey", "n_lines", "sum_qty"))
+
+
+R08_SQL = """
+SELECT o_orderkey, o_custkey, count(*) AS n_lines,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderkey, o_custkey
+"""
+
+
+# --- R9: broadcast hash join (ref review/[bookId]/page.tsx:68-86) ---------
+def r09_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum(F.col("l_extendedprice").cast(DEC)).alias("revenue")))
+
+
+R09_SQL = """
+SELECT p_brand, count(*) AS n_items,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# --- R10: unique-key point lookup (ref book.ts:44-52) ---------------------
+def r10_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (orders.filter(F.col("o_orderkey") == 7)
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    F.col("o_totalprice").cast(DEC).alias("total")))
+
+
+R10_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS total
+FROM orders WHERE o_orderkey = 7
+"""
+
+
+# --- R11: sum aggregation, TPC-H Q1 shape (ref book.ts:149-168) -----------
+def r11_sum_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    # all-decimal arithmetic: exact + order-independent, so the value-hash
+    # can't diverge from DuckDB through float summation order
+    disc = (F.col("l_extendedprice").cast(DEC)
+            * (F.lit("1.00").cast("decimal(3,2)")
+               - F.col("l_discount").cast("decimal(3,2)")))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_base"),
+                 F.sum(disc).cast("decimal(38,4)").alias("sum_disc_price"),
+                 F.count("*").alias("n_rows")))
+
+
+R11_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            AS DECIMAL(38,4)) AS sum_disc_price,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- R12: count aggregation (ref texts/page.tsx:109-112) ------------------
+def r12_count_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(F.count("*").alias("n_customers"))
+
+
+R12_SQL = "SELECT c_mktsegment, count(*) AS n_customers FROM customer GROUP BY c_mktsegment"
+
+
+# --- R13+R14: stable sort + pagination (ref texts/page.tsx:190-199) -------
+def r14_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.desc("o_orderkey"))
+    return (orders.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") > 20) & (F.col("rn") <= 40))
+            .select("rn", "o_orderkey",
+                    F.col("o_totalprice").cast(DEC).alias("total")))
+
+
+R14_SQL = """
+SELECT rn, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total FROM (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+  FROM orders) t
+WHERE rn > 20 AND rn <= 40
+"""
+
+
+# --- R15: numeric sort of string ids (ref texts.airtable.ts:106) ----------
+def r15_numeric_string_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    ids = orders.select(F.col("o_orderkey").cast("string").alias("id"))
+    return (ids.orderBy(F.col("id").cast("long")).limit(25)
+            .select("id"))
+
+
+R15_SQL = """
+SELECT CAST(o_orderkey AS VARCHAR) AS id FROM orders
+ORDER BY CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) LIMIT 25
+"""
+
+
+# --- R16: distinct / set dedup (ref page.ts:188) --------------------------
+def r16_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return cust.select("c_nationkey", "c_mktsegment").distinct()
+
+
+R16_SQL = "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer"
+
+
+# --- R17: derived counters, never mutated (ref page.ts:168-184) -----------
+def r17_derived_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (orders.groupBy("o_custkey")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast(DEC)).alias("lifetime_value")))
+
+
+R17_SQL = """
+SELECT o_custkey, count(*) AS n_orders,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS lifetime_value
+FROM orders GROUP BY o_custkey
+"""
+
+
+# --- R18: conditional state transition (ref page.ts:175-183) --------------
+def r18_status_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    status = (F.when(F.col("n_orders") >= 15, "COMPLETED")
+              .when(F.col("n_orders") >= 8, "IN_REVIEW")
+              .otherwise("PROCESSING"))
+    return agg.select("o_custkey", "n_orders", status.alias("status"))
+
+
+R18_SQL = """
+SELECT o_custkey, count(*) AS n_orders,
+       CASE WHEN count(*) >= 15 THEN 'COMPLETED'
+            WHEN count(*) >= 8 THEN 'IN_REVIEW'
+            ELSE 'PROCESSING' END AS status
+FROM orders GROUP BY o_custkey
+"""
+
+
+# --- R19: pivot/reshape (ref localization.ts:1-19, texts/page.tsx:203-239)
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def r19_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (ev.filter(F.col("user_id") < 50)
+            .groupBy("user_id")
+            .pivot("event_type", EVENT_TYPES)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, EVENT_TYPES))
+
+
+R19_SQL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS "click",
+       count(*) FILTER (event_type = 'view')     AS "view",
+       count(*) FILTER (event_type = 'purchase') AS "purchase",
+       count(*) FILTER (event_type = 'signup')   AS "signup",
+       count(*) FILTER (event_type = 'error')    AS "error"
+FROM events WHERE user_id < 50 GROUP BY user_id
+"""
+
+
+# --- R20: unique-slug suffixing via window (ref services/usul/book.ts:5-31)
+def r20_slug_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        F.lower(F.regexp_replace("c_mktsegment", "[^A-Za-z0-9]+", "-"))
+        .alias("slug"))
+    w = Window.partitionBy("slug").orderBy("c_custkey")
+    rn = F.row_number().over(w)
+    return base.select(
+        "c_custkey",
+        F.when(rn > 1, F.concat_ws("-", "slug", (rn - 1).cast("string")))
+        .otherwise(F.col("slug")).alias("slug"))
+
+
+R20_SQL = """
+SELECT c_custkey,
+       CASE WHEN rn > 1 THEN slug || '-' || CAST(rn - 1 AS VARCHAR)
+            ELSE slug END AS slug
+FROM (
+  SELECT c_custkey,
+         lower(regexp_replace(c_mktsegment, '[^A-Za-z0-9]+', '-', 'g')) AS slug,
+         row_number() OVER (
+           PARTITION BY lower(regexp_replace(c_mktsegment, '[^A-Za-z0-9]+', '-', 'g'))
+           ORDER BY c_custkey) AS rn
+  FROM customer) t
+"""
+
+
+QUERIES: dict = {
+    "r01_projection_filter": (r01_projection_filter, R01_SQL),
+    "r03_ilike_contains": (r03_ilike_contains, R03_SQL),
+    "r05_semi_join": (r05_semi_join, R05_SQL),
+    "r06_anti_join": (r06_anti_join, R06_SQL),
+    "r07_bridge_semi": (r07_bridge_semi, R07_SQL),
+    "r08_join_fanout": (r08_join_fanout, R08_SQL),
+    "r09_broadcast_join": (r09_broadcast_join, R09_SQL),
+    "r10_point_lookup": (r10_point_lookup, R10_SQL),
+    "r11_sum_agg": (r11_sum_agg, R11_SQL),
+    "r12_count_agg": (r12_count_agg, R12_SQL),
+    "r14_pagination": (r14_pagination, R14_SQL),
+    "r15_numeric_string_sort": (r15_numeric_string_sort, R15_SQL),
+    "r16_distinct": (r16_distinct, R16_SQL),
+    "r17_derived_counters": (r17_derived_counters, R17_SQL),
+    "r18_status_transition": (r18_status_transition, R18_SQL),
+    "r19_pivot": (r19_pivot, R19_SQL),
+    "r20_slug_dedup": (r20_slug_dedup, R20_SQL),
+}

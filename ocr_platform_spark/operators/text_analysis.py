@@ -1,0 +1,167 @@
+"""Text-analysis operators for a training-data pipeline: token stats,
+quality scoring, language ID, document fingerprinting.
+
+JVM-side built-ins wherever expressible (token/char stats, md5 fingerprint
+— all hashable against DuckDB); language ID is a script/stopword n-gram
+heuristic in an Arrow-batched pandas UDF (rows-only driver check, exactness
+covered by pytest against datagen's ground-truth ``lang``).
+
+Ratio metrics are emitted as ``floor(10000 * a / b)`` integers — floor of a
+double division is bit-stable across engines, unlike ROUND whose half-way
+rule differs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from ocr_platform_spark.operators.tables import load
+
+
+# --- token + quality stats (SQL-expressible) ------------------------------
+def ta_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        F.floor(10000.0 * n_uniq / n_tok).cast("long").alias("ttr_x10k"),
+        F.floor(F.length(F.regexp_replace("text", r"\s+", ""))
+                * 10000.0 / n_tok).cast("long").alias("avg_tok_len_x10k"))
+
+
+TA_TOKEN_SQL = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_uniq_tokens,
+       CAST(floor(10000.0 * len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+                  / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS ttr_x10k,
+       CAST(floor(length(regexp_replace(text, '\s+', '', 'g')) * 10000.0
+                  / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS avg_tok_len_x10k
+FROM documents
+"""
+
+
+def ta_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-grade quality signals (length bounds, repetition, stop ratio)
+    — the standard web-corpus heuristics (C4/Gopher-style) as pure SQL."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    stop_hits = (F.size(F.filter(toks, lambda t: t.isin("the", "a", "and", "of", "to"))))
+    return docs.select(
+        "doc_id",
+        (F.length("text") < 100).alias("too_short"),
+        (n_tok > 0).alias("nonempty"),
+        (F.floor(10000.0 * n_uniq / n_tok) < 3000).cast("boolean").alias("repetitive"),
+        F.floor(10000.0 * stop_hits / n_tok).cast("long").alias("stop_ratio_x10k"))
+
+
+TA_QUALITY_SQL = r"""
+SELECT doc_id,
+       length(text) < 100 AS too_short,
+       len(regexp_split_to_array(trim(text), '\s+')) > 0 AS nonempty,
+       CAST(floor(10000.0 * len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+                  / len(regexp_split_to_array(trim(text), '\s+'))) < 3000 AS BOOLEAN)
+           AS repetitive,
+       CAST(floor(10000.0 * len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                            t -> t IN ('the','a','and','of','to')))
+                  / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS stop_ratio_x10k
+FROM documents
+"""
+
+
+# --- document fingerprint (SQL-expressible) -------------------------------
+def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form md5 fingerprint — the exact-dedup key at scale."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return docs.select("doc_id", F.md5(F.encode(norm, "UTF-8")).alias("fp"))
+
+
+TA_FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+# --- language ID (pandas UDF; rows-only driver check) ---------------------
+
+# Unicode script ranges + per-language stopword/bigram markers. Script wins
+# when decisive (Arabic vs Perso-Arabic letters, CJK, ...); Latin-script
+# languages fall through to marker-token scoring. Deterministic tie-break by
+# language code.
+_AR_EXTRA = set("پچژگکی")          # Perso-Arabic letters absent in Arabic
+_MARKERS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "was", "over"},
+    "tr": {"ve", "bir", "bu", "eski", "bin", "boyunca", "dedi", "ilim"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "von"},
+    "fr": {"le", "la", "les", "et", "des", "un", "une", "est"},
+    "es": {"el", "los", "las", "y", "de", "un", "una", "es"},
+}
+
+
+def detect_language(text: str) -> str:
+    if not text:
+        return "und"
+    n_arabic = n_cjk = n_latin = n_fa = 0
+    for ch in text[:2000]:
+        o = ord(ch)
+        if 0x0600 <= o <= 0x06FF or 0x0750 <= o <= 0x077F:
+            n_arabic += 1
+            if ch in _AR_EXTRA:
+                n_fa += 1
+        elif 0x4E00 <= o <= 0x9FFF or 0x3040 <= o <= 0x30FF:
+            n_cjk += 1
+        elif (0x41 <= o <= 0x5A) or (0x61 <= o <= 0x7A) or (0xC0 <= o <= 0x24F):
+            n_latin += 1
+    total = n_arabic + n_cjk + n_latin
+    if total == 0:
+        return "und"
+    if n_cjk / total > 0.3:
+        return "zh"
+    if n_arabic / total > 0.3:
+        return "fa" if n_fa > 0 else "ar"
+    # Latin script: marker-token vote, deterministic tie-break by code
+    toks = text[:2000].lower().split()
+    best, best_score = "und", 0
+    for code in sorted(_MARKERS):
+        score = sum(1 for t in toks if t in _MARKERS[code])
+        if score > best_score:
+            best, best_score = code, score
+    return best if best_score > 0 else "en"
+
+
+@F.pandas_udf(StringType())
+def detect_language_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: detect_language(t) if t is not None else "und")
+
+
+def ta_langid_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID over synthesized pages (real ar/en/fa/tr scripts);
+    ground truth is the generator's lang column — asserted in pytest."""
+    from ocr_platform_spark.plans.extract_job import extract_pages
+    from ocr_platform_spark.sources.pages import pages_df
+
+    ext = extract_pages(pages_df(spark, 300), n_buckets=16)
+    return (ext.filter(F.col("failed_stage").isNull())
+            .select("url", "lang",
+                    detect_language_udf("extracted_text").alias("lang_detected")))
+
+
+QUERIES: dict = {
+    "ta_token_stats": (ta_token_stats, TA_TOKEN_SQL),
+    "ta_quality_flags": (ta_quality_flags, TA_QUALITY_SQL),
+    "ta_fingerprint": (ta_fingerprint, TA_FINGERPRINT_SQL),
+    "ta_langid_pages": (ta_langid_pages, None),
+}

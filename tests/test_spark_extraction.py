@@ -1,0 +1,99 @@
+"""Spark-path extraction tests: byte-identical vs the pure-Python oracle,
+parallelism-invariance, error envelope, manifest + resume semantics.
+
+Mirrors the reference's operational correctness gates (SURVEY.md §5):
+golden parity, never-drop row accounting (ref apps/queue/src/queues/
+page/worker.ts:61-66), and single-page redo idempotency
+(ref apps/queue/src/routes/ocr.ts:90-136) re-expressed as bucket resume.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_platform_spark.datagen import gen_document
+from ocr_platform_spark.extract import extract_document
+from ocr_platform_spark.plans.extract_job import (
+    extract_pages, run_extraction_job, with_bucket)
+from ocr_platform_spark.sources.pages import pages_df
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def extracted_rows(spark):
+    ext = extract_pages(pages_df(spark, N_DOCS), n_buckets=16)
+    return {r["url"]: r for r in ext.collect()}
+
+
+def test_rows_never_dropped(extracted_rows):
+    assert len(extracted_rows) == N_DOCS
+
+
+def test_byte_identical_vs_oracle(extracted_rows):
+    """Spark output must equal the pure-Python oracle per url, byte for byte."""
+    for i in range(N_DOCS):
+        doc = gen_document(i)
+        want = extract_document(doc["url"], doc["html"])
+        got = extracted_rows[doc["url"]]
+        assert got["extracted_text"] == want.extracted_text, doc["url"]
+        assert got["header"] == want.header
+        assert got["body"] == want.body
+        assert got["footnotes"] == want.footnotes
+        assert got["page_number"] == want.page_number
+        assert got["total_words"] == want.total_words
+        assert got["failed_stage"] == want.failed_stage
+        got_spans = [(s["block_id"], s["start"], s["end"], s["kind"])
+                     for s in got["spans"]]
+        assert got_spans == want.spans
+
+
+def test_parallelism_invariance(spark, extracted_rows):
+    """Same bytes at 1 partition and N partitions (scaling precondition)."""
+    one = extract_pages(pages_df(spark, N_DOCS, partitions=1),
+                        n_buckets=16, shuffle=False)
+    for r in one.collect():
+        assert r["extracted_text"] == extracted_rows[r["url"]]["extracted_text"]
+
+
+def test_error_envelope(extracted_rows):
+    """Malformed docs are flagged NEEDS_ADDITIONAL_REVIEW, never dropped."""
+    failed = [r for r in extracted_rows.values() if r["failed_stage"]]
+    assert failed, "datagen guarantees ~2% malformed docs"
+    for r in failed:
+        assert "NEEDS_ADDITIONAL_REVIEW" in r["flags"]
+        assert r["reason"]
+
+
+def test_resume_processes_only_missing_buckets(spark, tmp_path):
+    out = str(tmp_path / "extracted")
+    pages = pages_df(spark, 100)
+    bucketed = with_bucket(pages, n_buckets=8)
+
+    # simulate a run killed after half the buckets
+    partial = bucketed.filter("bucket < 4")
+    run_extraction_job(spark, partial, out, n_buckets=8, run_id="r1")
+    m1 = spark.read.parquet(out + "_manifest")
+    assert m1.filter("bucket >= 4").count() == 0
+
+    # resume with the full input: only buckets >= 4 get processed
+    final = run_extraction_job(spark, pages, out, n_buckets=8, run_id="r2")
+    m2 = spark.read.parquet(out + "_manifest")
+    assert final.count() == 100
+    assert m2.filter("run_id = 'r2' and bucket < 4").count() == 0
+    assert set(r["bucket"] for r in m2.select("bucket").collect()) == set(range(8))
+
+    # idempotency: re-running with everything done is a no-op
+    again = run_extraction_job(spark, pages, out, n_buckets=8, run_id="r3")
+    assert again.count() == 100
+    assert spark.read.parquet(out + "_manifest").filter("run_id='r3'").count() == 0
+
+
+def test_manifest_counters_consistent(spark, tmp_path):
+    out = str(tmp_path / "ext2")
+    run_extraction_job(spark, pages_df(spark, 100), out, n_buckets=8)
+    m = spark.read.parquet(out + "_manifest")
+    agg = m.groupBy().sum("docs_in", "docs_failed").collect()[0]
+    assert agg["sum(docs_in)"] == 100
+    ext = spark.read.parquet(out)
+    assert agg["sum(docs_failed)"] == ext.filter("failed_stage is not null").count()

@@ -1,0 +1,109 @@
+"""Local mimic of the driver's DuckDB correctness gate.
+
+Runs every ``queries()`` entry on Spark and (where present) its
+``oracle_sql()`` on DuckDB over the same parquet tables, then compares
+row count, column names, and an order-insensitive multiset of stringified
+row values. Usage:
+
+    python tools/check_oracles.py [sf_dir] [only_query_prefix]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from collections import Counter
+from decimal import Decimal
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def norm_value(v):
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, Decimal):
+        return str(v.normalize())
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_value(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def row_multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return Counter(tuple(norm_value(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    import duckdb
+    import __spark_entry__ as entry
+    from ocr_platform_spark.session import build_spark
+    from ocr_platform_spark.operators.tables import TABLES
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    prefix = sys.argv[2] if len(sys.argv) > 2 else ""
+
+    spark = build_spark("oracle-check", cores=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    n_fail = 0
+    for name, fn in sorted(qs.items()):
+        if prefix and not name.startswith(prefix):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows, {dt:.1f}s)")
+            if len(srows) == 0:
+                print(f"WARN {name}: zero rows")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = [d[0] for d in rel.description]
+            drows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        ok = True
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            ok = False
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL {name}: cols spark={sorted(scols)} duck={sorted(dcols)}")
+            ok = False
+        if ok:
+            ms, md = row_multiset([r[:] for r in (tuple(r) for r in srows)], scols), \
+                     row_multiset(drows, dcols)
+            if ms != md:
+                diff_s = list((ms - md).items())[:3]
+                diff_d = list((md - ms).items())[:3]
+                print(f"FAIL {name}: value mismatch; spark-only={diff_s} "
+                      f"duck-only={diff_d}")
+                ok = False
+        if ok:
+            print(f"ok   {name}: {len(srows)} rows match ({dt:.1f}s)")
+        else:
+            n_fail += 1
+    spark.stop()
+    print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
