@@ -38,6 +38,21 @@ FROM lineitem WHERE l_quantity = 30 AND l_returnflag = 'R'
 """
 
 
+# --- R2: composite equality filter (ref page.ts:24-39) --------------------
+def r02_equality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pdfPageNumber = n AND Book.id = b` shape: two equality predicates,
+    both pushed to the parquet scan (PushedFilters in .explain)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_orderkey") % 100 == 0) & (F.col("l_linenumber") == 1))
+            .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+
+
+R02_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+FROM lineitem WHERE l_orderkey % 100 = 0 AND l_linenumber = 1
+"""
+
+
 # --- R3/R4: case-insensitive contains (ref book.ts:13-25) -----------------
 def r03_ilike_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
@@ -49,6 +64,29 @@ def r03_ilike_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
 R03_SQL = """
 SELECT p_partkey, p_name, p_brand FROM part
 WHERE p_name ILIKE '%RED%' OR p_name ILIKE '%blue%'
+"""
+
+
+# --- R4: contains-vs-exact mode switch (ref lib/pagination.ts:18-29) ------
+def _name_predicate(q: str, mode: str):
+    """Parameterized predicate builder — the queryMode switch applied in
+    texts/page.tsx:38-56."""
+    col = F.col("p_name")
+    if mode == "exact":
+        return F.lower(col) == q.lower()
+    return col.ilike(f"%{q}%")
+
+
+def r04_exact_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return (part.filter(_name_predicate("red widget", "exact") |
+                        _name_predicate("BLUE BOLT", "exact"))
+            .select("p_partkey", "p_name"))
+
+
+R04_SQL = """
+SELECT p_partkey, p_name FROM part
+WHERE lower(p_name) = 'red widget' OR lower(p_name) = 'blue bolt'
 """
 
 
@@ -195,6 +233,22 @@ def r12_count_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 R12_SQL = "SELECT c_mktsegment, count(*) AS n_customers FROM customer GROUP BY c_mktsegment"
 
 
+# --- R13: stable sort w/ tiebreak (ref texts/page.tsx:190-197) ------------
+def r13_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY o_orderdate DESC, o_orderkey DESC — the createdAt/id stable
+    tiebreak; top-k via limit keeps the sort a TakeOrdered (no full sort)."""
+    orders = load(spark, sf_dir, "orders")
+    return (orders.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+            .limit(50)
+            .select("o_orderkey", "o_orderdate", "o_orderstatus"))
+
+
+R13_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderstatus FROM orders
+ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 50
+"""
+
+
 # --- R13+R14: stable sort + pagination (ref texts/page.tsx:190-199) -------
 def r14_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
@@ -326,7 +380,9 @@ FROM (
 
 QUERIES: dict = {
     "r01_projection_filter": (r01_projection_filter, R01_SQL),
+    "r02_equality_filter": (r02_equality_filter, R02_SQL),
     "r03_ilike_contains": (r03_ilike_contains, R03_SQL),
+    "r04_exact_mode": (r04_exact_mode, R04_SQL),
     "r05_semi_join": (r05_semi_join, R05_SQL),
     "r06_anti_join": (r06_anti_join, R06_SQL),
     "r07_bridge_semi": (r07_bridge_semi, R07_SQL),
@@ -335,6 +391,7 @@ QUERIES: dict = {
     "r10_point_lookup": (r10_point_lookup, R10_SQL),
     "r11_sum_agg": (r11_sum_agg, R11_SQL),
     "r12_count_agg": (r12_count_agg, R12_SQL),
+    "r13_sort": (r13_sort, R13_SQL),
     "r14_pagination": (r14_pagination, R14_SQL),
     "r15_numeric_string_sort": (r15_numeric_string_sort, R15_SQL),
     "r16_distinct": (r16_distinct, R16_SQL),

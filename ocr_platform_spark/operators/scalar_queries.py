@@ -87,6 +87,25 @@ FROM orders WHERE o_orderkey < 400
 """
 
 
+# --- F5: transliteration output normalization (ref transliterate.ts:140-142)
+def f05_translit_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replace modifier-letter turned comma `ʻ` with `ʿ` (ayn) and straight
+    apostrophe with `ʾ` (hamza) — exact 1:1 codepoint mapping."""
+    cust = load(spark, sf_dir, "customer")
+    raw = F.concat(F.lit("ʻAbd al-"), F.col("c_name"), F.lit("'s text"))
+    return (cust.filter(F.col("c_custkey") < 250)
+            .select("c_custkey",
+                    F.translate(raw, "ʻ'", "ʿʾ").alias("normalized")))
+
+
+F05_SQL = """
+SELECT c_custkey,
+       replace(replace('ʻAbd al-' || c_name || '''s text', 'ʻ', 'ʿ'),
+               '''', 'ʾ') AS normalized
+FROM customer WHERE c_custkey < 250
+"""
+
+
 # --- F6: publishing-details extraction (ref extract-publishing-details.ts)
 def f06_publishing(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
@@ -174,6 +193,62 @@ FROM built
 """
 
 
+# --- F11: '*' prefix strip + comma-split (ref texts.airtable.ts:95-102) ---
+def f11_star_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    raw = F.when(F.col("c_custkey") % 3 == 0,
+                 F.concat(F.lit("*"), F.col("c_name"),
+                          F.lit(",alias one,alias two"))).otherwise(
+        F.col("c_name"))
+    df = cust.filter(F.col("c_custkey") < 300).select(
+        "c_custkey", raw.alias("raw"))
+    primary = F.when(F.col("raw").startswith("*"),
+                     F.expr("substring(raw, 2)")).otherwise(F.col("raw"))
+    return df.select(
+        "c_custkey",
+        F.split(primary, ",").getItem(0).alias("primary_name"),
+        F.size(F.split(primary, ",")).alias("n_names"))
+
+
+F11_SQL = """
+WITH built AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0
+              THEN '*' || c_name || ',alias one,alias two'
+              ELSE c_name END AS raw
+  FROM customer WHERE c_custkey < 300),
+stripped AS (
+  SELECT c_custkey,
+         CASE WHEN raw LIKE '*%' THEN raw[2:] ELSE raw END AS primary_raw
+  FROM built)
+SELECT c_custkey,
+       str_split(primary_raw, ',')[1] AS primary_name,
+       CAST(len(str_split(primary_raw, ',')) AS INTEGER) AS n_names
+FROM stripped
+"""
+
+
+# --- F13: URL trailing-slash normalization (ref page.ts router:117-120) ---
+def f13_url_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    raw = F.concat(F.lit("https://example.org/c/"),
+                   F.col("c_custkey").cast("string"),
+                   F.when(F.col("c_custkey") % 2 == 0, F.lit("/"))
+                   .otherwise(F.lit("")))
+    return (cust.filter(F.col("c_custkey") < 300)
+            .select("c_custkey",
+                    F.regexp_replace(raw, "/$", "").alias("url")))
+
+
+F13_SQL = """
+SELECT c_custkey,
+       regexp_replace('https://example.org/c/' || CAST(c_custkey AS VARCHAR)
+                      || CASE WHEN c_custkey % 2 = 0 THEN '/' ELSE '' END,
+                      '/$', '') AS url
+FROM customer WHERE c_custkey < 300
+"""
+
+
 # --- F12: lenient JSON parse (ref segment.ts:26-37) -----------------------
 def f12_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -193,8 +268,11 @@ QUERIES: dict = {
     "f02_slug": (f02_slug, F02_SQL),
     "f03_hijri": (f03_hijri, F03_SQL),
     "f04_digits": (f04_digits, F04_SQL),
+    "f05_translit_norm": (f05_translit_norm, F05_SQL),
     "f06_publishing": (f06_publishing, F06_SQL),
     "f07_command_score_topk": (f07_command_score_topk, None),
     "f10_string_norm": (f10_string_norm, F10_SQL),
+    "f11_star_strip": (f11_star_strip, F11_SQL),
     "f12_json_parse": (f12_json_parse, F12_SQL),
+    "f13_url_norm": (f13_url_norm, F13_SQL),
 }

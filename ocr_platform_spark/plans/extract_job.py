@@ -100,20 +100,34 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def extract_pages(pages: DataFrame,
                   n_buckets: int = DEFAULT_BUCKETS,
                   salt: int = DEFAULT_SALT,
-                  shuffle: bool = True) -> DataFrame:
+                  shuffle: bool = True,
+                  n_partitions: int | None = None) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → extracted DataFrame.
 
     ``shuffle=False`` skips the repartition when the input is already
     well-distributed (e.g. freshly generated from spark.range) — the
     classifier then runs map-side with zero shuffles.
+
+    The repartition carries an EXPLICIT partition count: extraction cost is
+    Python compute per row, not shuffle bytes, so AQE's byte-based partition
+    coalescing (advisory 64 MiB) would collapse a compute-hours job into a
+    handful of tasks and serialize it. An explicit count opts this one
+    shuffle out of coalescing while AQE still optimizes every other stage.
     """
     df = with_bucket(pages, n_buckets)
     if shuffle:
         # salt splits each bucket into `salt` deterministic sub-keys; heavy
         # buckets spread over `salt` tasks instead of serializing one.
+        if n_partitions is None:
+            # 4 tasks per core keeps the straggler tail short (last wave is
+            # ~1/4 of a task) while tasks stay large enough to amortize
+            # Arrow batch setup
+            cores = df.sparkSession.sparkContext.defaultParallelism
+            n_partitions = min(n_buckets * salt, max(4 * cores, 8))
         df = df.withColumn(
             "salt", F.pmod(F.xxhash64("url", F.lit(1)), F.lit(salt)))
-        df = df.repartition(F.col("bucket"), F.col("salt")).drop("salt")
+        df = df.repartition(n_partitions, F.col("bucket"), F.col("salt"))
+        df = df.drop("salt")
     return df.select("url", "html", "lang", "bucket").mapInPandas(
         _extract_batches, schema=EXTRACTED_SCHEMA)
 

@@ -27,6 +27,16 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def _local_dir() -> str:
+    """Shuffle/spill scratch: tmpfs when present (the sandbox's virtio disk
+    adds noise); on a real cluster this is per-node NVMe via spark-defaults."""
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        d = "/dev/shm/spark-local"
+        os.makedirs(d, exist_ok=True)
+        return d
+    return os.environ.get("SPARK_LOCAL_DIRS", "/tmp")
+
+
 def build_spark(app_name: str = "ocr-platform-spark",
                 cores: int | None = None,
                 shuffle_partitions: int | None = None) -> SparkSession:
@@ -35,12 +45,17 @@ def build_spark(app_name: str = "ocr-platform-spark",
     sp = shuffle_partitions or max(2 * n, 8)
     return (
         SparkSession.builder.appName(app_name)
+        .config("spark.local.dir", _local_dir())
         .master(f"local[{n}]")
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # preload pandas/pyarrow in the worker daemon so forked workers start
+        # warm — kills the N-simultaneous-cold-imports cliff on wide executors
+        # (see ocr_platform_spark/spark_daemon.py)
+        .config("spark.python.daemon.module", "ocr_platform_spark.spark_daemon")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(ARROW_MAX_RECORDS))
         .config("spark.sql.session.timeZone", "UTC")
