@@ -28,12 +28,21 @@ _SCRIPT_RE = regex.compile(
 
 
 def strip_html(text: str) -> str:
-    """Strip HTML tags, replacing them with a space, then collapse whitespace."""
+    """Strip HTML tags, replacing them with a space, then collapse whitespace.
+
+    Fast paths skip the regex passes when their trigger characters are
+    absent (tag-free and entity-free inputs are common); outputs are
+    identical to the unconditional pipeline.
+    """
     import html as _html
 
-    no_script = _SCRIPT_RE.sub(" ", text)
-    no_tags = _TAG_RE.sub(" ", no_script)
-    return regex.sub(r"\s+", " ", _html.unescape(no_tags)).strip()
+    if "<" in text:
+        text = _SCRIPT_RE.sub(" ", text)
+        text = _TAG_RE.sub(" ", text)
+    if "&" in text:
+        text = _html.unescape(text)
+    # " ".join(split()) ≡ collapse-whitespace-runs + strip, at C speed
+    return " ".join(text.split())
 
 
 def count_words(text: str | None) -> int:
