@@ -32,7 +32,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
 BENCH_SEED = 42
 STAGE_DIR = ("/dev/shm/ocr_bench_pages" if os.path.isdir("/dev/shm")
              else "/tmp/ocr_bench_pages")
@@ -61,7 +61,8 @@ def _canary_rate(n: int = 300) -> float:
     from ocr_platform_spark.datagen import gen_document
     from ocr_platform_spark.extract import extract_document
 
-    docs = [gen_document(i, 1234) for i in range(n)]
+    # same seed/distribution as the staged corpus so the rate is comparable
+    docs = [gen_document(i, BENCH_SEED) for i in range(n)]
     best = 0.0
     for _ in range(2):
         t0 = time.time()
