@@ -113,19 +113,26 @@ def minhash_signatures(docs: DataFrame,
 
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs via LSH banding, then exact-Jaccard verification of
-    ONLY the candidates (bucket-join → verify; never all-pairs)."""
+    ONLY the candidates (bucket-join → verify; never all-pairs).
+
+    Physical shape: the shingle explode is persisted (it feeds signatures,
+    candidate verification, and set sizes — one scan instead of three) and
+    banding is a single projection + posexplode (one pass over signatures
+    instead of MINHASH_BANDS unioned scans)."""
+    from pyspark import StorageLevel
+
     docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+    sh = _shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    aggs = [F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"mh{k}")
+            for k in range(MINHASH_PERMS)]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    bands = []
-    for bidx in range(MINHASH_BANDS):
-        cols = [f"mh{bidx * rows_per_band + r}" for r in range(rows_per_band)]
-        bands.append(sigs.select(
-            "doc_id", F.lit(bidx).alias("band"),
-            F.xxhash64(*[F.col(c) for c in cols]).alias("bucket")))
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
+    band_hashes = F.array(*[
+        F.xxhash64(*[F.col(f"mh{bidx * rows_per_band + r}")
+                     for r in range(rows_per_band)])
+        for bidx in range(MINHASH_BANDS)])
+    banded = sigs.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -134,8 +141,7 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.doc_id").alias("a_id"),
                     F.col("b.doc_id").alias("b_id"))
             .distinct())
-    # verify candidates with exact jaccard (semi-joined shingle explode)
-    sh = _shingles(docs)
+    # verify candidates with exact jaccard over the persisted shingles
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("a_id"), "shingle")
     sb = sh.select(F.col("doc_id").alias("b_id"), "shingle")
@@ -150,18 +156,30 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- SimHash (pandas UDF signature + banded pairing; rows-only) -----------
+# integer bit j of int.from_bytes(d8, "big") lives at byte (7 - j//8),
+# within-byte LSB position j%8 → unpackbits(bitorder="little") column map:
+_SIMHASH_COLS = [(7 - j // 8) * 8 + (j % 8) for j in range(64)]
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens with md5-derived token hashes
-    (stable across processes — Python's builtin hash is salted)."""
+    (stable across processes — Python's builtin hash is salted). Bit
+    accumulation is numpy-vectorized; output is bit-identical to the naive
+    per-bit loop (asserted in tests/test_operators.py)."""
     import hashlib
+
+    import numpy as np
 
     if not text:
         return 0
-    acc = [0] * 64
-    for tok in text.lower().split():
-        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-        for j in range(64):
-            acc[j] += 1 if (h >> j) & 1 else -1
+    toks = text.lower().split()
+    if not toks:
+        return 0
+    raw = b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8] for t in toks)
+    bits = np.unpackbits(
+        np.frombuffer(raw, dtype=np.uint8).reshape(-1, 8),
+        axis=1, bitorder="little")[:, _SIMHASH_COLS]
+    acc = 2 * bits.sum(axis=0, dtype=np.int64) - len(toks)
     sig = 0
     for j in range(64):
         if acc[j] > 0:
@@ -180,14 +198,13 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Hamming ≤ 3 over 64 bits ⇒ at least one 16-bit chunk identical)."""
     docs = load(spark, sf_dir, "documents")
     sigs = docs.select("doc_id", simhash_udf("text").alias("sig"))
-    chunks = []
-    for c in range(4):
-        chunk = F.shiftrightunsigned(F.col("sig"), c * 16).bitwiseAND(F.lit(0xFFFF))
-        chunks.append(sigs.select("doc_id", "sig", F.lit(c).alias("chunk"),
-                                  chunk.alias("val")))
-    banded = chunks[0]
-    for ch in chunks[1:]:
-        banded = banded.unionByName(ch)
+    # one pass: 4 chunk values per row via posexplode (vs 4 unioned scans,
+    # each re-running the signature UDF)
+    chunk_vals = F.array(*[
+        F.shiftrightunsigned(F.col("sig"), c * 16).bitwiseAND(F.lit(0xFFFF))
+        for c in range(4)])
+    banded = sigs.select(
+        "doc_id", "sig", F.posexplode(chunk_vals).alias("chunk", "val"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))

@@ -92,14 +92,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates. Recall vs ann_brute_topk is asserted in pytest."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    tables = []
-    for t in range(LSH_TABLES):
-        tables.append(emb.select(
-            "vec_id", "v", F.lit(t).alias("tbl"),
-            _bucket_col("v", t, LSH_PLANES).alias("bucket")))
-    banded = tables[0]
-    for t in tables[1:]:
-        banded = banded.unionByName(t)
+    # one pass: all LSH_TABLES bucket ids per row via posexplode (vs
+    # LSH_TABLES unioned scans, each re-folding the hyperplane dot products)
+    all_buckets = F.array(*[
+        _bucket_col("v", t, LSH_PLANES) for t in range(LSH_TABLES)])
+    banded = emb.select(
+        "vec_id", "v", F.posexplode(all_buckets).alias("tbl", "bucket"))
     q = (banded.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"), F.col("v").alias("vq"),
                  "tbl", "bucket"))

@@ -135,3 +135,32 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_simhash_vectorized_matches_naive_loop():
+    """The numpy bit-accumulation must stay bit-identical to the reference
+    per-bit loop (signatures feed the banded pair join — any drift silently
+    changes candidate sets)."""
+    import hashlib
+
+    from ocr_platform_spark.datagen import gen_document
+    from ocr_platform_spark.operators.dedup import simhash64
+
+    def naive(text):
+        if not text:
+            return 0
+        acc = [0] * 64
+        for tok in text.lower().split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            for j in range(64):
+                acc[j] += 1 if (h >> j) & 1 else -1
+        sig = 0
+        for j in range(64):
+            if acc[j] > 0:
+                sig |= 1 << j
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    texts = [gen_document(i, 42)["text"] for i in range(40)]
+    texts += ["", "one", "a b c", "تشكيل عربي نص"]
+    for t in texts:
+        assert simhash64(t) == naive(t)
