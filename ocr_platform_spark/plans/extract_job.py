@@ -22,6 +22,7 @@ Physical notes (SURVEY.md §4.2):
 
 from __future__ import annotations
 
+import time
 import uuid
 from collections.abc import Iterator
 
@@ -29,7 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, IntegerType, LongType, StringType, StructField, StructType,
+    ArrayType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
 )
 
 # default bucket count: on a real cluster this is sized so one bucket ≈
@@ -62,6 +64,10 @@ EXTRACTED_SCHEMA = StructType([
     StructField("blocks_kept", IntegerType(), True),
     StructField("blocks_dropped", IntegerType(), True),
     StructField("bucket", IntegerType(), False),
+    # per-row share of its Arrow batch's wall time — rolls up to the
+    # per-bucket cost in the manifest, the skew evidence SURVEY §4.2.1
+    # calls for (compute cost, not byte size, is what salting balances)
+    StructField("cost_ms", DoubleType(), True),
 ])
 
 
@@ -80,6 +86,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     cols = [f.name for f in EXTRACTED_SCHEMA.fields]
     for pdf in batches:
+        t0 = time.time()
         out = []
         langs = pdf["lang"] if "lang" in pdf else [None] * len(pdf)
         for url, html, lang, bucket in zip(
@@ -94,7 +101,8 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 r.bytes_parsed, r.blocks_kept, r.blocks_dropped,
                 int(bucket),
             ))
-        yield pd.DataFrame(out, columns=cols)
+        cost = (time.time() - t0) * 1000.0 / max(len(out), 1)
+        yield pd.DataFrame((row + (cost,) for row in out), columns=cols)
 
 
 def extract_pages(pages: DataFrame,

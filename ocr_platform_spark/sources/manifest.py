@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 MANIFEST_COLS = [
     "bucket", "run_id", "docs_in", "docs_out", "docs_failed",
     "bytes_parsed", "blocks_kept", "blocks_dropped", "total_words",
+    "cost_ms",
 ]
 
 
@@ -51,6 +52,10 @@ def build_manifest(extracted: DataFrame, run_id: str) -> DataFrame:
             F.sum("blocks_kept").alias("blocks_kept"),
             F.sum("blocks_dropped").alias("blocks_dropped"),
             F.sum("total_words").alias("total_words"),
+            # extraction compute cost per bucket (ms) — max/mean across
+            # buckets quantifies residual skew after salting
+            F.round(F.coalesce(F.sum("cost_ms"), F.lit(0.0)), 2)
+            .alias("cost_ms"),
         )
         .withColumn("run_id", F.lit(run_id))
         .select(*MANIFEST_COLS)

@@ -97,3 +97,35 @@ def test_manifest_counters_consistent(spark, tmp_path):
     assert agg["sum(docs_in)"] == 100
     ext = spark.read.parquet(out)
     assert agg["sum(docs_failed)"] == ext.filter("failed_stage is not null").count()
+
+
+def test_salt_balances_partition_cost(spark):
+    """Salt sub-splits coarse resume buckets so per-partition compute cost
+    (proxied by html bytes) balances: max/mean per-partition cost must be
+    strictly better with salt=4 than salt=1 at equal partition count
+    (SURVEY §4.2.1 — AQE cannot fix UDF compute skew)."""
+    from pyspark.sql import functions as F
+
+    pages = pages_df(spark, 3000)
+
+    def imbalance(salt: int) -> float:
+        df = with_bucket(pages, n_buckets=8)
+        df = df.withColumn(
+            "salt", F.pmod(F.xxhash64("url", F.lit(1)), F.lit(salt)))
+        df = df.repartition(8, F.col("bucket"), F.col("salt"))
+        per_part = (df.groupBy(F.spark_partition_id().alias("pid"))
+                    .agg(F.sum(F.length("html")).alias("cost")))
+        rows = [r["cost"] for r in per_part.collect()]
+        rows += [0] * (8 - len(rows))
+        return max(rows) / (sum(rows) / len(rows))
+
+    assert imbalance(4) < imbalance(1)
+
+
+def test_manifest_cost_column(spark, tmp_path):
+    """Manifest carries per-bucket extraction cost for skew monitoring."""
+    out = str(tmp_path / "ext3")
+    run_extraction_job(spark, pages_df(spark, 100), out, n_buckets=8)
+    m = spark.read.parquet(out + "_manifest")
+    assert "cost_ms" in m.columns
+    assert m.filter("cost_ms > 0").count() == m.count()
