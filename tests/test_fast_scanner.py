@@ -51,9 +51,33 @@ EDGE_CASES = [
     " &amp; تشكيل</p>",
     "<noscript><p>ns content</p></noscript><p>visible</p>",
     "<p>a&nbsp;b</p>",
+    "<!--<p><p>",
+    "<!--a<p>b<p>c",
+    "<?x <p>y",
+    "</x <p>y",
+    "<div cla<p>x>after",
+    "<!x <p>y",
+    "<![CDATA[a>b]]>c",
+    "<![CDATA[never closed <p>x",
+    "<![if gte mso 9]>office<![endif]>tail",
+    "<![>x",
+    "<a href=x/>selfclose-eaten<p>q",
+    "<div class==>eq</div>",
+    "<div class=x&amp;z>ent</div>",
+    "<p att'r=1>quote in name</p>",
+    "<script></scriptx></script><p>after</p>",
+    "<script></ script ><p>ws close</p>",
     "<p class=\"x\" class='y'>dup class</p>",
     "<div\tclass\n=\r'ws'>attr ws</div>",
 ]
+
+
+def _norm_of(html, engine):
+    """Blocks as dicts, or the exception type — engines must fail alike."""
+    try:
+        return [dataclasses.asdict(b) for b in parse_blocks(html, engine=engine)]
+    except Exception as e:
+        return type(e).__name__
 
 
 def _norm(blocks):
@@ -63,8 +87,7 @@ def _norm(blocks):
 @pytest.mark.parametrize("case_id", range(len(EDGE_CASES)))
 def test_edge_cases_identical(case_id):
     html = EDGE_CASES[case_id]
-    assert _norm(parse_blocks(html, engine="fast")) == \
-        _norm(parse_blocks(html, engine="stdlib")), html
+    assert _norm_of(html, "fast") == _norm_of(html, "stdlib"), html
 
 
 def test_corpus_identical():
@@ -98,3 +121,27 @@ def test_golden_inputs_identical():
                 continue
             assert _norm(parse_blocks(html, engine="fast")) == \
                 _norm(parse_blocks(html, engine="stdlib"))
+
+
+# --- hypothesis fuzz: arbitrary tag-soup must parse identically -----------
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _frag = st.one_of(
+        st.text(max_size=12),
+        st.sampled_from([
+            "<p>", "</p>", "<div class='a'>", "</div>", "<a href='#'>",
+            "</a>", "<sup>", "</sup>", "<br>", "<br/>", "<hr>", "<script>",
+            "</script>", "<style>", "</style>", "<!--", "-->", "<!DOCTYPE x>",
+            "&amp;", "&lt;", "&#65;", "&nosuch;", "<", ">", "</", "<>",
+            "<P CLASS=Y>", "<li>", "</li>", "<h2>", "</h2>", "<td>", "</td>",
+        ]),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(_frag, max_size=30))
+    def test_fuzz_tag_soup_identical(frags):
+        html = "".join(frags)
+        assert _norm_of(html, "fast") == _norm_of(html, "stdlib"), repr(html)
+except ImportError:  # pragma: no cover
+    pass
