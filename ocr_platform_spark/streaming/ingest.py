@@ -1,0 +1,73 @@
+"""Incremental extraction over newly-arriving crawl files (Structured
+Streaming).
+
+The reference processes pages as BullMQ queue jobs arriving over time
+(apps/queue/src/queues/page/worker.ts:19-106). The batch engine replaces
+the queue with partition scheduling (plans/extract_job.py); this module is
+the continuous-ingest variant of the SAME transform: a file-source stream
+over the pages table directory → the identical ``mapInPandas`` extraction
+kernel → an append sink with checkpointing.
+
+Why this shape at 10^12-doc scale:
+- ``readStream`` file source lists only NEW files per micro-batch
+  (``maxFilesPerTrigger`` bounds batch size → bounded executor memory);
+- the extraction kernel is literally ``extract_pages`` — same bucketing,
+  same salt, same Arrow batches, so streamed output is byte-identical to a
+  batch run over the same files (asserted in tests/test_streaming.py);
+- the checkpoint (WAL + file-source log) gives exactly-once file
+  processing across restarts — the streaming analogue of the batch
+  manifest resume (sources/manifest.py);
+- ``Trigger.AvailableNow`` drains the backlog then stops, which is how an
+  incremental daily top-up runs on a real cluster (and how tests run it).
+
+The watermark/stateful-aggregation surface is intentionally absent: the
+reference has no event-time semantics (SURVEY.md §2.6) — its queue is a
+work queue, not a stream of events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ocr_platform_spark.plans.extract_job import extract_pages
+from ocr_platform_spark.sources.pages import PAGES_SCHEMA
+
+
+def extract_stream(spark: SparkSession, input_dir: str,
+                   n_buckets: int = 64,
+                   max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming DataFrame of extraction results over a growing pages dir.
+
+    The transform is the batch plan verbatim — ``extract_pages`` with
+    ``shuffle=False`` (a repartition would force a stateless shuffle per
+    micro-batch; the file source already yields well-sized splits, and
+    bucket assignment stays deterministic per url either way).
+    """
+    reader = (spark.readStream.schema(PAGES_SCHEMA)
+              .format("parquet"))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.load(input_dir)
+    return extract_pages(pages, n_buckets=n_buckets, shuffle=False)
+
+
+def run_ingest_stream(spark: SparkSession, input_dir: str, output_dir: str,
+                      checkpoint_dir: str, n_buckets: int = 64,
+                      available_now: bool = True,
+                      max_files_per_trigger: int | None = None):
+    """Run the ingest stream into a parquet append sink.
+
+    Returns the StreamingQuery. With ``available_now`` the query drains
+    every unprocessed file (exactly once, per the checkpoint's file log)
+    and stops — call repeatedly as new crawl files land; restarts resume
+    from the checkpoint exactly like batch resume from the manifest.
+    """
+    ext = extract_stream(spark, input_dir, n_buckets, max_files_per_trigger)
+    writer = (ext.writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,46 @@
+"""Streaming ingest: byte-parity with batch, exactly-once across restarts."""
+
+from __future__ import annotations
+
+from ocr_platform_spark.plans.extract_job import extract_pages
+from ocr_platform_spark.sources.pages import read_pages
+from ocr_platform_spark.streaming.ingest import run_ingest_stream
+
+
+def test_stream_matches_batch_and_resumes(spark, tmp_path):
+    import pandas as pd
+
+    from ocr_platform_spark.datagen import gen_document
+    from ocr_platform_spark.sources.pages import PAGES_SCHEMA
+
+    inp = str(tmp_path / "pages")
+    out = str(tmp_path / "extracted")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(n0, n1):
+        pdf = pd.DataFrame([gen_document(i, 42) for i in range(n0, n1)])
+        spark.createDataFrame(pdf, schema=PAGES_SCHEMA) \
+            .write.mode("append").parquet(inp)
+
+    # first crawl drop → drain
+    drop(0, 60)
+    q = run_ingest_stream(spark, inp, out, ckpt, n_buckets=8)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 60
+
+    # second drop → only NEW files processed (exactly-once via checkpoint)
+    drop(60, 100)
+    q = run_ingest_stream(spark, inp, out, ckpt, n_buckets=8)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 100, "re-run must not duplicate old files"
+
+    # byte-parity with the batch plan over the same input
+    batch = {r["url"]: r for r in
+             extract_pages(read_pages(spark, inp), n_buckets=8).collect()}
+    for r in got.collect():
+        b = batch[r["url"]]
+        assert r["extracted_text"] == b["extracted_text"]
+        assert r["total_words"] == b["total_words"]
+        assert r["bucket"] == b["bucket"]
