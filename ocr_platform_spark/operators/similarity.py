@@ -115,7 +115,67 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id", "rank"))
 
 
+# --- IVF ANN (coarse k-means quantizer + multi-probe; rows-only) ----------
+IVF_CLUSTERS = 16
+IVF_PROBES = 4  # probe the 4 nearest cells per query (recall/cost dial)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF: Spark-ML k-means partitions the corpus into IVF_CLUSTERS cells;
+    each query exactly-ranks only vectors in its IVF_PROBES nearest cells.
+
+    At 10^12 rows this is the classic inverted-file layout: the centroid
+    table is tiny (broadcast), cell assignment is one map-side pass, and
+    cells become the physical partitioning of the stored index — a probe
+    reads ~PROBES/CLUSTERS of the corpus. Deterministic via fixed seed +
+    deterministic init; recall vs ann_brute_topk asserted in pytest.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    feat = emb.withColumn("features", array_to_vector("v"))
+    km = KMeans(k=IVF_CLUSTERS, seed=7, maxIter=10, initMode="random")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(
+        "vec_id", "v", F.col("prediction").alias("cell"))
+
+    # centroid table (tiny → broadcast); query → its IVF_PROBES nearest cells
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in
+         enumerate(model.clusterCenters())],
+        "cell int, cv array<double>")
+    q = (assigned.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("vq")))
+    qc = q.join(F.broadcast(centers), how="cross")
+    dist = F.expr(
+        "aggregate(zip_with(vq, cv, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS DOUBLE), (acc, d) -> acc + d)")
+    wq = Window.partitionBy("query_id").orderBy(F.asc("cell_dist"),
+                                               F.asc("cell"))
+    probes = (qc.withColumn("cell_dist", dist)
+              .withColumn("pr", F.row_number().over(wq))
+              .filter(F.col("pr") <= IVF_PROBES)
+              .select("query_id", "vq", "cell"))
+
+    # exact re-rank inside the probed cells only
+    nb = assigned.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("v").alias("vn"), "cell")
+    cand = (probes.join(nb, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    cos = _cos_expr("vq", "vn")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (cand.withColumn("cos", cos)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id", "rank"))
+
+
 QUERIES: dict = {
     "ann_brute_topk": (ann_brute_topk, ANN_BRUTE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
+    "ann_ivf_topk": (ann_ivf_topk, None),
 }

@@ -164,3 +164,23 @@ def test_simhash_vectorized_matches_naive_loop():
     texts += ["", "one", "a b c", "تشكيل عربي نص"]
     for t in texts:
         assert simhash64(t) == naive(t)
+
+
+def test_ann_ivf_recall(spark):
+    """IVF multi-probe must recover most of the exact top-k (near-orthogonal
+    random vectors are the adversarial case; probing 4/16 cells reads ~25%
+    of the corpus and should beat that fraction by a wide margin)."""
+    from ocr_platform_spark.operators.similarity import (
+        TOP_K, ann_brute_topk, ann_ivf_topk)
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in ann_brute_topk(spark, sf).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ann_ivf_topk(spark, sf).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall {recall:.2f}"
+    # determinism: same plan twice → same result set
+    again = {(r["query_id"], r["neighbor_id"])
+             for r in ann_ivf_topk(spark, sf).collect()}
+    assert approx == again
