@@ -48,7 +48,7 @@ def _collapse_ws(s: str) -> str:
     return " ".join(s.split())
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     """One document-ordered text block with classifier features."""
 
