@@ -264,10 +264,72 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+# --- duplicate-cluster resolution (connected components) ------------------
+# A pair list doesn't dedup a corpus: near-dup similarity is transitive in
+# practice (A~B, B~C → one cluster), so the keep/drop decision needs the
+# connected component, not the edge. Min-label propagation over the pair
+# graph: O(diameter) joins, each a hash join on doc_id — the standard
+# large-scale CC algorithm when components are shallow (dup clusters are).
+
+
+def duplicate_clusters(ids: DataFrame, pairs: DataFrame,
+                       max_iter: int = 15) -> DataFrame:
+    """ids(doc_id) + pairs(a_id, b_id) → (doc_id, cluster_id, is_canonical).
+
+    cluster_id = min doc_id in the connected component; is_canonical marks
+    the single document to KEEP per cluster (the reference's unique-key
+    keep-first semantics, schema.prisma:100, applied corpus-wide).
+    """
+    edges = (pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+             .union(pairs.select(F.col("b_id").alias("src"),
+                                 F.col("a_id").alias("dst"))))
+    labels = ids.select(F.col("doc_id"),
+                        F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_iter):
+        # each node adopts the min label among itself and its neighbors
+        nbr_min = (edges.join(labels,
+                              edges.dst == labels.doc_id)
+                   .groupBy("src").agg(F.min("cluster_id").alias("nbr_label")))
+        new_labels = (labels.join(nbr_min, labels.doc_id == nbr_min.src,
+                                  "left")
+                      .select(
+                          "doc_id",
+                          F.least(F.col("cluster_id"),
+                                  F.coalesce(F.col("nbr_label"),
+                                             F.col("cluster_id")))
+                          .alias("cluster_id")))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+        # checkpoint the lineage every round (iterative plans otherwise
+        # grow exponentially deep)
+        labels = labels.localCheckpoint(eager=True)
+    return labels.withColumn(
+        "is_canonical", F.col("doc_id") == F.col("cluster_id"))
+
+
+def dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from the MinHash-LSH pair set (rows-only; pytest
+    checks exactness against a pure-Python union-find on the same pairs)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    out = duplicate_clusters(docs.select("doc_id"), pairs)
+    # only non-singleton clusters (stable small output for the driver)
+    sizes = out.groupBy("cluster_id").agg(F.count("*").alias("n"))
+    return (out.join(sizes.filter("n > 1"), "cluster_id")
+            .select("doc_id", "cluster_id", "is_canonical")
+            .orderBy("cluster_id", "doc_id"))
+
+
 QUERIES: dict = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_ngram_jaccard": (dd_ngram_jaccard, DD_JACCARD_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, None),
     "dd_simhash": (dd_simhash, None),
     "dd_embedding_near": (dd_embedding_near, DD_EMBED_SQL),
+    "dd_clusters": (dd_clusters, None),
 }

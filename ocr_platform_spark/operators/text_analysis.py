@@ -81,6 +81,84 @@ FROM documents
 """
 
 
+def ta_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality rules (Rae et al. 2021, §A1.1) as pure
+    JVM column math — the standard pretraining-corpus document filter:
+
+    - word count in [50, 100_000]
+    - mean word length in [3, 10] chars
+    - symbol-to-word ratio ('#' or '…') <= 0.1
+    - fraction of words with >=1 alphabetic char >= 0.80
+    - >= 2 distinct common stopwords present ("harmful boilerplate" guard)
+
+    (The lines-based rules — bullet/ellipsis line fractions — need line
+    structure the flat `documents.text` fixture lacks; at extraction time
+    they apply per block instead, which is what the block classifier's
+    density cuts already cover.) Every ratio is floor(10000*x) integer math
+    so the DuckDB value-hash is bit-stable.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = F.size(toks)
+    n_chars_in_toks = F.length(F.regexp_replace("text", r"\s+", ""))
+    mean_wl_x10k = F.floor(10000.0 * n_chars_in_toks / n_tok)
+    n_sym = (F.length("text")
+             - F.length(F.regexp_replace("text", r"[#…]", "")))
+    sym_ratio_x10k = F.floor(10000.0 * n_sym / n_tok)
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z؀-ۿ]")))
+    alpha_ratio_x10k = F.floor(10000.0 * n_alpha_words / n_tok)
+    stop_distinct = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(w) for w in ("the", "and", "of", "to", "in",
+                                     "من", "في", "على", "ve", "bir")])))
+    checks = {
+        "wc_ok": (n_tok >= 50) & (n_tok <= 100000),
+        "mwl_ok": (mean_wl_x10k >= 30000) & (mean_wl_x10k <= 100000),
+        "sym_ok": sym_ratio_x10k <= 1000,
+        "alpha_ok": alpha_ratio_x10k >= 8000,
+        "stop_ok": stop_distinct >= 2,
+    }
+    passed = None
+    for c in checks.values():
+        passed = c if passed is None else (passed & c)
+    return docs.select(
+        "doc_id", n_tok.alias("n_words"),
+        mean_wl_x10k.cast("long").alias("mean_word_len_x10k"),
+        *[v.alias(k) for k, v in checks.items()],
+        passed.alias("gopher_pass"))
+
+
+TA_GOPHER_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+         length(regexp_replace(text, '\s+', '', 'g')) AS n_chars,
+         length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS n_sym,
+         text
+  FROM documents),
+m AS (
+  SELECT doc_id, n_tok,
+         floor(10000.0 * n_chars / n_tok) AS mwl,
+         floor(10000.0 * n_sym / n_tok) AS symr,
+         floor(10000.0 * len(list_filter(toks,
+               x -> regexp_matches(x, '[A-Za-z؀-ۿ]'))) / n_tok) AS alphar,
+         len(list_intersect(list_distinct(toks),
+             ['the','and','of','to','in','من','في','على','ve','bir'])) AS stopd
+  FROM t)
+SELECT doc_id, n_tok AS n_words,
+       CAST(mwl AS BIGINT) AS mean_word_len_x10k,
+       n_tok >= 50 AND n_tok <= 100000 AS wc_ok,
+       mwl >= 30000 AND mwl <= 100000 AS mwl_ok,
+       symr <= 1000 AS sym_ok,
+       alphar >= 8000 AS alpha_ok,
+       stopd >= 2 AS stop_ok,
+       (n_tok >= 50 AND n_tok <= 100000) AND (mwl >= 30000 AND mwl <= 100000)
+       AND symr <= 1000 AND alphar >= 8000 AND stopd >= 2 AS gopher_pass
+FROM m
+"""
+
+
 # --- document fingerprint (SQL-expressible) -------------------------------
 def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-form md5 fingerprint — the exact-dedup key at scale."""
@@ -162,6 +240,7 @@ def ta_langid_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict = {
     "ta_token_stats": (ta_token_stats, TA_TOKEN_SQL),
     "ta_quality_flags": (ta_quality_flags, TA_QUALITY_SQL),
+    "ta_gopher_quality": (ta_gopher_quality, TA_GOPHER_SQL),
     "ta_fingerprint": (ta_fingerprint, TA_FINGERPRINT_SQL),
     "ta_langid_pages": (ta_langid_pages, None),
 }

@@ -184,3 +184,60 @@ def test_ann_ivf_recall(spark):
     again = {(r["query_id"], r["neighbor_id"])
              for r in ann_ivf_topk(spark, sf).collect()}
     assert approx == again
+
+
+def test_duplicate_clusters_match_union_find(spark):
+    """Label-propagation connected components must equal a pure-Python
+    union-find over the same pair set (incl. transitive chains)."""
+    from pyspark.sql import functions as F
+
+    from ocr_platform_spark.operators.dedup import duplicate_clusters
+
+    ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    # two chains (0-1-2-3, 10-11-12), one triangle (5,6,7), singletons rest
+    raw = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12),
+           (5, 6), (6, 7), (5, 7)]
+    pairs = spark.createDataFrame(raw, "a_id long, b_id long")
+
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(ids, pairs).collect()}
+
+    parent = list(range(20))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in raw:
+        parent[find(a)] = find(b)
+    # canonical label = min member of each component
+    comp = {}
+    for i in range(20):
+        comp.setdefault(find(i), []).append(i)
+    want = {}
+    for members in comp.values():
+        m = min(members)
+        for i in members:
+            want[i] = m
+    assert got == want
+    # canonical flags: exactly one keeper per cluster
+    canon = [r for r in duplicate_clusters(ids, pairs).collect()
+             if r["is_canonical"]]
+    assert len(canon) == len(comp)
+
+
+def test_dd_clusters_on_testdata(spark):
+    """dd_clusters runs on the fixture and every cluster keeps exactly one
+    canonical doc whose id is the cluster minimum."""
+    from ocr_platform_spark.operators.dedup import dd_clusters
+
+    rows = dd_clusters(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "fixture contains near-dup pairs"
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert min(m["doc_id"] for m in members) == cid
+        assert sum(m["is_canonical"] for m in members) == 1
