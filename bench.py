@@ -183,7 +183,11 @@ def main() -> None:
         if c_s and c_b and max(c_s, c_b) / min(c_s, c_b) > 1.15:
             rate_s = res[small]["docs"] / t_s
             rate_b = res[big]["docs"] / t_b
-            return (rate_b / c_b) / ((big / small) * (rate_s / c_s))
+            norm = (rate_b / c_b) / ((big / small) * (rate_s / c_s))
+            # >1.0 just means the correction over-shot (efficiency above
+            # perfect is impossible for this job) — clamp, keep raw+canaries
+            # in the report for transparency
+            return min(norm, 1.0)
         return raw
 
     if len(results) == 2:
