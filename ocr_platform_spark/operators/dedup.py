@@ -286,28 +286,30 @@ def duplicate_clusters(ids: DataFrame, pairs: DataFrame,
     labels = ids.select(F.col("doc_id"),
                         F.col("doc_id").alias("cluster_id"))
     for _ in range(max_iter):
-        # each node adopts the min label among itself and its neighbors
+        # each node adopts the min label among itself and its neighbors;
+        # carrying the previous label through the projection makes the
+        # convergence probe a filter on the SAME materialization (no extra
+        # join or shuffle per round)
         nbr_min = (edges.join(labels,
                               edges.dst == labels.doc_id)
                    .groupBy("src").agg(F.min("cluster_id").alias("nbr_label")))
-        new_labels = (labels.join(nbr_min, labels.doc_id == nbr_min.src,
-                                  "left")
-                      .select(
-                          "doc_id",
-                          F.least(F.col("cluster_id"),
-                                  F.coalesce(F.col("nbr_label"),
-                                             F.col("cluster_id")))
-                          .alias("cluster_id")))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                   .limit(1).count())
-        labels = new_labels
+        stepped = (labels.join(nbr_min, labels.doc_id == nbr_min.src,
+                               "left")
+                   .select(
+                       "doc_id",
+                       F.col("cluster_id").alias("prev"),
+                       F.least(F.col("cluster_id"),
+                               F.coalesce(F.col("nbr_label"),
+                                          F.col("cluster_id")))
+                       .alias("cluster_id")))
+        # checkpoint the lineage every round (iterative plans otherwise
+        # grow exponentially deep); eager → one job serves both the probe
+        # and the next round's input
+        stepped = stepped.localCheckpoint(eager=True)
+        changed = stepped.filter("cluster_id != prev").limit(1).count()
+        labels = stepped.drop("prev")
         if changed == 0:
             break
-        # checkpoint the lineage every round (iterative plans otherwise
-        # grow exponentially deep)
-        labels = labels.localCheckpoint(eager=True)
     return labels.withColumn(
         "is_canonical", F.col("doc_id") == F.col("cluster_id"))
 
