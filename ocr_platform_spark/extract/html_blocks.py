@@ -39,6 +39,11 @@ BREAK_TAGS = frozenset({"br", "hr"})
 # classifier; the parser itself stays judgment-free).
 _WS_RE = re.compile(r"\s+")
 
+# Path/classes features only look this many ancestors up. Bounds per-block
+# feature construction to O(1) — unbounded, a poison-pill document of 100k
+# nested divs turns the parse quadratic (measured 4s at depth 20k).
+MAX_PATH_DEPTH = 32
+
 
 def _collapse_ws(s: str) -> str:
     """Canonical whitespace: any run of whitespace → one space, trimmed.
@@ -77,6 +82,7 @@ class _BlockParser(HTMLParser):
         self.blocks: list[Block] = []
         self._stack: list[str] = []
         self._class_stack: list[str] = []
+        self._open_counts: dict[str, int] = {}  # O(1) membership for endtag
         self._ignore_depth = 0
         self._anchor_depth = 0
         self._parts: list[str] = []       # raw text fragments of open block
@@ -113,11 +119,16 @@ class _BlockParser(HTMLParser):
 
     def _begin(self, tag: str) -> None:
         self._flush()
+        stack = self._stack
+        classes = self._class_stack
+        if len(stack) > MAX_PATH_DEPTH:
+            stack = stack[-MAX_PATH_DEPTH:]
+            classes = classes[-MAX_PATH_DEPTH:]
         self._open = Block(
             block_id=len(self.blocks),
             tag=tag,
-            path="/".join(self._stack),
-            classes=" ".join(c for c in self._class_stack if c),
+            path="/".join(stack),
+            classes=" ".join(c for c in classes if c),
             headline=tag in ("h1", "h2", "h3", "h4", "h5", "h6", "title", "header"),
         )
 
@@ -143,6 +154,7 @@ class _BlockParser(HTMLParser):
         if tag in BLOCK_TAGS:
             self._stack.append(tag)
             self._class_stack.append(cls)
+            self._open_counts[tag] = self._open_counts.get(tag, 0) + 1
             self._begin(tag)
         # inline tags: nothing to track beyond <a>/<sup>
         elif tag == "sup" and self._open is not None:
@@ -160,11 +172,13 @@ class _BlockParser(HTMLParser):
             return
         if tag in BLOCK_TAGS:
             self._flush()
-            # pop to the matching open tag if present (tolerant matching)
-            if tag in self._stack:
+            # pop to the matching open tag if present (tolerant matching);
+            # the counter dict makes the membership probe O(1)
+            if self._open_counts.get(tag, 0) > 0:
                 while self._stack:
                     popped = self._stack.pop()
                     self._class_stack.pop()
+                    self._open_counts[popped] -= 1
                     if popped == tag:
                         break
 

@@ -145,3 +145,25 @@ try:
         assert _norm_of(html, "fast") == _norm_of(html, "stdlib"), repr(html)
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_pathological_inputs_stay_linear():
+    """Poison-pill documents must parse in linear time on BOTH engines —
+    one adversarial page must never stall an executor task (deep nesting
+    was quadratic via per-block path joins + endtag stack scans before
+    MAX_PATH_DEPTH + the open-tag counter)."""
+    import time
+
+    cases = {
+        "deep_nesting": "<div>" * 50000 + "x" + "</div>" * 50000,
+        "long_attr_soup": "<div " + "a=b " * 50000 + ">x</div>",
+        "unterminated_long_tag": "<div " + "a=b " * 50000,
+        "many_tiny_tags": "<p>x</p>" * 50000,
+        "unterminated_quote": '<div class="' + "c" * 500000,
+        "unterminated_comment": "<!--" + "<p>y</p>" * 20000,
+    }
+    for name, html in cases.items():
+        for eng in ("fast", "stdlib"):
+            t0 = time.time()
+            parse_blocks(html, engine=eng)
+            assert time.time() - t0 < 10, f"{name}/{eng} too slow"
