@@ -22,9 +22,80 @@ WORD_RE = regex.compile(r"[\p{L}\p{M}\p{N}]+")
 # string-strip-html for our inputs: remove tags, drop script/style content,
 # decode entities; tag boundaries become separators.
 _TAG_RE = regex.compile(r"<[^>]*>")
+# reference semantics (kept for the parity fuzz test): closed raw-text
+# elements have their content removed; unclosed ones are left for _TAG_RE
 _SCRIPT_RE = regex.compile(
     r"<(script|style|noscript)\b[^>]*>.*?</\1\s*>", regex.IGNORECASE | regex.DOTALL
 )
+_RAW_ELEMENTS = ("script", "style", "noscript")
+_WORDISH = frozenset(
+    "abcdefghijklmnopqrstuvwxyz0123456789-_")
+
+
+def _drop_raw_elements(text: str) -> str:
+    """Linear equivalent of ``_SCRIPT_RE.sub(" ", text)`` — the lazy-regex
+    form degrades quadratically on adversarial runs of unclosed
+    ``<script`` opens (N starts x scan-to-end each), which would stall an
+    executor task on a poison-pill document. Valid close positions are
+    precomputed once per tag; each open then bisects for the first close
+    past its '>': O(n + opens·log closes)."""
+    import bisect
+
+    lower = text.lower()
+    n = len(text)
+    # per tag: sorted (close_start, consume_end) of VALID closes (</tag\s*>)
+    closes: dict[str, tuple[list[int], list[int]]] = {}
+    for tag in _RAW_ELEMENTS:
+        starts: list[int] = []
+        ends: list[int] = []
+        k = lower.find("</" + tag)
+        while k != -1:
+            j = k + 2 + len(tag)
+            while j < n and text[j].isspace():
+                j += 1
+            if j < n and text[j] == ">":
+                starts.append(k)
+                ends.append(j + 1)
+            k = lower.find("</" + tag, k + 1)
+        closes[tag] = (starts, ends)
+    out: list[str] = []
+    pos = 0
+    # memoized next-occurrence per tag (re-find only once consumed) — a
+    # fresh find per iteration would rescan to EOF for absent tags
+    next_open = {tag: lower.find("<" + tag) for tag in _RAW_ELEMENTS}
+    while pos < n:
+        best = -1
+        which = ""
+        for tag in _RAW_ELEMENTS:
+            i = next_open[tag]
+            if i != -1 and i < pos:
+                i = next_open[tag] = lower.find("<" + tag, pos)
+            if i != -1 and (best == -1 or i < best):
+                best, which = i, tag
+        if best == -1:
+            out.append(text[pos:])
+            break
+        after = best + 1 + len(which)
+        nxt = lower[after:after + 1]
+        if nxt in _WORDISH:        # not a \b boundary (e.g. <scripty)
+            out.append(text[pos:after])
+            pos = after
+            continue
+        gt = lower.find(">", after)
+        if gt == -1:               # open tag never closes with '>'
+            out.append(text[pos:])
+            break
+        starts, ends = closes[which]
+        ci = bisect.bisect_right(starts, gt)
+        if ci >= len(starts):
+            # unclosed: leave everything for _TAG_RE (regex would not match)
+            out.append(text[pos:best + 1])
+            pos = best + 1
+            continue
+        out.append(text[pos:best])
+        out.append(" ")
+        pos = ends[ci]
+    return "".join(out)
 
 
 def strip_html(text: str) -> str:
@@ -37,7 +108,7 @@ def strip_html(text: str) -> str:
     import html as _html
 
     if "<" in text:
-        text = _SCRIPT_RE.sub(" ", text)
+        text = _drop_raw_elements(text)
         text = _TAG_RE.sub(" ", text)
     if "&" in text:
         text = _html.unescape(text)

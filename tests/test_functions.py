@@ -141,3 +141,37 @@ class TestCommandScore:
 
     def test_no_match_is_0(self):
         assert command_score("abc", "xyz") == 0.0
+
+
+class TestStripHtmlLinear:
+    def test_raw_element_drop_matches_regex(self):
+        """Linear _drop_raw_elements ≡ the reference regex on random soup."""
+        import random
+
+        from ocr_platform_spark.functions.words import (
+            _SCRIPT_RE, _drop_raw_elements)
+
+        frags = ["<script>", "</script>", "<style>", "</style>",
+                 "<noscript>", "</noscript>", "<SCRIPT a=b>", "</SCRIPT >",
+                 "</script", "<scripty>", "<script", "text ", "<p>x</p>",
+                 "&amp;", "</style\t>", "<style x='y'>", ">", "<",
+                 "</ script>", "<script >", "w"]
+        rng = random.Random(17)
+        for _ in range(3000):
+            s = "".join(rng.choice(frags)
+                        for _ in range(rng.randint(0, 20)))
+            assert _SCRIPT_RE.sub(" ", s) == _drop_raw_elements(s), repr(s)
+
+    def test_pathological_inputs_fast(self):
+        """Poison-pill word-count inputs must not stall a task."""
+        import time
+
+        from ocr_platform_spark.functions.words import count_words
+
+        cases = ["<script>" * 100000 + "x",
+                 "<script>x</script>" * 100000,
+                 ("<script>" + "</scriptX" * 5) * 20000]
+        for s in cases:
+            t0 = time.time()
+            count_words(s)
+            assert time.time() - t0 < 10
