@@ -42,6 +42,8 @@ def _drop_raw_elements(text: str) -> str:
     import bisect
 
     lower = text.lower()
+    if not any("<" + t in lower for t in _RAW_ELEMENTS):
+        return text  # common case: no raw-text elements at all
     n = len(text)
     # per tag: sorted (close_start, consume_end) of VALID closes (</tag\s*>)
     closes: dict[str, tuple[list[int], list[int]]] = {}
