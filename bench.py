@@ -92,7 +92,7 @@ def extract_worker(cores: int, input_path: str) -> None:
         extract_pages(warm, n_buckets=64).count()
     times = []
     canaries = []
-    n_timed = 3 if cores >= 8 else 2   # the small-N leg is ~4x longer/run
+    n_timed = 4 if cores >= 8 else 3   # the small-N leg is ~4x longer/run
     for _ in range(n_timed):
         canaries.append(_canary_rate())
         t0 = time.time()
