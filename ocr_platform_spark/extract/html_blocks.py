@@ -12,8 +12,7 @@ No Spark imports. Pure function of the input string.
 
 from __future__ import annotations
 
-import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from html.parser import HTMLParser
 
 # Tags that open a new text block. Everything else (span, a, b, i, sup, ...)
@@ -35,10 +34,6 @@ IGNORED_CONTENT_TAGS = frozenset({"script", "style", "noscript", "template", "sv
 # Self-closing / void tags that force a block break without opening one.
 BREAK_TAGS = frozenset({"br", "hr"})
 
-# Ancestor tags that mark a block as chrome (recorded in the path for the
-# classifier; the parser itself stays judgment-free).
-_WS_RE = re.compile(r"\s+")
-
 # Path/classes features only look this many ancestors up. Bounds per-block
 # feature construction to O(1) — unbounded, a poison-pill document of 100k
 # nested divs turns the parse quadratic (measured 4s at depth 20k).
@@ -47,8 +42,8 @@ MAX_PATH_DEPTH = 32
 
 def _collapse_ws(s: str) -> str:
     """Canonical whitespace: any run of whitespace → one space, trimmed.
-    ``" ".join(s.split())`` ≡ ``_WS_RE.sub(" ", s).strip()`` (both use the
-    Unicode whitespace set) but runs at C speed — this is the hottest
+    ``" ".join(s.split())`` ≡ ``re.sub(r"\\s+", " ", s).strip()`` (both use
+    the Unicode whitespace set) but runs at C speed — this is the hottest
     string op in the parse sink."""
     return " ".join(s.split())
 
