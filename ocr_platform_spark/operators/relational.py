@@ -5,9 +5,12 @@ returns a DataFrame and oracle_sql is the DuckDB-equivalent ANSI SQL. Every
 computed column is aliased identically on both sides (the driver hashes
 values after sorting columns by name).
 
-Money aggregates are cast to DECIMAL(18,2) BEFORE summing on both sides:
-decimal arithmetic is exact and order-independent, so the value-hash cannot
-be broken by float summation order differing between Spark and DuckDB.
+Money/quantity values are emitted as floor-scaled BIGINT (``*_cents`` /
+``*_x100``): ``floor(x * 100)`` on the raw double is bit-identical in Spark
+and DuckDB (pure IEEE ops, no rounding-mode choice), and integer sums are
+exact and order-independent — unlike CAST(.. AS DECIMAL) whose half-way
+rounding rule differs between the engines (HALF_UP vs round-half-even),
+which is what broke the round-1 value-hashes on r01/r08/r09/r11/r17.
 
 Reference provenance for each operator is cited in SURVEY.md §2.3 (Prisma
 call sites in apps/web/src/server/ and apps/web/src/app/).
@@ -20,7 +23,10 @@ from pyspark.sql import functions as F
 
 from ocr_platform_spark.operators.tables import load
 
-DEC = "decimal(18,2)"
+def _cents(col: str) -> F.Column:
+    """floor(x*100) as BIGINT — hash-stable money representation (both
+    engines evaluate the identical IEEE double expression)."""
+    return F.floor(F.col(col) * 100).cast("long")
 
 
 # --- R1+R2: projection + equality filter (ref page.ts:24-68) --------------
@@ -28,12 +34,12 @@ def r01_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (li.filter((F.col("l_quantity") == 30) & (F.col("l_returnflag") == "R"))
             .select("l_orderkey", "l_linenumber", "l_partkey",
-                    F.col("l_extendedprice").cast(DEC).alias("price")))
+                    _cents("l_extendedprice").alias("price_cents")))
 
 
 R01_SQL = """
 SELECT l_orderkey, l_linenumber, l_partkey,
-       CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+       CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents
 FROM lineitem WHERE l_quantity = 30 AND l_returnflag = 'R'
 """
 
@@ -149,15 +155,15 @@ def r08_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     per_order = li.groupBy("l_orderkey").agg(
         F.count("*").alias("n_lines"),
-        F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"))
+        F.sum(_cents("l_quantity")).alias("sum_qty_x100"))
     return (orders.filter(F.col("o_orderstatus") == "F")
             .join(per_order, orders.o_orderkey == per_order.l_orderkey)
-            .select("o_orderkey", "o_custkey", "n_lines", "sum_qty"))
+            .select("o_orderkey", "o_custkey", "n_lines", "sum_qty_x100"))
 
 
 R08_SQL = """
 SELECT o_orderkey, o_custkey, count(*) AS n_lines,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+       SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_x100
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE o_orderstatus = 'F'
 GROUP BY o_orderkey, o_custkey
@@ -171,12 +177,12 @@ def r09_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
             .groupBy("p_brand")
             .agg(F.count("*").alias("n_items"),
-                 F.sum(F.col("l_extendedprice").cast(DEC)).alias("revenue")))
+                 F.sum(_cents("l_extendedprice")).alias("revenue_cents")))
 
 
 R09_SQL = """
 SELECT p_brand, count(*) AS n_items,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+       SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """
@@ -187,12 +193,12 @@ def r10_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     return (orders.filter(F.col("o_orderkey") == 7)
             .select("o_orderkey", "o_custkey", "o_orderstatus",
-                    F.col("o_totalprice").cast(DEC).alias("total")))
+                    _cents("o_totalprice").alias("total_cents")))
 
 
 R10_SQL = """
 SELECT o_orderkey, o_custkey, o_orderstatus,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS total
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents
 FROM orders WHERE o_orderkey = 7
 """
 
@@ -200,25 +206,22 @@ FROM orders WHERE o_orderkey = 7
 # --- R11: sum aggregation, TPC-H Q1 shape (ref book.ts:149-168) -----------
 def r11_sum_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    # all-decimal arithmetic: exact + order-independent, so the value-hash
-    # can't diverge from DuckDB through float summation order
-    disc = (F.col("l_extendedprice").cast(DEC)
-            * (F.lit("1.00").cast("decimal(3,2)")
-               - F.col("l_discount").cast("decimal(3,2)")))
+    # all-integer arithmetic: cents x percent → x10000 units; exact and
+    # order-independent, so the value-hash cannot diverge from DuckDB
+    disc = _cents("l_extendedprice") * (100 - _cents("l_discount"))
     return (li.groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
-                 F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_base"),
-                 F.sum(disc).cast("decimal(38,4)").alias("sum_disc_price"),
+            .agg(F.sum(_cents("l_quantity")).alias("sum_qty_x100"),
+                 F.sum(_cents("l_extendedprice")).alias("sum_base_cents"),
+                 F.sum(disc).alias("sum_disc_x10k"),
                  F.count("*").alias("n_rows")))
 
 
 R11_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
-            AS DECIMAL(38,4)) AS sum_disc_price,
+       SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_x100,
+       SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS sum_disc_x10k,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -251,16 +254,27 @@ ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 50
 
 # --- R13+R14: stable sort + pagination (ref texts/page.tsx:190-199) -------
 def r14_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page k of a sorted listing WITHOUT a global window: top-(page*size)
+    via orderBy().limit() — Catalyst plans TakeOrderedAndProject, a
+    per-partition top-k merge, never a single-partition sort of the whole
+    table — then row_number over only those page*size rows. The round-1
+    global Window.orderBy plan moved the entire orders table to ONE
+    partition (WindowExec 'No Partition Defined'), a 100x-scale killer."""
     orders = load(spark, sf_dir, "orders")
+    page, size = 2, 20
+    top = (orders.orderBy(F.desc("o_totalprice"), F.desc("o_orderkey"))
+           .limit(page * size)
+           .select("o_orderkey", "o_totalprice"))
     w = Window.orderBy(F.desc("o_totalprice"), F.desc("o_orderkey"))
-    return (orders.withColumn("rn", F.row_number().over(w))
-            .filter((F.col("rn") > 20) & (F.col("rn") <= 40))
+    return (top.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") > (page - 1) * size)
             .select("rn", "o_orderkey",
-                    F.col("o_totalprice").cast(DEC).alias("total")))
+                    _cents("o_totalprice").alias("total_cents")))
 
 
 R14_SQL = """
-SELECT rn, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total FROM (
+SELECT rn, o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM (
   SELECT o_orderkey, o_totalprice,
          row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
   FROM orders) t
@@ -296,12 +310,12 @@ def r17_derived_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     return (orders.groupBy("o_custkey")
             .agg(F.count("*").alias("n_orders"),
-                 F.sum(F.col("o_totalprice").cast(DEC)).alias("lifetime_value")))
+                 F.sum(_cents("o_totalprice")).alias("lifetime_cents")))
 
 
 R17_SQL = """
 SELECT o_custkey, count(*) AS n_orders,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS lifetime_value
+       SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS lifetime_cents
 FROM orders GROUP BY o_custkey
 """
 

@@ -84,6 +84,21 @@ def test_topk_uses_take_ordered(spark):
     assert "Sort [" not in p.replace("TakeOrderedAndProject", "")
 
 
+def test_pagination_no_global_window_sort(spark):
+    """R14 must fetch page k via TakeOrderedAndProject (per-partition top-k
+    merge) — never a WindowExec over the unpartitioned full table, which
+    moves every row to ONE partition. The window that ranks the already-
+    limited page*size rows is fine: its input is bounded by the limit, not
+    by the table size."""
+    df = relational.r14_pagination(spark, SF_DIR)
+    p = plan_of(df)
+    assert "TakeOrderedAndProject" in p
+    # any Window node must sit strictly above the top-k limit, i.e. the
+    # plan must not exchange the raw orders scan into a single partition
+    scan_side = p.split("TakeOrderedAndProject", 1)[1]
+    assert "Window" not in scan_side, p
+
+
 def test_extract_job_shuffles_exactly_once(spark):
     """The extraction plan has exactly ONE Exchange: the explicit salted
     url-hash repartition. Anything more means an accidental extra shuffle
