@@ -77,4 +77,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from ocr_platform_spark.operators import registry
-    return registry.oracle_queries()
+
+    # Flagship oracles: tools/make_driver_fixtures.py stages the
+    # pure-Python extractor's output (the SAME oracle the goldens pin) as
+    # parquet; extract_pages compares row-for-row against it and
+    # extract_rollup is the SQL rollup over it.
+    out = {
+        "extract_pages": registry.fixture_sql(
+            "flagship_pages.parquet",
+            "url, lang, page_number, total_words, failed_stage, "
+            "blocks_kept, blocks_dropped"),
+        "extract_rollup": (
+            "SELECT lang, count(*) AS n_docs, SUM(total_words) AS sum_words, "
+            "SUM(CASE WHEN failed_stage IS NOT NULL THEN 1 ELSE 0 END) "
+            "AS n_failed FROM read_parquet('"
+            f"{registry.ORACLE_FIXTURES / 'flagship_pages.parquet'}') "
+            "GROUP BY lang"),
+    }
+    out.update(registry.oracle_queries())
+    return out

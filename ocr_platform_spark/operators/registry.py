@@ -1,16 +1,29 @@
 """Single registry of driver-checkable queries: name → spark fn + oracle SQL.
 
-Merged into ``__spark_entry__.queries()`` / ``oracle_sql()``. Entries whose
-oracle is None are genuinely non-SQL-expressible (probabilistic LSH paths,
-Python-only scorers, extraction itself) — the driver records a rows-only
-check for those and pytest carries the exactness burden instead.
+Merged into ``__spark_entry__.queries()`` / ``oracle_sql()``. Queries whose
+semantics are not SQL-expressible but ARE deterministically recomputable in
+pure Python get a fixture-parquet oracle: tools/make_driver_fixtures.py
+stages the pure-Python oracle's output as parquet under
+tests/fixtures/oracle/ and the DuckDB side simply ``read_parquet``s it —
+an independent recomputation, not an echo of the Spark result. Entries
+whose oracle is None remain rows-only (non-deterministic ML fits).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+# absolute path so the driver's DuckDB session resolves it from any cwd
+ORACLE_FIXTURES = (Path(__file__).resolve().parents[2]
+                   / "tests" / "fixtures" / "oracle")
+
+
+def fixture_sql(parquet_name: str, select: str = "*") -> str:
+    return (f"SELECT {select} FROM "
+            f"read_parquet('{ORACLE_FIXTURES / parquet_name}')")
 
 
 def _modules():
@@ -20,14 +33,18 @@ def _modules():
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing demo over synthesized page payloads (rows-only)."""
+    """Multimodal plumbing over synthesized page payloads, oracled against
+    the pure-Python fixture. feature[0] is u32/2**32 (exact in a double),
+    so f0_u32 round-trips to the exact integer — hash-stable, no floats."""
     from pyspark.sql import functions as F
     from ocr_platform_spark.operators.multimodal import media_features
     from ocr_platform_spark.sources.pages import pages_df
 
     feats = media_features(pages_df(spark, 200))
-    return feats.select("url", "n_bytes", "format", "sha256",
-                        F.element_at("feature", 1).alias("f0"))
+    return feats.select(
+        "url", "n_bytes", "format", "sha256",
+        F.floor(F.element_at("feature", 1) * F.lit(2.0 ** 32))
+        .cast("long").alias("f0_u32"))
 
 
 def all_entries() -> dict[str, tuple[Callable, str | None]]:
@@ -36,7 +53,7 @@ def all_entries() -> dict[str, tuple[Callable, str | None]]:
         for name, (fn, sql) in mod.QUERIES.items():
             assert name not in out, f"duplicate query name {name}"
             out[name] = (fn, sql)
-    out["mm_features"] = (_mm_features, None)
+    out["mm_features"] = (_mm_features, fixture_sql("mm_features.parquet"))
     return out
 
 

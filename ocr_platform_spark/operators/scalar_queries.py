@@ -15,6 +15,7 @@ from ocr_platform_spark.functions.spark_udfs import (
     count_words_udf, command_score_udf, hijri_year_col, slug_udf,
     to_arabic_digits_col,
 )
+from ocr_platform_spark.operators.registry import fixture_sql as _fixture_sql
 from ocr_platform_spark.operators.tables import load
 
 
@@ -142,8 +143,9 @@ FROM built
 
 
 # --- F7: commandScore fuzzy top-k (ref command-score.ts:54-172) -----------
-# No SQL equivalent (recursive memoized scorer) → rows-only driver check;
-# exactness is covered by pytest against hand-computed scores.
+# No SQL equivalent (recursive memoized scorer) → fixture oracle: the
+# pure-Python scorer's top-20 over the fixed sf0.01 part table, staged as
+# parquet by tools/make_driver_fixtures.py.
 def f07_command_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     scored = part.select(
@@ -270,7 +272,9 @@ QUERIES: dict = {
     "f04_digits": (f04_digits, F04_SQL),
     "f05_translit_norm": (f05_translit_norm, F05_SQL),
     "f06_publishing": (f06_publishing, F06_SQL),
-    "f07_command_score_topk": (f07_command_score_topk, None),
+    "f07_command_score_topk": (
+        f07_command_score_topk,
+        _fixture_sql("command_score_topk.parquet", "p_partkey, p_name")),
     "f10_string_norm": (f10_string_norm, F10_SQL),
     "f11_star_strip": (f11_star_strip, F11_SQL),
     "f12_json_parse": (f12_json_parse, F12_SQL),

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
+from ocr_platform_spark.operators.registry import fixture_sql as _fixture_sql
 from ocr_platform_spark.operators.tables import load
 
 
@@ -242,5 +243,7 @@ QUERIES: dict = {
     "ta_quality_flags": (ta_quality_flags, TA_QUALITY_SQL),
     "ta_gopher_quality": (ta_gopher_quality, TA_GOPHER_SQL),
     "ta_fingerprint": (ta_fingerprint, TA_FINGERPRINT_SQL),
-    "ta_langid_pages": (ta_langid_pages, None),
+    "ta_langid_pages": (
+        ta_langid_pages,
+        _fixture_sql("langid_pages.parquet", "url, lang, lang_detected")),
 }

@@ -1,0 +1,138 @@
+"""Regenerate the driver-oracle fixture parquets.
+
+Run: python tools/make_driver_fixtures.py
+
+These parquets let the driver's DuckDB gate verify queries whose semantics
+are NOT SQL-expressible but ARE deterministically recomputable in pure
+Python (the same modules pytest verifies): the flagship extraction output,
+language ID, multimodal features, and the command-score top-k. Each fixture
+is produced by the pure-Python oracle path — never by running the Spark
+query — so the comparison stays an independent check:
+
+- flagship_pages.parquet   gen_document(i, 42) → extract_document, i<500
+- langid_pages.parquet     extraction + detect_language, i<300
+- mm_features.parquet      sha256/magic-sniff/fake_features, i<200
+- command_score_topk.parquet pure-Python command_score over sf0.01 part
+
+MUST be regenerated (and the diff reviewed) whenever ocr_platform_spark/
+extract/, datagen.py, text_analysis.detect_language, multimodal, or
+command_score change — same rule as tests/fixtures/extraction_goldens.json.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ocr_platform_spark.datagen import gen_document
+from ocr_platform_spark.extract import extract_document
+
+OUT_DIR = (pathlib.Path(__file__).resolve().parent.parent
+           / "tests" / "fixtures" / "oracle")
+SEED = 42
+FLAGSHIP_DOCS = 500   # == __spark_entry__.FLAGSHIP_DOCS
+LANGID_DOCS = 300     # == text_analysis.ta_langid_pages
+MM_DOCS = 200         # == registry._mm_features
+SF001 = "/root/testdata/sf0.01"
+
+
+def _write(name: str, table: pa.Table) -> None:
+    OUT_DIR.mkdir(parents=True, exist_ok=True)
+    pq.write_table(table, OUT_DIR / name)
+    print(f"wrote {table.num_rows:4d} rows → {OUT_DIR / name}")
+
+
+def flagship_pages() -> None:
+    rows = []
+    for i in range(FLAGSHIP_DOCS):
+        d = gen_document(i, seed=SEED)
+        r = extract_document(d["url"], d["html"])
+        rows.append((r.url, d["lang"], r.page_number, r.total_words,
+                     r.failed_stage, r.blocks_kept, r.blocks_dropped))
+    cols = list(zip(*rows))
+    _write("flagship_pages.parquet", pa.table({
+        "url": pa.array(cols[0], pa.string()),
+        "lang": pa.array(cols[1], pa.string()),
+        "page_number": pa.array(cols[2], pa.int32()),
+        "total_words": pa.array(cols[3], pa.int32()),
+        "failed_stage": pa.array(cols[4], pa.string()),
+        "blocks_kept": pa.array(cols[5], pa.int32()),
+        "blocks_dropped": pa.array(cols[6], pa.int32()),
+    }))
+
+
+def langid_pages() -> None:
+    from ocr_platform_spark.operators.text_analysis import detect_language
+
+    rows = []
+    for i in range(LANGID_DOCS):
+        d = gen_document(i, seed=SEED)
+        r = extract_document(d["url"], d["html"])
+        if r.failed_stage is None:
+            rows.append((r.url, d["lang"],
+                         detect_language(r.extracted_text)))
+    cols = list(zip(*rows))
+    _write("langid_pages.parquet", pa.table({
+        "url": pa.array(cols[0], pa.string()),
+        "lang": pa.array(cols[1], pa.string()),
+        "lang_detected": pa.array(cols[2], pa.string()),
+    }))
+
+
+def mm_features() -> None:
+    from ocr_platform_spark.operators.multimodal import sniff_format
+
+    rows = []
+    for i in range(MM_DOCS):
+        d = gen_document(i, seed=SEED)
+        payload = d["html"]
+        if payload is None or len(payload) == 0:
+            rows.append((d["url"], 0, None,
+                         hashlib.sha256(b"").hexdigest(), None))
+            continue
+        b = bytes(payload)
+        h = hashlib.sha256(b).digest()
+        # fake_features[0] = u32/2**32 → exact u32 back out (see multimodal)
+        rows.append((d["url"], len(b), sniff_format(b),
+                     hashlib.sha256(b).hexdigest(),
+                     int.from_bytes(h[0:4], "big")))
+    cols = list(zip(*rows))
+    _write("mm_features.parquet", pa.table({
+        "url": pa.array(cols[0], pa.string()),
+        "n_bytes": pa.array(cols[1], pa.int64()),
+        "format": pa.array(cols[2], pa.string()),
+        "sha256": pa.array(cols[3], pa.string()),
+        "f0_u32": pa.array(cols[4], pa.int64()),
+    }))
+
+
+def command_score_topk() -> None:
+    import duckdb
+
+    from ocr_platform_spark.functions.command_score import command_score
+
+    con = duckdb.connect()
+    parts = con.sql(
+        f"SELECT p_partkey, p_name FROM "
+        f"read_parquet('{SF001}/part.parquet')").fetchall()
+    scored = sorted(
+        ((command_score(name, "red gear"), key, name)
+         for key, name in parts),
+        key=lambda t: (-t[0], t[1]))[:20]
+    _write("command_score_topk.parquet", pa.table({
+        "p_partkey": pa.array([k for _, k, _ in scored], pa.int64()),
+        "p_name": pa.array([n for _, _, n in scored], pa.string()),
+    }))
+
+
+if __name__ == "__main__":
+    flagship_pages()
+    langid_pages()
+    mm_features()
+    command_score_topk()
