@@ -5,9 +5,11 @@ Scale design notes (the part that must survive 10^12 docs):
 - exact dedup is a hash-groupBy on a canonical fingerprint — one shuffle on
   the md5 key, map-side partial agg for the counts;
 - MinHash runs ENTIRELY JVM-side: shingle explode → per-permutation
-  ``min(xxhash64(seed_k, shingle))`` hash-agg → LSH banding → self-join on
+  ``min(md5-derived seeded hash)`` hash-agg → LSH banding → self-join on
   (band, bucket). No Python in the hot path; the only O(n²) work happens
-  inside LSH buckets (candidates), never across the corpus;
+  inside LSH buckets (candidates), never across the corpus; the seeded
+  hash family is md5-based so DuckDB reproduces every stage bit-for-bit
+  (full value-hash oracles, not just recall tests);
 - brute-force n-gram Jaccard (quadratic) exists as the small-scale oracle
   that the probabilistic paths are verified against in pytest;
 - SimHash signatures are one Arrow-batched pandas UDF; pair generation is
@@ -100,13 +102,47 @@ WHERE inter * 2 >= sa.n_sh + sb.n_sh - inter
 """
 
 
-# --- MinHash + LSH (the scale path; all JVM, rows-only driver check) ------
+# --- MinHash + LSH (the scale path; all JVM, DuckDB-oracled) --------------
+# The seeded hash family is md5-derived on BOTH engines: a 60-bit integer
+# from the md5 hex prefix of "<seed>:<value>". All-JVM in Spark (md5 + conv
+# are builtins, no Python), and exactly reproducible in DuckDB
+# (CAST(concat('0x', substr(md5(..), 1, 15)) AS BIGINT)) — which is what
+# lets the whole LSH path be value-hash verified by the driver, not just
+# recall-tested in pytest. (xxhash64 would be marginally cheaper per byte
+# but exists only in Spark.)
+
+
+def _md5h60(col: F.Column, seed: str) -> F.Column:
+    """Seeded 60-bit hash: int(md5(f"{seed}:{v}").hexdigest()[:15], 16)."""
+    payload = F.encode(F.concat_ws(":", F.lit(seed), col), "UTF-8")
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+
+
+def _md5h60_sql(expr: str, seed: str) -> str:
+    return (f"CAST(concat('0x', substr(md5('{seed}:' || {expr}), 1, 15)) "
+            f"AS BIGINT)")
+
+
+def _minhash_aggs() -> list[F.Column]:
+    return [F.min(_md5h60(F.col("shingle"), str(k))).alias(f"mh{k}")
+            for k in range(MINHASH_PERMS)]
+
+
+def _band_bucket_array() -> F.Column:
+    """One md5 bucket id per band over that band's minhash rows."""
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    return F.array(*[
+        F.md5(F.encode(F.concat_ws(
+            ":", *[F.col(f"mh{b * rows_per_band + r}")
+                   for r in range(rows_per_band)]), "UTF-8"))
+        for b in range(MINHASH_BANDS)])
+
+
 def minhash_signatures(docs: DataFrame,
                        n_perms: int = MINHASH_PERMS) -> DataFrame:
-    """doc_id → n_perms minhash columns. Permutation k is
-    ``min(xxhash64(k, shingle))`` — a seeded JVM hash, no Python."""
+    """doc_id → n_perms minhash columns, permutation k = min seeded md5."""
     sh = _shingles(docs)
-    aggs = [F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"mh{k}")
+    aggs = [F.min(_md5h60(F.col("shingle"), str(k))).alias(f"mh{k}")
             for k in range(n_perms)]
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -123,16 +159,9 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     sh = _shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    aggs = [F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"mh{k}")
-            for k in range(MINHASH_PERMS)]
-    sigs = sh.groupBy("doc_id").agg(*aggs)
-    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    band_hashes = F.array(*[
-        F.xxhash64(*[F.col(f"mh{bidx * rows_per_band + r}")
-                     for r in range(rows_per_band)])
-        for bidx in range(MINHASH_BANDS)])
+    sigs = sh.groupBy("doc_id").agg(*_minhash_aggs())
     banded = sigs.select(
-        "doc_id", F.posexplode(band_hashes).alias("band", "bucket"))
+        "doc_id", F.posexplode(_band_bucket_array()).alias("band", "bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -153,6 +182,79 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
             .filter(F.col("inter") * 2 >= F.col("uni"))
             .select("a_id", "b_id", "inter", "uni"))
+
+
+# --- DuckDB oracles for the MinHash/cluster path --------------------------
+# Exact replicas of the Spark plan in SQL: same shingles, same seeded md5
+# minhash family, same banding, same candidate verification. Generated
+# programmatically so the permutation/band constants stay single-sourced.
+
+_SHINGLE_CTES = r"""
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+
+def _minhash_pair_ctes() -> str:
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    mh_aggs = ",\n         ".join(
+        f"min({_md5h60_sql('shingle', str(k))}) AS mh{k}"
+        for k in range(MINHASH_PERMS))
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, md5({payload}) AS bucket FROM sigs"
+        .format(b=b, payload=" || ':' || ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)))
+        for b in range(MINHASH_BANDS))
+    return f"""{_SHINGLE_CTES},
+sigs AS (
+  SELECT doc_id,
+         {mh_aggs}
+  FROM sh GROUP BY doc_id),
+banded AS (
+  {band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.a_id, c.b_id, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+  GROUP BY c.a_id, c.b_id),
+verified AS (
+  SELECT a_id, b_id, inter, sa.n_sh + sb.n_sh - inter AS uni
+  FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+  WHERE inter * 2 >= sa.n_sh + sb.n_sh - inter)"""
+
+
+DD_MINHASH_SQL = (
+    "WITH " + _minhash_pair_ctes()
+    + "\nSELECT a_id, b_id, inter, uni FROM verified")
+
+# connected components over the verified pair set via recursive closure
+# (tiny at oracle scale); cluster_id = min doc_id reachable, matching the
+# Spark min-label propagation. Only docs appearing in a pair (cluster n>1).
+DD_CLUSTERS_SQL = (
+    "WITH RECURSIVE " + _minhash_pair_ctes() + """,
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM verified
+  UNION SELECT b_id, a_id FROM verified),
+reach AS (
+  SELECT s AS node, d AS lbl FROM edges
+  UNION
+  SELECT r.node, e.d FROM reach r JOIN edges e ON e.s = r.lbl)
+SELECT node AS doc_id,
+       least(node, min(lbl)) AS cluster_id,
+       node = least(node, min(lbl)) AS is_canonical
+FROM reach GROUP BY node""")
 
 
 # --- SimHash (pandas UDF signature + banded pairing; rows-only) -----------
@@ -221,6 +323,53 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("a_id", "b_id", "hamming"))
 
 
+def _simhash_sql() -> str:
+    """DuckDB replica of simhash64 + banded pairing. The token hash is the
+    md5-hex-prefix u64 (same bytes as Python's int.from_bytes(md5[:8],
+    'big')); bit j of the signature is a per-bit majority vote
+    (2*ones_j > n_tokens), assembled in unsigned space then mapped to the
+    signed-64 LongType domain exactly like simhash64 does."""
+    bit_sums = ",\n         ".join(
+        f"sum(CAST((th >> {j}) & 1 AS BIGINT)) AS c{j}" for j in range(64))
+    sig_terms = "\n           + ".join(
+        f"CASE WHEN 2 * c{j} > n THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END"
+        for j in range(64))
+    return f"""
+WITH dt AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+th AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS th
+  FROM dt),
+bits AS (
+  SELECT doc_id, count(*) AS n,
+         {bit_sums}
+  FROM th GROUP BY doc_id),
+usigs AS (
+  SELECT doc_id,
+         ({sig_terms}) AS usig
+  FROM bits),
+sigs AS (
+  SELECT doc_id,
+         CAST(CASE WHEN usig >= {1 << 63}::UBIGINT
+              THEN CAST(usig AS HUGEINT) - {1 << 64}::HUGEINT
+              ELSE CAST(usig AS HUGEINT) END AS BIGINT) AS sig
+  FROM usigs),
+chunks AS (
+  SELECT doc_id, sig, chunk, (sig >> (chunk * 16)) & 65535 AS val
+  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS chunk) u),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id)
+SELECT a_id, b_id, bit_count(xor(sig_a, sig_b)) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3"""
+
+
+DD_SIMHASH_SQL = _simhash_sql()
+
+
 # --- embedding-cosine near-dup (SQL-expressible) --------------------------
 # testdata embeddings are near-orthogonal random vectors (max pairwise cos
 # ≈ 0.51); 0.35 marks the ~top-0.2% most-similar pairs as "near-dups" so
@@ -279,12 +428,29 @@ def duplicate_clusters(ids: DataFrame, pairs: DataFrame,
     cluster_id = min doc_id in the connected component; is_canonical marks
     the single document to KEEP per cluster (the reference's unique-key
     keep-first semantics, schema.prisma:100, applied corpus-wide).
+
+    Warns (and still returns the partial labels) if a component's diameter
+    exceeds max_iter — long chain-shaped clusters would otherwise silently
+    get wrong keep decisions.
     """
+    spark = ids.sparkSession
+    # lineage must be cut every round (iterative plans grow exponentially).
+    # With a reliable checkpoint dir configured, use fault-tolerant
+    # checkpoint() — localCheckpoint blocks live in executor memory, so an
+    # executor loss mid-iteration kills the job with no recompute path on a
+    # real cluster. Local mode (no dir set) keeps the fast path.
+    has_ckpt_dir = spark.sparkContext.getCheckpointDir() is not None
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if has_ckpt_dir \
+            else df.localCheckpoint(eager=True)
+
     edges = (pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
              .union(pairs.select(F.col("b_id").alias("src"),
                                  F.col("a_id").alias("dst"))))
     labels = ids.select(F.col("doc_id"),
                         F.col("doc_id").alias("cluster_id"))
+    changed = 0
     for _ in range(max_iter):
         # each node adopts the min label among itself and its neighbors;
         # carrying the previous label through the projection makes the
@@ -302,21 +468,27 @@ def duplicate_clusters(ids: DataFrame, pairs: DataFrame,
                                F.coalesce(F.col("nbr_label"),
                                           F.col("cluster_id")))
                        .alias("cluster_id")))
-        # checkpoint the lineage every round (iterative plans otherwise
-        # grow exponentially deep); eager → one job serves both the probe
-        # and the next round's input
-        stepped = stepped.localCheckpoint(eager=True)
+        # eager cut → one job serves both the probe and the next round
+        stepped = _cut(stepped)
         changed = stepped.filter("cluster_id != prev").limit(1).count()
         labels = stepped.drop("prev")
         if changed == 0:
             break
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"duplicate_clusters did not converge in {max_iter} rounds "
+            "(a component's diameter exceeds max_iter); labels are partial "
+            "and keep/drop decisions for the affected chains are unreliable "
+            "— raise max_iter", RuntimeWarning, stacklevel=2)
     return labels.withColumn(
         "is_canonical", F.col("doc_id") == F.col("cluster_id"))
 
 
 def dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters from the MinHash-LSH pair set (rows-only; pytest
-    checks exactness against a pure-Python union-find on the same pairs)."""
+    """Near-dup clusters from the MinHash-LSH pair set. Oracled against a
+    DuckDB recursive-CTE closure (plus pytest vs pure-Python union-find)."""
     docs = load(spark, sf_dir, "documents")
     pairs = dd_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
     out = duplicate_clusters(docs.select("doc_id"), pairs)
@@ -330,8 +502,8 @@ def dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_ngram_jaccard": (dd_ngram_jaccard, DD_JACCARD_SQL),
-    "dd_minhash_lsh": (dd_minhash_lsh, None),
-    "dd_simhash": (dd_simhash, None),
+    "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
+    "dd_simhash": (dd_simhash, DD_SIMHASH_SQL),
     "dd_embedding_near": (dd_embedding_near, DD_EMBED_SQL),
-    "dd_clusters": (dd_clusters, None),
+    "dd_clusters": (dd_clusters, DD_CLUSTERS_SQL),
 }
