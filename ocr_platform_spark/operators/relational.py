@@ -392,6 +392,145 @@ FROM (
 """
 
 
+# --- R21: corrections overlay (ref entry point B) -------------------------
+def r21_corrections_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The review-loop read path: ``extracted LEFT JOIN corrections`` with
+    ``coalesce(corrected, extracted)`` — mirroring `page.content ??
+    page.ocrContent` (apps/web/src/app/app/[bookId]/[pageNumber]/
+    page.tsx:205) — plus flags set-union (page.ts:187-188) and word-recount
+    on override (page.ts:196-202). Corrections are synthesized
+    deterministically from the documents table (every 10th doc corrected);
+    at scale the corrections side is the small human-edited table and the
+    join broadcasts it."""
+    from ocr_platform_spark.functions.spark_udfs import count_words_udf
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.array(F.lit("NEEDS_ADDITIONAL_REVIEW")))
+        .otherwise(F.array().cast("array<string>")).alias("flags"))
+    corrections = (docs.filter(F.col("doc_id") % 10 == 0)
+                   .select("doc_id",
+                           F.concat(F.lit("CORRECTED: "), F.col("text"))
+                           .alias("corrected_text"),
+                           F.array(F.lit("REVIEWED")).alias("c_flags")))
+    joined = base.join(F.broadcast(corrections), "doc_id", "left")
+    content = F.coalesce("corrected_text", "text")
+    flags = F.array_sort(F.array_distinct(F.concat(
+        F.col("flags"), F.coalesce("c_flags", F.array().cast("array<string>")))))
+    return joined.select(
+        "doc_id", content.alias("content"),
+        F.col("corrected_text").isNotNull().alias("reviewed"),
+        F.array_join(flags, ",").alias("flags"),
+        count_words_udf(content).alias("total_words"))
+
+
+R21_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 7 = 0 THEN ['NEEDS_ADDITIONAL_REVIEW']
+              ELSE CAST([] AS VARCHAR[]) END AS flags
+  FROM documents),
+corrections AS (
+  SELECT doc_id, 'CORRECTED: ' || text AS corrected_text,
+         ['REVIEWED'] AS c_flags
+  FROM documents WHERE doc_id % 10 = 0)
+SELECT b.doc_id,
+       coalesce(c.corrected_text, b.text) AS content,
+       c.corrected_text IS NOT NULL AS reviewed,
+       coalesce(array_to_string(list_sort(list_distinct(
+           b.flags || coalesce(c.c_flags, CAST([] AS VARCHAR[])))), ','),
+                '') AS flags,
+       CAST(len(regexp_extract_all(coalesce(c.corrected_text, b.text),
+                                   '[\p{L}\p{M}\p{N}]+')) AS INTEGER) AS total_words
+FROM base b LEFT JOIN corrections c ON b.doc_id = c.doc_id
+"""
+
+
+# --- R22: composed catalog page (ref entry point C, texts/page.tsx:31-201)
+def r22_catalog_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's busiest page as ONE plan: ilike-OR search filter +
+    bridge semi-join (region access) + anti-join (none:{}) + parallel
+    COUNT + page-k pagination + localized-name pivot. Joins broadcast the
+    small side; pagination is the r14 top-k pattern (no global window over
+    the full table); the count rides along as a 1-row broadcast."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+
+    asia_nations = nat.join(
+        F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+        nat.n_regionkey == reg.r_regionkey, "left_semi")
+    asia_supp = supp.join(F.broadcast(asia_nations),
+                          supp.s_nationkey == asia_nations.n_nationkey,
+                          "left_semi")
+    asia_parts = (li.join(F.broadcast(asia_supp),
+                          li.l_suppkey == asia_supp.s_suppkey, "left_semi")
+                  .select("l_partkey").distinct())
+    heavy_parts = (li.filter(F.col("l_quantity") > 49)
+                   .select("l_partkey").distinct())
+    qualifying = (part.filter(F.col("p_name").ilike("%red%")
+                              | F.col("p_name").ilike("%blue%"))
+                  .join(asia_parts, part.p_partkey == asia_parts.l_partkey,
+                        "left_semi")
+                  .join(heavy_parts, part.p_partkey == heavy_parts.l_partkey,
+                        "left_anti")
+                  .select("p_partkey", "p_name"))
+    total = qualifying.agg(F.count("*").alias("total_count"))
+
+    page, size = 2, 15
+    top = qualifying.orderBy(F.desc("p_partkey")).limit(page * size)
+    w = Window.orderBy(F.desc("p_partkey"))
+    sel = (top.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") > (page - 1) * size))
+    loc = sel.select(
+        "p_partkey", "rn",
+        F.explode(F.array(
+            F.struct(F.lit("ar").alias("locale"),
+                     F.concat(F.lit("اسم "), F.col("p_name")).alias("txt")),
+            F.struct(F.lit("en").alias("locale"),
+                     F.col("p_name").alias("txt")))).alias("l"))
+    pivoted = (loc.select("p_partkey", "rn", "l.locale", "l.txt")
+               .groupBy("p_partkey", "rn")
+               .pivot("locale", ["ar", "en"])
+               .agg(F.first("txt"))
+               .withColumnRenamed("ar", "name_ar")
+               .withColumnRenamed("en", "name_en"))
+    return pivoted.join(F.broadcast(total))
+
+
+R22_SQL = """
+WITH qualifying AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE (p_name ILIKE '%red%' OR p_name ILIKE '%blue%')
+    AND p_partkey IN (
+      SELECT l_partkey FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA')
+    AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)),
+sel AS (
+  SELECT p_partkey, p_name, rn FROM (
+    SELECT p_partkey, p_name,
+           row_number() OVER (ORDER BY p_partkey DESC) AS rn
+    FROM qualifying) t
+  WHERE rn > 15 AND rn <= 30),
+loc AS (
+  SELECT p_partkey, rn, 'ar' AS locale, 'اسم ' || p_name AS txt FROM sel
+  UNION ALL
+  SELECT p_partkey, rn, 'en' AS locale, p_name AS txt FROM sel)
+SELECT p_partkey, rn,
+       max(CASE WHEN locale = 'ar' THEN txt END) AS name_ar,
+       max(CASE WHEN locale = 'en' THEN txt END) AS name_en,
+       (SELECT count(*) FROM qualifying) AS total_count
+FROM loc GROUP BY p_partkey, rn
+"""
+
+
 QUERIES: dict = {
     "r01_projection_filter": (r01_projection_filter, R01_SQL),
     "r02_equality_filter": (r02_equality_filter, R02_SQL),
@@ -413,4 +552,6 @@ QUERIES: dict = {
     "r18_status_transition": (r18_status_transition, R18_SQL),
     "r19_pivot": (r19_pivot, R19_SQL),
     "r20_slug_dedup": (r20_slug_dedup, R20_SQL),
+    "r21_corrections_overlay": (r21_corrections_overlay, R21_SQL),
+    "r22_catalog_page": (r22_catalog_page, R22_SQL),
 }

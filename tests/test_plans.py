@@ -99,6 +99,18 @@ def test_pagination_no_global_window_sort(spark):
     assert "Window" not in scan_side, p
 
 
+def test_catalog_page_broadcasts_all_dims(spark):
+    """R22 composes filter + semi/anti-joins + count + paginate + pivot:
+    every dimension side must broadcast (the fact scans never shuffle on a
+    join key) and the 1-row count attaches via broadcast nested loop, not
+    a cartesian product."""
+    df = relational.r22_catalog_page(spark, SF_DIR)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_extract_job_shuffles_exactly_once(spark):
     """The extraction plan has exactly ONE Exchange: the explicit salted
     url-hash repartition. Anything more means an accidental extra shuffle
