@@ -377,16 +377,9 @@ DD_SIMHASH_SQL = _simhash_sql()
 COSINE_NEAR_DUP = 0.35
 
 
-def _cos_expr(a: str, b: str) -> F.Column:
-    """Sequential-fold double cosine — bit-identical to DuckDB's
-    list_cosine_similarity on double lists (verified empirically)."""
-    dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-                 f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-    na = F.sqrt(F.expr(f"aggregate({a}, CAST(0 AS DOUBLE),"
-                       f" (acc, v) -> acc + v * v)"))
-    nb = F.sqrt(F.expr(f"aggregate({b}, CAST(0 AS DOUBLE),"
-                       f" (acc, v) -> acc + v * v)"))
-    return dot / (na * nb)
+# _cos_expr lives in similarity.py (dedup depends on similarity, never the
+# reverse — the LSH bucketing machinery is shared from there)
+from ocr_platform_spark.operators.similarity import _cos_expr  # noqa: E402
 
 
 def dd_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,6 +404,63 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= {COSINE_NEAR_DUP}
 """
+
+
+# --- LSH-bucketed embedding near-dup (the scale path for dd_embedding) ----
+def dd_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup WITHOUT the all-pairs cross join: hyperplane-LSH
+    bucketing (same md5-derived constant planes as ann_lsh_topk) proposes
+    candidates — only vectors sharing a (table, bucket) — and exact cosine
+    verifies within candidates. O(n · bucket_size) vs dd_embedding_near's
+    O(n²); pytest asserts recall vs the exact path, the DuckDB oracle
+    reproduces bucket+verify bit-for-bit."""
+    from ocr_platform_spark.operators.similarity import (
+        LSH_PLANES, LSH_TABLES, bucket_array)
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    banded = emb.select(
+        "vec_id", "v",
+        F.posexplode(bucket_array("v", LSH_TABLES, LSH_PLANES))
+        .alias("tbl", "bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("a_id"),
+                    F.col("b.vec_id").alias("b_id"),
+                    F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+            .dropDuplicates(["a_id", "b_id"]))
+    cos = _cos_expr("va", "vb")
+    return (cand.withColumn("cos", cos)
+            .filter(F.col("cos") >= COSINE_NEAR_DUP)
+            .select("a_id", "b_id",
+                    F.floor(F.col("cos") * 1e6).cast("long").alias("cos_x1e6")))
+
+
+def _dd_embedding_lsh_sql() -> str:
+    from ocr_platform_spark.operators.similarity import (
+        LSH_PLANES, LSH_TABLES, banded_sql)
+
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+banded AS (
+  {banded_sql(LSH_TABLES, LSH_PLANES)}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT c.a_id, c.b_id,
+       CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) * 1e6)
+            AS BIGINT) AS cos_x1e6
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.a_id
+JOIN embeddings b ON b.vec_id = c.b_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {COSINE_NEAR_DUP}"""
 
 
 # --- duplicate-cluster resolution (connected components) ------------------
@@ -505,5 +555,6 @@ QUERIES: dict = {
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
     "dd_simhash": (dd_simhash, DD_SIMHASH_SQL),
     "dd_embedding_near": (dd_embedding_near, DD_EMBED_SQL),
+    "dd_embedding_lsh": (dd_embedding_lsh, _dd_embedding_lsh_sql()),
     "dd_clusters": (dd_clusters, DD_CLUSTERS_SQL),
 }

