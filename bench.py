@@ -41,8 +41,9 @@ STAGE_DIR = ("/dev/shm/ocr_bench_pages" if os.path.isdir("/dev/shm")
 # relational joins/aggs, dedup family, ANN, text analysis)
 QUERY_SET = [
     "r08_join_fanout", "r09_broadcast_join", "r11_sum_agg", "r14_pagination",
-    "r19_pivot", "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard",
-    "ann_brute_topk", "ta_token_stats", "ta_quality_flags",
+    "r19_pivot", "r22_catalog_page", "dd_exact", "dd_minhash_lsh",
+    "dd_ngram_jaccard", "dd_embedding_lsh", "ann_brute_topk", "ann_lsh_topk",
+    "ta_token_stats", "ta_quality_flags",
 ]
 
 
@@ -187,6 +188,9 @@ def main() -> None:
         _force(queries[name](spark, sf_dir))
         q_times[name] = round(time.time() - t0, 3)
         print(f"  {name}: {q_times[name]}s", file=sys.stderr)
+        # queries that persist intermediates (dd_minhash_lsh's shingles)
+        # must not leak cached blocks into the next timing
+        spark.catalog.clearCache()
 
     # --- scaling runs: same job, fresh subprocess JVMs at small and full
     # cores. Main session stops first so the timed JVMs own the machine.

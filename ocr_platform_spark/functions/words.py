@@ -28,8 +28,9 @@ _SCRIPT_RE = regex.compile(
     r"<(script|style|noscript)\b[^>]*>.*?</\1\s*>", regex.IGNORECASE | regex.DOTALL
 )
 _RAW_ELEMENTS = ("script", "style", "noscript")
-_WORDISH = frozenset(
-    "abcdefghijklmnopqrstuvwxyz0123456789-_")
+# the EXACT word-char class regex \b is defined by — an ASCII approximation
+# diverges both ways ('<script->' is a \b boundary, '<scriptñ>' is not)
+_WORD_CHAR_RE = regex.compile(r"\w")
 
 
 def _drop_raw_elements(text: str) -> str:
@@ -78,8 +79,8 @@ def _drop_raw_elements(text: str) -> str:
             out.append(text[pos:])
             break
         after = best + 1 + len(which)
-        nxt = lower[after:after + 1]
-        if nxt in _WORDISH:        # not a \b boundary (e.g. <scripty)
+        nxt = text[after:after + 1]
+        if nxt and _WORD_CHAR_RE.fullmatch(nxt):  # no \b (e.g. <scripty)
             out.append(text[pos:after])
             pos = after
             continue

@@ -154,7 +154,10 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Physical shape: the shingle explode is persisted (it feeds signatures,
     candidate verification, and set sizes — one scan instead of three) and
     banding is a single projection + posexplode (one pass over signatures
-    instead of MINHASH_BANDS unioned scans)."""
+    instead of MINHASH_BANDS unioned scans). The persisted blocks live for
+    the session (the returned plan is lazy, so this function cannot
+    unpersist); callers running many queries in one session reclaim them
+    via spark.catalog.clearCache() — bench.py does so between timings."""
     from pyspark import StorageLevel
 
     docs = load(spark, sf_dir, "documents")

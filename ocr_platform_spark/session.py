@@ -27,20 +27,45 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+# tmpfs spill is RAM-backed: require this much headroom or fall back to
+# disk, so a big shuffle spills instead of OOMing the box
+_SHM_MIN_FREE_BYTES = 8 << 30
+
+
 def _local_dir() -> str:
-    """Shuffle/spill scratch: tmpfs when present (the sandbox's virtio disk
-    adds noise); on a real cluster this is per-node NVMe via spark-defaults."""
+    """Shuffle/spill scratch: tmpfs when present AND roomy (the sandbox's
+    virtio disk adds noise, but tmpfs 'spill' still consumes host RAM — a
+    shuffle larger than free /dev/shm must go to real disk instead of
+    OOMing); on a real cluster this is per-node NVMe via spark-defaults.
+    SPARK_LOCAL_DIRS always wins when set."""
+    explicit = os.environ.get("SPARK_LOCAL_DIRS")
+    if explicit:
+        return explicit
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        d = "/dev/shm/spark-local"
-        os.makedirs(d, exist_ok=True)
-        return d
-    return os.environ.get("SPARK_LOCAL_DIRS", "/tmp")
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= _SHM_MIN_FREE_BYTES:
+            d = "/dev/shm/spark-local"
+            os.makedirs(d, exist_ok=True)
+            return d
+    return "/tmp"
+
+
+def _export_pythonpath() -> None:
+    """Make the package importable from a bare child process: worker
+    daemons are spawned with `python -m ocr_platform_spark.spark_daemon`,
+    which sees only PYTHONPATH/cwd — not the driver's sys.path edits."""
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    current = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + current if current else ""))
 
 
 def build_spark(app_name: str = "ocr-platform-spark",
                 cores: int | None = None,
                 shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or reuse) the session. ``cores`` only matters for local mode."""
+    _export_pythonpath()
     n = cores or default_parallelism()
     sp = shuffle_partitions or max(2 * n, 8)
     return (
@@ -54,7 +79,10 @@ def build_spark(app_name: str = "ocr-platform-spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # preload pandas/pyarrow in the worker daemon so forked workers start
         # warm — kills the N-simultaneous-cold-imports cliff on wide executors
-        # (see ocr_platform_spark/spark_daemon.py)
+        # (see ocr_platform_spark/spark_daemon.py). The daemon is launched via
+        # a fresh `python -m`, so _export_pythonpath() above guarantees the
+        # package resolves in that bare subprocess even when the driver only
+        # added the repo to sys.path; cluster submits ship it via --py-files.
         .config("spark.python.daemon.module", "ocr_platform_spark.spark_daemon")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(ARROW_MAX_RECORDS))

@@ -155,7 +155,12 @@ class TestStripHtmlLinear:
                  "<noscript>", "</noscript>", "<SCRIPT a=b>", "</SCRIPT >",
                  "</script", "<scripty>", "<script", "text ", "<p>x</p>",
                  "&amp;", "</style\t>", "<style x='y'>", ">", "<",
-                 "</ script>", "<script >", "w"]
+                 "</ script>", "<script >", "w",
+                 # \b edge cases: '-' is NOT a word char (boundary holds),
+                 # 'ñ'/'٣' ARE word chars (no boundary) — ASCII sets get
+                 # both wrong
+                 "<script->x</script>", "<scriptñ>x</script>",
+                 "<style٣>", "<script_>", "<noscript->"]
         rng = random.Random(17)
         for _ in range(3000):
             s = "".join(rng.choice(frags)
