@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ocr_platform_spark.operators.registry import fixture_sql as _fixture_sql
 from ocr_platform_spark.operators.tables import load
 
 
@@ -193,54 +194,99 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {TOP_K}"""
 ANN_LSH_SQL = _ann_lsh_sql()
 
 
-# --- IVF ANN (coarse k-means quantizer + multi-probe; rows-only) ----------
+# --- IVF ANN (coarse k-means quantizer + multi-probe; DuckDB-oracled) -----
 IVF_CLUSTERS = 16
-IVF_PROBES = 4  # probe the 4 nearest cells per query (recall/cost dial)
+IVF_PROBES = 4   # probe the 4 nearest cells per query (recall/cost dial)
+IVF_ITERS = 8    # fixed Lloyd rounds (no early stop → replica stays exact)
+_CENT_SCALE = 10 ** 9   # centroid components quantized to nano-units
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (SQL `div` semantics)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _sqdist_lit(v_col: str, comps: list[float]) -> F.Column:
+    arr = F.array(*[F.lit(c) for c in comps])
+    return F.aggregate(
+        F.zip_with(F.col(v_col), arr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, d: a + d)
+
+
+def _cell_structs(v_col: str, centers: list[list[float]]) -> F.Column:
+    """array<struct<dist,cell>> — struct ordering gives (dist, cell)
+    lexicographic comparison, i.e. argmin with deterministic tie-break."""
+    return F.array(*[
+        F.struct(_sqdist_lit(v_col, c).alias("dist"),
+                 F.lit(i).alias("cell"))
+        for i, c in enumerate(centers)])
+
+
+def ivf_fit(emb: DataFrame) -> list[list[float]]:
+    """Deterministic distributed Lloyd fit, replacing Spark-ML KMeans
+    (whose internal float reduction order is not reproducible outside
+    Spark). Init = the first IVF_CLUSTERS vectors by id; each round
+    assigns cells map-side against literal centroids and updates centroids
+    in INTEGER space: components quantized to floor(x*1e9) nano-units,
+    summed exactly (long), divided with `div` truncation — so the fitted
+    model is a pure function of the input that pure Python reproduces
+    bit-for-bit (tools/make_driver_fixtures.py), which is what lets the
+    driver value-hash this query. Only model state (16x64 centroids /
+    1024 aggregate rows) ever reaches the driver — the same shape Spark
+    ML's own KMeans collects per iteration — never data rows."""
+    centers = [list(r["v"]) for r in
+               emb.filter(F.col("vec_id") < IVF_CLUSTERS)
+               .orderBy("vec_id").collect()]
+    for _ in range(IVF_ITERS):
+        cell = F.array_min(_cell_structs("v", centers))["cell"]
+        comp = (emb.select(cell.alias("cell"),
+                           F.posexplode(F.transform(
+                               "v",
+                               lambda x: F.floor(x * _CENT_SCALE)
+                               .cast("long"))).alias("dim", "ci")))
+        rows = (comp.groupBy("cell", "dim")
+                .agg(F.sum("ci").alias("s"), F.count("*").alias("n"))
+                .collect())
+        new = [list(c) for c in centers]   # empty cells keep their centroid
+        for r in rows:
+            new[r["cell"]][r["dim"]] = (
+                _trunc_div(int(r["s"]), int(r["n"])) / _CENT_SCALE)
+        centers = new
+    return centers
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF: Spark-ML k-means partitions the corpus into IVF_CLUSTERS cells;
-    each query exactly-ranks only vectors in its IVF_PROBES nearest cells.
+    """IVF: a coarse k-means quantizer partitions the corpus into
+    IVF_CLUSTERS cells; each query exactly-ranks only vectors in its
+    IVF_PROBES nearest cells.
 
     At 10^12 rows this is the classic inverted-file layout: the centroid
-    table is tiny (broadcast), cell assignment is one map-side pass, and
-    cells become the physical partitioning of the stored index — a probe
-    reads ~PROBES/CLUSTERS of the corpus. Deterministic via fixed seed +
-    deterministic init; recall vs ann_brute_topk asserted in pytest.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
+    model is tiny (inlined as literals — not even a broadcast), cell
+    assignment is one map-side pass, and cells become the physical
+    partitioning of the stored index — a probe reads ~PROBES/CLUSTERS of
+    the corpus. Fully deterministic (see ivf_fit); recall vs
+    ann_brute_topk asserted in pytest, exact output value-hash verified
+    against the pure-Python replica fixture."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    feat = emb.withColumn("features", array_to_vector("v"))
-    km = KMeans(k=IVF_CLUSTERS, seed=7, maxIter=10, initMode="random")
-    model = km.fit(feat)
-    assigned = model.transform(feat).select(
-        "vec_id", "v", F.col("prediction").alias("cell"))
+    centers = ivf_fit(emb)
 
-    # centroid table (tiny → broadcast); query → its IVF_PROBES nearest cells
-    centers = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in
-         enumerate(model.clusterCenters())],
-        "cell int, cv array<double>")
-    q = (assigned.filter(F.col("vec_id") < N_QUERIES)
-         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("vq")))
-    qc = q.join(F.broadcast(centers), how="cross")
-    dist = F.expr(
-        "aggregate(zip_with(vq, cv, (x, y) -> (x - y) * (x - y)),"
-        " CAST(0 AS DOUBLE), (acc, d) -> acc + d)")
-    wq = Window.partitionBy("query_id").orderBy(F.asc("cell_dist"),
-                                               F.asc("cell"))
-    probes = (qc.withColumn("cell_dist", dist)
-              .withColumn("pr", F.row_number().over(wq))
-              .filter(F.col("pr") <= IVF_PROBES)
-              .select("query_id", "vq", "cell"))
+    assigned = emb.withColumn(
+        "cell", F.array_min(_cell_structs("v", centers))["cell"])
+    # query → its IVF_PROBES nearest cells: sort the (dist, cell) structs,
+    # keep the first PROBES, explode — all map-side against literals
+    probe_cells = F.transform(
+        F.slice(F.array_sort(_cell_structs("v", centers)), 1, IVF_PROBES),
+        lambda s: s["cell"])
+    q = (emb.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("vq"),
+                 F.explode(probe_cells).alias("cell")))
 
     # exact re-rank inside the probed cells only
     nb = assigned.select(F.col("vec_id").alias("neighbor_id"),
                          F.col("v").alias("vn"), "cell")
-    cand = (probes.join(nb, "cell")
+    cand = (q.join(nb, "cell")
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .dropDuplicates(["query_id", "neighbor_id"]))
     cos = _cos_expr("vq", "vn")
@@ -252,8 +298,68 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id", "rank"))
 
 
+def ivf_topk_python(vecs: list[tuple[int, list[float]]]) -> list[tuple]:
+    """Pure-Python replica of ann_ivf_topk (same fold orders, same integer
+    centroid updates, same tie-breaks) — the fixture oracle generator and
+    the pytest cross-check. Returns [(query_id, neighbor_id, rank)]."""
+    import math
+
+    by_id = dict(vecs)
+    centers = [list(by_id[i]) for i in range(IVF_CLUSTERS)]
+
+    def sqdist(v, c):
+        acc = 0.0
+        for x, y in zip(v, c):
+            acc += (x - y) * (x - y)
+        return acc
+
+    def argmin_cell(v):
+        return min((sqdist(v, c), i) for i, c in enumerate(centers))[1]
+
+    for _ in range(IVF_ITERS):
+        sums = {}
+        for _vid, v in vecs:
+            cell = argmin_cell(v)
+            for d, x in enumerate(v):
+                key = (cell, d)
+                s, n = sums.get(key, (0, 0))
+                sums[key] = (s + math.floor(x * _CENT_SCALE), n + 1)
+        new = [list(c) for c in centers]
+        for (cell, d), (s, n) in sums.items():
+            new[cell][d] = _trunc_div(s, n) / _CENT_SCALE
+        centers = new
+
+    assigned = {vid: argmin_cell(v) for vid, v in vecs}
+
+    def cosine(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for y in b:
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    out = []
+    for qid in range(N_QUERIES):
+        vq = by_id[qid]
+        probed = [c for _, c in sorted(
+            (sqdist(vq, c), i) for i, c in enumerate(centers))[:IVF_PROBES]]
+        cand = [vid for vid, v in vecs
+                if assigned[vid] in probed and vid != qid]
+        ranked = sorted(((-cosine(vq, by_id[vid]), vid) for vid in cand))
+        out.extend((qid, vid, rank + 1)
+                   for rank, (_, vid) in enumerate(ranked[:TOP_K]))
+    return out
+
+
 QUERIES: dict = {
     "ann_brute_topk": (ann_brute_topk, ANN_BRUTE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
-    "ann_ivf_topk": (ann_ivf_topk, None),
+    "ann_ivf_topk": (
+        ann_ivf_topk,
+        _fixture_sql("ann_ivf_topk.parquet", "query_id, neighbor_id, rank")),
 }

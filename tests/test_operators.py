@@ -205,6 +205,26 @@ def test_ann_ivf_recall(spark):
     assert approx == again
 
 
+def test_ann_ivf_matches_python_replica(spark):
+    """The distributed Lloyd fit + probe + re-rank must equal the
+    pure-Python replica EXACTLY (same centroid integer math, same fold
+    orders, same tie-breaks) — this is what makes the fixture parquet a
+    legitimate independent oracle for the driver."""
+    from ocr_platform_spark.operators.similarity import (
+        ann_ivf_topk, ivf_topk_python)
+    from ocr_platform_spark.operators.tables import load
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    spark_rows = {(r["query_id"], r["neighbor_id"], r["rank"])
+                  for r in ann_ivf_topk(spark, sf).collect()}
+    vecs = [(r["vec_id"], list(r["v"])) for r in
+            load(spark, sf, "embeddings")
+            .select("vec_id", F.col("embedding").cast("array<double>")
+                    .alias("v")).orderBy("vec_id").collect()]
+    assert spark_rows == set(ivf_topk_python(vecs))
+
+
 def test_duplicate_clusters_match_union_find(spark):
     """Label-propagation connected components must equal a pure-Python
     union-find over the same pair set (incl. transitive chains)."""

@@ -131,8 +131,27 @@ def command_score_topk() -> None:
     }))
 
 
+def ann_ivf_topk() -> None:
+    import duckdb
+
+    from ocr_platform_spark.operators.similarity import ivf_topk_python
+
+    con = duckdb.connect()
+    vecs = [(int(vid), [float(x) for x in v]) for vid, v in con.sql(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{SF001}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()]
+    rows = ivf_topk_python(vecs)
+    _write("ann_ivf_topk.parquet", pa.table({
+        "query_id": pa.array([q for q, _, _ in rows], pa.int64()),
+        "neighbor_id": pa.array([n for _, n, _ in rows], pa.int64()),
+        "rank": pa.array([r for _, _, r in rows], pa.int32()),
+    }))
+
+
 if __name__ == "__main__":
     flagship_pages()
     langid_pages()
     mm_features()
     command_score_topk()
+    ann_ivf_topk()
