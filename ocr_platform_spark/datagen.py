@@ -171,3 +171,30 @@ def gen_document(doc_index: int, seed: int = 42) -> dict:
 
 def gen_batch(start: int, end: int, seed: int = 42) -> list[dict]:
     return [gen_document(i, seed) for i in range(start, end)]
+
+
+def gen_media(doc_index: int, seed: int = 42) -> dict:
+    """Deterministic media-table row: a small synthetic PNG payload (pure
+    function of (doc_index, seed), like gen_document). Every 13th row is a
+    truncated payload and every 17th a non-PNG magic — the decode error
+    envelope must route those, never drop them."""
+    from ocr_platform_spark.functions.png import encode_png
+
+    rng = random.Random((seed << 32) ^ (doc_index * 2654435761))
+    url = f"https://img.example.org/m/{doc_index}.png"
+    w = 16 + rng.randrange(17)          # 16..32
+    h = 12 + rng.randrange(13)          # 12..24
+    channels = rng.choice([1, 3, 3, 4])  # gray/RGB/RGBA mix
+    base = rng.randrange(256)
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            for c in range(channels):
+                px.append((base + 7 * x + 13 * y + 29 * c
+                           + rng.randrange(8)) & 0xFF)
+    payload = encode_png(w, h, channels, bytes(px))
+    if doc_index % 13 == 5:
+        payload = payload[: len(payload) * 2 // 3]   # truncated
+    elif doc_index % 17 == 3:
+        payload = b"\xff\xd8\xff" + payload[3:]      # jpeg magic, no codec
+    return {"url": url, "media": payload}

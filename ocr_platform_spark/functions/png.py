@@ -1,0 +1,121 @@
+"""Pure-stdlib PNG codec (encode + decode) for the multimodal path.
+
+The container has no image libraries, but PNG is zlib + simple per-scanline
+filters — both stdlib. This makes the S4 decode step REAL for PNG payloads
+(reference analogue: page rasterization to PNG buffers,
+apps/queue/src/lib/ocr.ts:56-71); JPEG/audio/video remain declared stubs
+(their codecs genuinely are not installable here).
+
+Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA),
+non-interlaced. Everything else raises PngError — callers route it into
+the never-drop error envelope.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+class PngError(ValueError):
+    pass
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """payload → (width, height, n_channels, raw pixel bytes row-major)."""
+    if not payload.startswith(_SIGNATURE):
+        raise PngError("not a PNG signature")
+    pos = len(_SIGNATURE)
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            raise PngError("truncated chunk")
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8:
+                raise PngError(f"unsupported bit depth {depth}")
+            if color not in _CHANNELS:
+                raise PngError(f"unsupported color type {color}")
+            if interlace != 0:
+                raise PngError("interlaced PNG unsupported")
+            channels = _CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise PngError("missing IHDR/IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise PngError(f"bad IDAT stream: {e}") from None
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise PngError("IDAT length does not match dimensions")
+    out = bytearray(stride * height)
+    prev = bytes(stride)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        row = bytearray(raw[row_start + 1: row_start + 1 + stride])
+        if ftype == 1:    # Sub
+            for i in range(channels, stride):
+                row[i] = (row[i] + row[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - channels] if i >= channels else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = row[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise PngError(f"unknown filter type {ftype}")
+        out[y * stride:(y + 1) * stride] = row
+        prev = bytes(row)
+    return width, height, channels, bytes(out)
+
+
+def encode_png(width: int, height: int, channels: int,
+               pixels: bytes) -> bytes:
+    """Minimal encoder (filter 0 rows, one IDAT) — the test/datagen side."""
+    color = {1: 0, 3: 2, 4: 6}.get(channels)
+    if color is None:
+        raise PngError(f"unsupported channel count {channels}")
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise PngError("pixel buffer does not match dimensions")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + \
+            struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y * stride:(y + 1) * stride]
+                   for y in range(height))
+    return (_SIGNATURE + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))

@@ -54,13 +54,19 @@ def sniff_format(payload: bytes) -> str | None:
     return None
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decode — unavailable in this container (no PIL/ffmpeg).
-    The Spark plumbing calls fake_features() instead; on a cluster with
-    codec libraries, swap this in via ``decode=decode_image``."""
+def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Real decode for PNG payloads (pure-stdlib codec, functions/png.py) →
+    (width, height, channels, raw pixels). JPEG/audio/video remain
+    declared stubs: their codecs are not installed in this container; on a
+    cluster with codec libraries, extend the dispatch here."""
+    fmt = sniff_format(payload)
+    if fmt == "png":
+        from ocr_platform_spark.functions.png import decode_png
+
+        return decode_png(payload)
     raise NotImplementedError(
-        "image/audio codecs are not installed in this environment; "
-        "use fake_features for deterministic testing")
+        f"no codec for format {fmt!r} in this environment "
+        "(only the pure-stdlib PNG decoder is available)")
 
 
 def fake_features(payload: bytes, dim: int = MEDIA_FEATURE_DIM) -> list[float]:
@@ -97,3 +103,51 @@ def media_features(pages: DataFrame) -> DataFrame:
     One Arrow pass; binary payloads never surface on the driver."""
     return pages.select("url", "html").mapInPandas(
         _media_kernel, schema=MEDIA_META_SCHEMA)
+
+
+# --- real decode path (PNG) ------------------------------------------------
+
+MEDIA_DECODE_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("channels", IntegerType(), True),
+    # per-channel pixel means as exact integer micro-units: (sum*1e6)//n —
+    # pure integer math, bit-stable across engines (no float rendering)
+    StructField("mean_x1e6", ArrayType(LongType()), True),
+    StructField("decode_error", StringType(), True),
+])
+
+
+def image_stats(payload: bytes) -> tuple:
+    """(width, height, channels, [per-channel mean_x1e6]) via the real
+    decoder. Pure function of bytes — the fixture-oracle side calls
+    exactly this."""
+    w, h, ch, px = decode_image(payload)
+    n = w * h
+    sums = [0] * ch
+    for i, b in enumerate(px):
+        sums[i % ch] += b
+    return w, h, ch, [s * 10 ** 6 // n for s in sums]
+
+
+def _decode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in MEDIA_DECODE_SCHEMA.fields]
+    for pdf in batches:
+        out = []
+        for url, payload in zip(pdf["url"], pdf["media"]):
+            try:
+                w, h, ch, means = image_stats(bytes(payload or b""))
+                out.append((url, w, h, ch, means, None))
+            except Exception as e:  # never-drop: decode failures are rows
+                out.append((url, None, None, None, None,
+                            f"{type(e).__name__}: {e}"))
+        yield pd.DataFrame(out, columns=cols)
+
+
+def media_decode(media: DataFrame) -> DataFrame:
+    """media(url, media:binary) → decoded dimensions + channel stats.
+    Arrow-batched; failed decodes carry decode_error instead of dropping
+    (the same never-drop envelope as extraction)."""
+    return media.select("url", "media").mapInPandas(
+        _decode_kernel, schema=MEDIA_DECODE_SCHEMA)

@@ -47,6 +47,21 @@ def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("f0_u32"))
 
 
+def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode over the synthetic media table (pure-stdlib codec);
+    truncated/foreign payloads route into decode_error, never dropped."""
+    from pyspark.sql import functions as F
+    from ocr_platform_spark.operators.multimodal import media_decode
+    from ocr_platform_spark.sources.pages import media_df
+
+    dec = media_decode(media_df(spark, 200))
+    return dec.select(
+        "url", "width", "height", "channels",
+        *[F.try_element_at("mean_x1e6", F.lit(k + 1)).alias(f"mean{k}_x1e6")
+          for k in range(4)],
+        "decode_error")
+
+
 def all_entries() -> dict[str, tuple[Callable, str | None]]:
     out: dict[str, tuple[Callable, str | None]] = {}
     for mod in _modules():
@@ -54,6 +69,7 @@ def all_entries() -> dict[str, tuple[Callable, str | None]]:
             assert name not in out, f"duplicate query name {name}"
             out[name] = (fn, sql)
     out["mm_features"] = (_mm_features, fixture_sql("mm_features.parquet"))
+    out["mm_decode"] = (_mm_decode, fixture_sql("mm_decode.parquet"))
     return out
 
 

@@ -56,6 +56,31 @@ def pages_df(spark: SparkSession, n_docs: int, seed: int = 42,
     return idx.mapInPandas(_gen_partition(seed), schema=PAGES_SCHEMA)
 
 
+MEDIA_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("media", BinaryType(), True),
+])
+
+
+def _gen_media_partition(seed: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_platform_spark.datagen import gen_media
+
+        for pdf in batches:
+            rows = [gen_media(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["url", "media"])
+    return gen
+
+
+def media_df(spark: SparkSession, n_rows: int, seed: int = 42,
+             partitions: int | None = None) -> DataFrame:
+    """Synthetic media table (url, media:binary PNG payloads), distributed
+    exactly like pages_df — the generator is the table."""
+    nparts = partitions or spark.sparkContext.defaultParallelism
+    idx = spark.range(0, n_rows, 1, nparts)
+    return idx.mapInPandas(_gen_media_partition(seed), schema=MEDIA_SCHEMA)
+
+
 def write_pages(spark: SparkSession, n_docs: int, path: str,
                 seed: int = 42, partitions: int | None = None) -> None:
     """Materialize the pages table to parquet (bench/test input staging)."""

@@ -131,6 +131,35 @@ def command_score_topk() -> None:
     }))
 
 
+def mm_decode() -> None:
+    from ocr_platform_spark.datagen import gen_media
+    from ocr_platform_spark.operators.multimodal import image_stats
+
+    rows = []
+    for i in range(MM_DOCS):
+        d = gen_media(i, seed=SEED)
+        try:
+            w, h, ch, means = image_stats(d["media"])
+            means = means + [None] * (4 - len(means))
+            rows.append((d["url"], w, h, ch, *means, None))
+        except Exception as e:
+            rows.append((d["url"], None, None, None,
+                         None, None, None, None,
+                         f"{type(e).__name__}: {e}"))
+    cols = list(zip(*rows))
+    _write("mm_decode.parquet", pa.table({
+        "url": pa.array(cols[0], pa.string()),
+        "width": pa.array(cols[1], pa.int32()),
+        "height": pa.array(cols[2], pa.int32()),
+        "channels": pa.array(cols[3], pa.int32()),
+        "mean0_x1e6": pa.array(cols[4], pa.int64()),
+        "mean1_x1e6": pa.array(cols[5], pa.int64()),
+        "mean2_x1e6": pa.array(cols[6], pa.int64()),
+        "mean3_x1e6": pa.array(cols[7], pa.int64()),
+        "decode_error": pa.array(cols[8], pa.string()),
+    }))
+
+
 def ann_ivf_topk() -> None:
     import duckdb
 
@@ -153,5 +182,6 @@ if __name__ == "__main__":
     flagship_pages()
     langid_pages()
     mm_features()
+    mm_decode()
     command_score_topk()
     ann_ivf_topk()
