@@ -422,8 +422,13 @@ def dd_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    # bucket ids only — the vectors must NOT ride through the candidate
+    # self-join + distinct (each pair would carry 2x 64 doubles through the
+    # shuffle; measured 35s -> ~5s at sf0.1 dropping them). Candidates are
+    # bare id-pairs; the two vector fetch-joins afterwards touch only the
+    # deduplicated pair set — the same shape as the SQL oracle.
     banded = emb.select(
-        "vec_id", "v",
+        "vec_id",
         F.posexplode(bucket_array("v", LSH_TABLES, LSH_PLANES))
         .alias("tbl", "bucket"))
     a = banded.alias("a")
@@ -432,11 +437,13 @@ def dd_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("a_id"),
-                    F.col("b.vec_id").alias("b_id"),
-                    F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
-            .dropDuplicates(["a_id", "b_id"]))
+                    F.col("b.vec_id").alias("b_id"))
+            .distinct())
+    va = emb.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    pairs = cand.join(va, "a_id").join(vb, "b_id")
     cos = _cos_expr("va", "vb")
-    return (cand.withColumn("cos", cos)
+    return (pairs.withColumn("cos", cos)
             .filter(F.col("cos") >= COSINE_NEAR_DUP)
             .select("a_id", "b_id",
                     F.floor(F.col("cos") * 1e6).cast("long").alias("cos_x1e6")))
