@@ -266,11 +266,16 @@ FROM reach GROUP BY node""")
 _SIMHASH_COLS = [(7 - j // 8) * 8 + (j % 8) for j in range(64)]
 
 
-def simhash64(text: str) -> int:
+def simhash64(text: str, _digest_cache: dict | None = None) -> int:
     """64-bit SimHash over whitespace tokens with md5-derived token hashes
     (stable across processes — Python's builtin hash is salted). Bit
     accumulation is numpy-vectorized; output is bit-identical to the naive
-    per-bit loop (asserted in tests/test_operators.py)."""
+    per-bit loop (asserted in tests/test_operators.py).
+
+    ``_digest_cache`` lets the Arrow-batch UDF hash each UNIQUE token once
+    per batch (corpora repeat tokens heavily — the md5-per-token loop was
+    the hot cost of dd_simhash). Identity unaffected: the cache only
+    memoizes a pure function."""
     import hashlib
 
     import numpy as np
@@ -280,7 +285,18 @@ def simhash64(text: str) -> int:
     toks = text.lower().split()
     if not toks:
         return 0
-    raw = b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8] for t in toks)
+    if _digest_cache is None:
+        raw = b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8]
+                       for t in toks)
+    else:
+        parts = []
+        for t in toks:
+            d = _digest_cache.get(t)
+            if d is None:
+                d = _digest_cache[t] = hashlib.md5(
+                    t.encode("utf-8")).digest()[:8]
+            parts.append(d)
+        raw = b"".join(parts)
     bits = np.unpackbits(
         np.frombuffer(raw, dtype=np.uint8).reshape(-1, 8),
         axis=1, bitorder="little")[:, _SIMHASH_COLS]
@@ -295,7 +311,11 @@ def simhash64(text: str) -> int:
 
 @F.pandas_udf(LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
-    return text.map(lambda t: simhash64(t) if t is not None else 0)
+    """Arrow-batch SimHash with a shared per-batch token-digest cache."""
+    cache: dict[str, bytes] = {}
+    return pd.Series(
+        [simhash64(t, cache) if t is not None else 0 for t in text],
+        dtype="int64")
 
 
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -174,6 +174,89 @@ FROM documents
 """
 
 
+# --- BPE-ish regex token count (SQL-expressible) --------------------------
+# The standard subword-ish pre-tokenization shape (letter runs / digit runs
+# / punctuation runs) with an RE2-safe pattern (no lookahead — Java regex
+# and DuckDB RE2 agree on \p{L}/\p{N}/\s for the corpus scripts). This is
+# the "token counting: whitespace + a BPE-ish regex" counter a training
+# pipeline budgets with, next to ta_token_stats' whitespace counter.
+_BPE_PATTERN = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]+"
+
+
+def ta_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_bpe = F.regexp_count("text", F.lit(_BPE_PATTERN)).cast("long")
+    n_ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return docs.select(
+        "doc_id", n_bpe.alias("n_bpe_tokens"),
+        F.floor(10000.0 * n_bpe / n_ws).cast("long")
+        .alias("bpe_per_word_x10k"))
+
+
+TA_BPE_SQL = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
+           AS n_bpe_tokens,
+       CAST(floor(10000.0 * len(regexp_extract_all(text, '{_BPE_PATTERN}'))
+                  / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS bpe_per_word_x10k
+FROM documents
+"""
+
+
+# --- winnowing fingerprints (rolling-hash doc fingerprinting; SQL) --------
+# Schleimer, Wilkerson, Aiken, "Winnowing: Local Algorithms for Document
+# Fingerprinting" (SIGMOD 2003): hash every k-char gram of the canonical
+# text, keep the minimum hash of each w-window — guarantees any match of
+# length >= w+k-1 shares a fingerprint, with ~2/(w+1) selection density.
+# All JVM-side (transform/slice/array_min over a sequence); the md5-derived
+# gram hash is the engine-portable family used by MinHash, so DuckDB
+# replicates fingerprints exactly.
+WINNOW_K = 8    # gram length (chars of canonical text)
+WINNOW_W = 16   # window length (grams)
+
+
+def ta_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    d = docs.select("doc_id", norm.alias("norm")).filter(
+        F.length("norm") >= WINNOW_K + WINNOW_W - 1)
+    grams = F.expr(
+        f"transform(sequence(1, length(norm) - {WINNOW_K} + 1, 1), i -> "
+        f"CAST(conv(substring(md5(substring(norm, i, {WINNOW_K})), 1, 15), "
+        f"16, 10) AS BIGINT))")
+    fps = F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, size(gram_hashes) - {WINNOW_W} + 1, 1), "
+        f"j -> array_min(slice(gram_hashes, j, {WINNOW_W}))))")
+    return (d.withColumn("gram_hashes", grams)
+            .select("doc_id", F.explode(fps).alias("fp")))
+
+
+TA_WINNOW_SQL = rf"""
+WITH d AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+  WHERE length(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        >= {WINNOW_K + WINNOW_W - 1}),
+h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(norm) - {WINNOW_K} + 1),
+           i -> CAST(concat('0x',
+                substr(md5(substr(norm, i, {WINNOW_K})), 1, 15)) AS BIGINT))
+           AS gh
+  FROM d),
+w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(gh) - {WINNOW_W} + 1),
+           j -> list_min(gh[j: j + {WINNOW_W} - 1]))) AS fps
+  FROM h)
+SELECT doc_id, unnest(fps) AS fp FROM w
+"""
+
+
 # --- language ID (pandas UDF; rows-only driver check) ---------------------
 
 # Unicode script ranges + per-language stopword/bigram markers. Script wins
@@ -243,6 +326,8 @@ QUERIES: dict = {
     "ta_quality_flags": (ta_quality_flags, TA_QUALITY_SQL),
     "ta_gopher_quality": (ta_gopher_quality, TA_GOPHER_SQL),
     "ta_fingerprint": (ta_fingerprint, TA_FINGERPRINT_SQL),
+    "ta_bpe_tokens": (ta_bpe_tokens, TA_BPE_SQL),
+    "ta_winnow_fp": (ta_winnow_fp, TA_WINNOW_SQL),
     "ta_langid_pages": (
         ta_langid_pages,
         _fixture_sql("langid_pages.parquet", "url, lang, lang_detected")),
