@@ -188,8 +188,7 @@ def main() -> None:
         _force(queries[name](spark, sf_dir))
         q_times[name] = round(time.time() - t0, 3)
         print(f"  {name}: {q_times[name]}s", file=sys.stderr)
-        # queries that persist intermediates (dd_minhash_lsh's shingles)
-        # must not leak cached blocks into the next timing
+        # no query should leak cached blocks into the next timing
         spark.catalog.clearCache()
 
     # --- scaling runs: same job, fresh subprocess JVMs at small and full

@@ -103,29 +103,64 @@ WHERE inter * 2 >= sa.n_sh + sb.n_sh - inter
 
 
 # --- MinHash + LSH (the scale path; all JVM, DuckDB-oracled) --------------
-# The seeded hash family is md5-derived on BOTH engines: a 60-bit integer
-# from the md5 hex prefix of "<seed>:<value>". All-JVM in Spark (md5 + conv
-# are builtins, no Python), and exactly reproducible in DuckDB
-# (CAST(concat('0x', substr(md5(..), 1, 15)) AS BIGINT)) — which is what
-# lets the whole LSH path be value-hash verified by the driver, not just
-# recall-tested in pytest. (xxhash64 would be marginally cheaper per byte
-# but exists only in Spark.)
+# The base hash is md5-derived on BOTH engines: a 60-bit integer from the
+# md5 hex prefix — Spark `conv(substring(md5(x),1,15),16,10)` (all-JVM
+# builtins, no Python) ≡ DuckDB `CAST(concat('0x', substr(md5(x),1,15))
+# AS BIGINT)` — which is what lets the whole LSH path be value-hash
+# verified by the driver, not just recall-tested in pytest. (xxhash64
+# would be marginally cheaper per byte but exists only in Spark.)
+#
+# MinHash works entirely in a 31-bit integer field: md5 hashes each TOKEN
+# once (the only byte-level hashing), shingle identity is a modular
+# combination of its 3 token hashes, and the 16 permutations are the
+# classic universal-hash family perm_k(h) = (a_k*h + b_k) mod p. This
+# keeps the hot path free of per-shingle string building + hashing
+# (measured 13s -> 1.8s for the signature stage at sf0.1) while every
+# value stays exactly reproducible in DuckDB. p = 2^31-1 bounds all
+# products below 2^62: no 64-bit overflow in either engine (DuckDB errors
+# on BIGINT overflow, Java would wrap silently — both stay exact).
+MINHASH_P = (1 << 31) - 1
+_SHINGLE_COEF = (1000003, 999983, 31)   # order-sensitivity of the 3-gram
 
 
-def _md5h60(col: F.Column, seed: str) -> F.Column:
-    """Seeded 60-bit hash: int(md5(f"{seed}:{v}").hexdigest()[:15], 16)."""
-    payload = F.encode(F.concat_ws(":", F.lit(seed), col), "UTF-8")
-    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+def _perm_consts(k: int) -> tuple[int, int]:
+    """(a_k, b_k) derived from md5(k) driver-side — deterministic literals
+    in both the Spark plan and the SQL oracle."""
+    import hashlib
+
+    d = hashlib.md5(f"perm:{k}".encode()).digest()
+    a = int.from_bytes(d[:4], "big") % (MINHASH_P - 1) + 1   # 1..p-1
+    b = int.from_bytes(d[4:8], "big") % MINHASH_P
+    return a, b
 
 
-def _md5h60_sql(expr: str, seed: str) -> str:
-    return (f"CAST(concat('0x', substr(md5('{seed}:' || {expr}), 1, 15)) "
-            f"AS BIGINT)")
+def _hashed_shingles(docs: DataFrame) -> DataFrame:
+    """doc_id → exploded DISTINCT 3-gram shingle hashes (31-bit field).
+    One md5 per token; shingles never exist as strings."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    th = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(F.encode(t, "UTF-8")), 1, 15),
+                         16, 10).cast("long") % MINHASH_P)
+    c1, c2, c3 = _SHINGLE_COEF
+    arr = F.col("th")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 2),
+        lambda i: (F.element_at(arr, i) * c1 % MINHASH_P
+                   + F.element_at(arr, i + 1) * c2 % MINHASH_P
+                   + F.element_at(arr, i + 2) * c3 % MINHASH_P) % MINHASH_P)
+    return (docs.filter(F.size(toks) >= 3)
+            .select("doc_id", th.alias("th"))
+            .select("doc_id", F.explode(F.array_distinct(sh)).alias("hmod")))
 
 
 def _minhash_aggs() -> list[F.Column]:
-    return [F.min(_md5h60(F.col("shingle"), str(k))).alias(f"mh{k}")
-            for k in range(MINHASH_PERMS)]
+    out = []
+    for k in range(MINHASH_PERMS):
+        a, b = _perm_consts(k)
+        out.append(F.min((F.col("hmod") * a + b) % MINHASH_P)
+                   .alias(f"mh{k}"))
+    return out
 
 
 def _band_bucket_array() -> F.Column:
@@ -138,31 +173,33 @@ def _band_bucket_array() -> F.Column:
         for b in range(MINHASH_BANDS)])
 
 
-def minhash_signatures(docs: DataFrame,
-                       n_perms: int = MINHASH_PERMS) -> DataFrame:
-    """doc_id → n_perms minhash columns, permutation k = min seeded md5."""
-    sh = _shingles(docs)
-    aggs = [F.min(_md5h60(F.col("shingle"), str(k))).alias(f"mh{k}")
-            for k in range(n_perms)]
-    return sh.groupBy("doc_id").agg(*aggs)
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → MINHASH_PERMS minhash columns (universal-hash permutations
+    over the hashed-shingle field)."""
+    return _hashed_shingles(docs).groupBy("doc_id").agg(*_minhash_aggs())
 
 
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs via LSH banding, then exact-Jaccard verification of
     ONLY the candidates (bucket-join → verify; never all-pairs).
 
-    Physical shape: the shingle explode is persisted (it feeds signatures,
-    candidate verification, and set sizes — one scan instead of three) and
-    banding is a single projection + posexplode (one pass over signatures
-    instead of MINHASH_BANDS unioned scans). The persisted blocks live for
-    the session (the returned plan is lazy, so this function cannot
-    unpersist); callers running many queries in one session reclaim them
-    via spark.catalog.clearCache() — bench.py does so between timings."""
+    Physical shape: the shingle explosion (~10x the corpus) is NEVER
+    persisted — it streams once into the signature hash-agg (map-side
+    partials). What IS persisted is ~1000x smaller: the SIGNATURES
+    (doc_id + 16 longs; the banding self-join would otherwise recompute
+    the explosion once per join side) and the candidate pair list (reused
+    by the verification join and the shingle-recompute scope). At 10^12
+    docs the production shape materializes signatures as a table;
+    MEMORY_AND_DISK is the local-mode analogue. Verification RECOMPUTES
+    shingles just for docs appearing in a candidate pair (left-semi scoped
+    scan) instead of caching the 10x explosion. Banding is a single
+    projection + posexplode (one pass over signatures instead of
+    MINHASH_BANDS unioned scans)."""
     from pyspark import StorageLevel
 
     docs = load(spark, sf_dir, "documents")
-    sh = _shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = sh.groupBy("doc_id").agg(*_minhash_aggs())
+    sigs = (minhash_signatures(docs)
+            .persist(StorageLevel.MEMORY_AND_DISK))
     banded = sigs.select(
         "doc_id", F.posexplode(_band_bucket_array()).alias("band", "bucket"))
     a = banded.alias("a")
@@ -172,12 +209,18 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("a_id"),
                     F.col("b.doc_id").alias("b_id"))
-            .distinct())
-    # verify candidates with exact jaccard over the persisted shingles
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    # recompute hashed shingles for candidate docs only, then exact-verify
+    # (Jaccard over the hashed-shingle sets — identical in the SQL oracle)
+    cand_docs = (cand.select(F.col("a_id").alias("doc_id"))
+                 .union(cand.select(F.col("b_id").alias("doc_id")))
+                 .distinct())
+    sh = _hashed_shingles(docs.join(cand_docs, "doc_id", "left_semi"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("a_id"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("b_id"), "shingle")
-    inter = (cand.join(sa, "a_id").join(sb, ["b_id", "shingle"])
+    sa = sh.select(F.col("doc_id").alias("a_id"), "hmod")
+    sb = sh.select(F.col("doc_id").alias("b_id"), "hmod")
+    inter = (cand.join(sa, "a_id").join(sb, ["b_id", "hmod"])
              .groupBy("a_id", "b_id").agg(F.count("*").alias("inter")))
     za = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
     zb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
@@ -188,26 +231,19 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- DuckDB oracles for the MinHash/cluster path --------------------------
-# Exact replicas of the Spark plan in SQL: same shingles, same seeded md5
-# minhash family, same banding, same candidate verification. Generated
-# programmatically so the permutation/band constants stay single-sourced.
-
-_SHINGLE_CTES = r"""
-toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
-  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
-sh AS (
-  SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
-         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-  FROM toks),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
-"""
+# Exact replicas of the Spark plan in SQL: same hashed shingles, same
+# universal-hash permutation family, same banding, same candidate
+# verification. Generated programmatically so every constant stays
+# single-sourced with the Spark side.
 
 
 def _minhash_pair_ctes() -> str:
+    p = MINHASH_P
+    c1, c2, c3 = _SHINGLE_COEF
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
     mh_aggs = ",\n         ".join(
-        f"min({_md5h60_sql('shingle', str(k))}) AS mh{k}"
+        "min((hmod * {a} + {b}) % {p}) AS mh{k}".format(
+            a=_perm_consts(k)[0], b=_perm_consts(k)[1], p=p, k=k)
         for k in range(MINHASH_PERMS))
     band_selects = "\n  UNION ALL\n  ".join(
         "SELECT doc_id, {b} AS band, md5({payload}) AS bucket FROM sigs"
@@ -215,7 +251,21 @@ def _minhash_pair_ctes() -> str:
             f"CAST(mh{b * rows_per_band + r} AS VARCHAR)"
             for r in range(rows_per_band)))
         for b in range(MINHASH_BANDS))
-    return f"""{_SHINGLE_CTES},
+    return rf"""toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+th AS (
+  SELECT doc_id,
+         list_transform(t, x ->
+           CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % {p}) AS th
+  FROM toks),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(th) - 2),
+           i -> (th[i] * {c1} % {p} + th[i+1] * {c2} % {p}
+                 + th[i+2] * {c3} % {p}) % {p})) AS hmod
+  FROM th),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 sigs AS (
   SELECT doc_id,
          {mh_aggs}
@@ -230,7 +280,7 @@ inter AS (
   SELECT c.a_id, c.b_id, count(*) AS inter
   FROM cand c
   JOIN sh sa ON sa.doc_id = c.a_id
-  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+  JOIN sh sb ON sb.doc_id = c.b_id AND sb.hmod = sa.hmod
   GROUP BY c.a_id, c.b_id),
 verified AS (
   SELECT a_id, b_id, inter, sa.n_sh + sb.n_sh - inter AS uni
