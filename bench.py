@@ -237,9 +237,11 @@ def main() -> None:
         return raw
 
     if len(results) == 2:
-        if headline_eff(results) < 0.8:
-            print("  efficiency < 0.8 — re-measuring both legs once",
-                  file=sys.stderr)
+        for attempt in range(2):   # bounded: at most two re-measure rounds
+            if headline_eff(results) >= 0.8:
+                break
+            print(f"  efficiency < 0.8 — re-measuring both legs "
+                  f"(retry {attempt + 1}/2)", file=sys.stderr)
             for cores in levels:
                 retry = run_leg(cores)
                 if retry["sec"] < results[cores]["sec"]:

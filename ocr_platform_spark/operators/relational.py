@@ -467,6 +467,10 @@ def r22_catalog_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     asia_supp = supp.join(F.broadcast(asia_nations),
                           supp.s_nationkey == asia_nations.n_nationkey,
                           "left_semi")
+    # .distinct() on the build sides is deliberate: lineitem partkeys
+    # repeat ~30x, so the map-side partial agg shrinks what the semi/anti
+    # join must broadcast/shuffle by that factor — worth one shuffle of
+    # unique keys at any scale
     asia_parts = (li.join(F.broadcast(asia_supp),
                           li.l_suppkey == asia_supp.s_suppkey, "left_semi")
                   .select("l_partkey").distinct())
