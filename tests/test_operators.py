@@ -149,11 +149,18 @@ def test_media_features(spark):
         assert r["format"] == sniff_format(payload)
 
 
-def test_decode_stub_raises():
+def test_decode_dispatch():
+    """PNG payloads really decode (pure-stdlib codec); malformed PNG raises
+    the codec error; formats with no installed codec stay declared stubs."""
+    from ocr_platform_spark.functions.png import PngError, encode_png
     from ocr_platform_spark.operators.multimodal import decode_image
 
+    w, h, ch, px = decode_image(encode_png(2, 2, 3, bytes(range(12))))
+    assert (w, h, ch, px) == (2, 2, 3, bytes(range(12)))
+    with pytest.raises(PngError):
+        decode_image(b"\x89PNG\r\n\x1a\nxxxx")   # malformed PNG
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\nxxxx")
+        decode_image(b"\xff\xd8\xff no jpeg codec here")
 
 
 def test_simhash_vectorized_matches_naive_loop():
