@@ -115,20 +115,41 @@ MEDIA_DECODE_SCHEMA = StructType([
     # per-channel pixel means as exact integer micro-units: (sum*1e6)//n —
     # pure integer math, bit-stable across engines (no float rendering)
     StructField("mean_x1e6", ArrayType(LongType()), True),
+    # real resize: 4x4 nearest-neighbor luminance thumbnail, serialized as
+    # a comma string (integers only — hash-stable everywhere)
+    StructField("thumb4x4", StringType(), True),
     StructField("decode_error", StringType(), True),
 ])
 
+THUMB_SIDE = 4
+
+
+def resize_nearest_luma(w: int, h: int, ch: int, px: bytes,
+                        side: int = THUMB_SIDE) -> list[int]:
+    """Nearest-neighbor downsample to side x side luminance values
+    (integer mean across channels of the sampled pixel) — the S4 'resize'
+    step, real and deterministic."""
+    out = []
+    for gy in range(side):
+        sy = gy * h // side
+        for gx in range(side):
+            sx = gx * w // side
+            base = (sy * w + sx) * ch
+            out.append(sum(px[base:base + ch]) // ch)
+    return out
+
 
 def image_stats(payload: bytes) -> tuple:
-    """(width, height, channels, [per-channel mean_x1e6]) via the real
-    decoder. Pure function of bytes — the fixture-oracle side calls
-    exactly this."""
+    """(width, height, channels, [per-channel mean_x1e6], thumb4x4) via
+    the real decoder. Pure function of bytes — the fixture-oracle side
+    calls exactly this."""
     w, h, ch, px = decode_image(payload)
     n = w * h
     sums = [0] * ch
     for i, b in enumerate(px):
         sums[i % ch] += b
-    return w, h, ch, [s * 10 ** 6 // n for s in sums]
+    thumb = ",".join(str(v) for v in resize_nearest_luma(w, h, ch, px))
+    return w, h, ch, [s * 10 ** 6 // n for s in sums], thumb
 
 
 def _decode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -137,10 +158,10 @@ def _decode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out = []
         for url, payload in zip(pdf["url"], pdf["media"]):
             try:
-                w, h, ch, means = image_stats(bytes(payload or b""))
-                out.append((url, w, h, ch, means, None))
+                w, h, ch, means, thumb = image_stats(bytes(payload or b""))
+                out.append((url, w, h, ch, means, thumb, None))
             except Exception as e:  # never-drop: decode failures are rows
-                out.append((url, None, None, None, None,
+                out.append((url, None, None, None, None, None,
                             f"{type(e).__name__}: {e}"))
         yield pd.DataFrame(out, columns=cols)
 

@@ -59,7 +59,7 @@ def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "width", "height", "channels",
         *[F.try_element_at("mean_x1e6", F.lit(k + 1)).alias(f"mean{k}_x1e6")
           for k in range(4)],
-        "decode_error")
+        "thumb4x4", "decode_error")
 
 
 def all_entries() -> dict[str, tuple[Callable, str | None]]:

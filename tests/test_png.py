@@ -112,10 +112,12 @@ class TestGenMedia:
         ok = err = 0
         for r in a:
             try:
-                w, h, ch, means = image_stats(r["media"])
+                w, h, ch, means, thumb = image_stats(r["media"])
                 assert 16 <= w <= 32 and 12 <= h <= 24
                 assert len(means) == ch
                 assert all(0 <= m <= 255 * 10 ** 6 for m in means)
+                vals = [int(v) for v in thumb.split(",")]
+                assert len(vals) == 16 and all(0 <= v <= 255 for v in vals)
                 ok += 1
             except Exception:
                 err += 1

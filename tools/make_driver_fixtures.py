@@ -139,12 +139,12 @@ def mm_decode() -> None:
     for i in range(MM_DOCS):
         d = gen_media(i, seed=SEED)
         try:
-            w, h, ch, means = image_stats(d["media"])
+            w, h, ch, means, thumb = image_stats(d["media"])
             means = means + [None] * (4 - len(means))
-            rows.append((d["url"], w, h, ch, *means, None))
+            rows.append((d["url"], w, h, ch, *means, thumb, None))
         except Exception as e:
             rows.append((d["url"], None, None, None,
-                         None, None, None, None,
+                         None, None, None, None, None,
                          f"{type(e).__name__}: {e}"))
     cols = list(zip(*rows))
     _write("mm_decode.parquet", pa.table({
@@ -156,7 +156,8 @@ def mm_decode() -> None:
         "mean1_x1e6": pa.array(cols[5], pa.int64()),
         "mean2_x1e6": pa.array(cols[6], pa.int64()),
         "mean3_x1e6": pa.array(cols[7], pa.int64()),
-        "decode_error": pa.array(cols[8], pa.string()),
+        "thumb4x4": pa.array(cols[8], pa.string()),
+        "decode_error": pa.array(cols[9], pa.string()),
     }))
 
 
