@@ -257,6 +257,52 @@ SELECT doc_id, unnest(fps) AS fp FROM w
 """
 
 
+# --- stratified sampling + split assignment (SQL-expressible) -------------
+# The corpus-mixing step of a pretraining pipeline: per-stratum (language)
+# keep-rates and a deterministic train/val/test assignment, both driven by
+# an md5 hash-coin on the document key — reproducible on any engine, no
+# RNG state, stable under re-runs and resume (the same property the
+# extraction bucket hash relies on).
+SAMPLE_RATES_X10K = {"en": 5000, "zh": 2500}   # other langs: 1000
+_SPLIT_VAL_X10K = 500      # 5% val
+_SPLIT_TEST_X10K = 1000    # next 5% test
+
+
+def ta_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    coin = F.conv(F.substring(F.md5(F.encode(
+        F.concat_ws(":", F.lit("mix"), F.col("doc_id").cast("string")),
+        "UTF-8")), 1, 15), 16, 10).cast("long") % 10000
+    rate = F.when(F.col("lang") == "en", SAMPLE_RATES_X10K["en"]) \
+        .when(F.col("lang") == "zh", SAMPLE_RATES_X10K["zh"]) \
+        .otherwise(1000)
+    split = (F.when(coin < _SPLIT_VAL_X10K, "val")
+             .when(coin < _SPLIT_TEST_X10K, "test")
+             .otherwise("train"))
+    return (docs.select("doc_id", "lang", coin.alias("coin_x10k"),
+                        rate.alias("rate_x10k"))
+            .filter(F.col("coin_x10k") < F.col("rate_x10k"))
+            .select("doc_id", "lang", "coin_x10k",
+                    split.alias("split")))
+
+
+TA_SAMPLE_SQL = f"""
+WITH coined AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 10000 AS coin_x10k,
+         CASE WHEN lang = 'en' THEN {SAMPLE_RATES_X10K['en']}
+              WHEN lang = 'zh' THEN {SAMPLE_RATES_X10K['zh']}
+              ELSE 1000 END AS rate_x10k
+  FROM documents)
+SELECT doc_id, lang, coin_x10k,
+       CASE WHEN coin_x10k < {_SPLIT_VAL_X10K} THEN 'val'
+            WHEN coin_x10k < {_SPLIT_TEST_X10K} THEN 'test'
+            ELSE 'train' END AS split
+FROM coined WHERE coin_x10k < rate_x10k
+"""
+
+
 # --- language ID (pandas UDF; rows-only driver check) ---------------------
 
 # Unicode script ranges + per-language stopword/bigram markers. Script wins
@@ -328,6 +374,7 @@ QUERIES: dict = {
     "ta_fingerprint": (ta_fingerprint, TA_FINGERPRINT_SQL),
     "ta_bpe_tokens": (ta_bpe_tokens, TA_BPE_SQL),
     "ta_winnow_fp": (ta_winnow_fp, TA_WINNOW_SQL),
+    "ta_sample_split": (ta_sample_split, TA_SAMPLE_SQL),
     "ta_langid_pages": (
         ta_langid_pages,
         _fixture_sql("langid_pages.parquet", "url, lang, lang_detected")),
