@@ -59,7 +59,8 @@ def _q_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw extraction output (non-SQL-expressible — rows-only check)."""
+    """Raw extraction output, oracled row-for-row against the staged
+    pure-Python goldens (tests/fixtures/oracle/flagship_pages.parquet)."""
     return _extracted(spark).select(
         "url", "lang", "page_number", "total_words", "failed_stage",
         "blocks_kept", "blocks_dropped")

@@ -310,7 +310,7 @@ SELECT node AS doc_id,
 FROM reach GROUP BY node""")
 
 
-# --- SimHash (pandas UDF signature + banded pairing; rows-only) -----------
+# --- SimHash (pandas UDF signature + banded pairing; SQL-oracled) ---------
 # integer bit j of int.from_bytes(d8, "big") lives at byte (7 - j//8),
 # within-byte LSB position j%8 → unpackbits(bitorder="little") column map:
 _SIMHASH_COLS = [(7 - j // 8) * 8 + (j % 8) for j in range(64)]

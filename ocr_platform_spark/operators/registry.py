@@ -5,8 +5,8 @@ semantics are not SQL-expressible but ARE deterministically recomputable in
 pure Python get a fixture-parquet oracle: tools/make_driver_fixtures.py
 stages the pure-Python oracle's output as parquet under
 tests/fixtures/oracle/ and the DuckDB side simply ``read_parquet``s it —
-an independent recomputation, not an echo of the Spark result. Entries
-whose oracle is None remain rows-only (non-deterministic ML fits).
+an independent recomputation, not an echo of the Spark result. Every
+entry carries an oracle (enforced by tests/test_registry.py).
 """
 
 from __future__ import annotations

@@ -3,7 +3,8 @@ testdata tables, each paired with its DuckDB oracle.
 
 Python-only semantics (F1 Unicode classes, F2 NFD, F7 fuzzy score) run as
 Arrow-batched pandas UDFs; everything else is JVM-side column math. Where a
-DuckDB equivalent exists it is asserted; F7 has no SQL equivalent → rows-only.
+DuckDB equivalent exists it is asserted; F7 (no SQL equivalent) is
+fixture-oracled against the pure-Python scorer.
 """
 
 from __future__ import annotations

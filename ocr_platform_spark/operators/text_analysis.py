@@ -3,8 +3,8 @@ quality scoring, language ID, document fingerprinting.
 
 JVM-side built-ins wherever expressible (token/char stats, md5 fingerprint
 — all hashable against DuckDB); language ID is a script/stopword n-gram
-heuristic in an Arrow-batched pandas UDF (rows-only driver check, exactness
-covered by pytest against datagen's ground-truth ``lang``).
+heuristic in an Arrow-batched pandas UDF (fixture-parquet oracle from the
+pure-Python path, plus pytest vs datagen's ground-truth ``lang``).
 
 Ratio metrics are emitted as ``floor(10000 * a / b)`` integers — floor of a
 double division is bit-stable across engines, unlike ROUND whose half-way
@@ -303,7 +303,7 @@ FROM coined WHERE coin_x10k < rate_x10k
 """
 
 
-# --- language ID (pandas UDF; rows-only driver check) ---------------------
+# --- language ID (pandas UDF; fixture-parquet oracle) ---------------------
 
 # Unicode script ranges + per-language stopword/bigram markers. Script wins
 # when decisive (Arabic vs Perso-Arabic letters, CJK, ...); Latin-script
