@@ -144,23 +144,31 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query in ANY of LSH_TABLES tables; exact cosine re-rank within
     candidates. Recall vs ann_brute_topk is asserted in pytest; the full
     bucket→re-rank pipeline is reproduced in SQL for the driver oracle."""
+    from pyspark import StorageLevel
+
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    # one pass: all LSH_TABLES bucket ids per row via posexplode (vs
-    # LSH_TABLES unioned scans, each re-folding the hyperplane dot products)
-    banded = emb.select(
-        "vec_id", "v",
+    # one pass: all LSH_TABLES bucket ids per row via posexplode; persisted
+    # WITHOUT the vectors (ids+buckets only) so (a) the 48 hyperplane dots
+    # run once, not once per join side, and (b) the candidate join +
+    # distinct move bare ids — vectors are fetched afterwards for just the
+    # deduplicated candidate set (same shape as dd_embedding_lsh)
+    banded = (emb.select(
+        "vec_id",
         F.posexplode(bucket_array("v", LSH_TABLES, LSH_PLANES))
         .alias("tbl", "bucket"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     q = (banded.filter(F.col("vec_id") < N_QUERIES)
-         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("vq"),
-                 "tbl", "bucket"))
-    n = banded.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("v").alias("vn"), "tbl", "bucket")
+         .select(F.col("vec_id").alias("query_id"), "tbl", "bucket"))
+    n = banded.select(F.col("vec_id").alias("neighbor_id"), "tbl", "bucket")
     cand = (q.join(n, ["tbl", "bucket"])
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", "vq", "vn")
-            .dropDuplicates(["query_id", "neighbor_id"]))
+            .select("query_id", "neighbor_id")
+            .distinct())
+    vq = emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("vq"))
+    vn = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("v").alias("vn"))
+    cand = cand.join(vq, "query_id").join(vn, "neighbor_id")
     cos = _cos_expr("vq", "vn")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (cand.withColumn("cos", cos)
