@@ -89,9 +89,10 @@ def oracle_sql() -> dict[str, str]:
             "url, lang, page_number, total_words, failed_stage, "
             "blocks_kept, blocks_dropped"),
         "extract_rollup": (
-            "SELECT lang, count(*) AS n_docs, SUM(total_words) AS sum_words, "
-            "SUM(CASE WHEN failed_stage IS NOT NULL THEN 1 ELSE 0 END) "
-            "AS n_failed FROM read_parquet('"
+            "SELECT lang, count(*) AS n_docs, "
+            "CAST(SUM(total_words) AS BIGINT) AS sum_words, "
+            "CAST(SUM(CASE WHEN failed_stage IS NOT NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_failed FROM read_parquet('"
             f"{registry.ORACLE_FIXTURES / 'flagship_pages.parquet'}') "
             "GROUP BY lang"),
     }

@@ -163,7 +163,7 @@ def r08_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 R08_SQL = """
 SELECT o_orderkey, o_custkey, count(*) AS n_lines,
-       SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_x100
+       CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_x100
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE o_orderstatus = 'F'
 GROUP BY o_orderkey, o_custkey
@@ -182,7 +182,7 @@ def r09_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 R09_SQL = """
 SELECT p_brand, count(*) AS n_items,
-       SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """
@@ -218,10 +218,10 @@ def r11_sum_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 R11_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_x100,
-       SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS sum_disc_x10k,
+       CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_x100,
+       CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_x10k,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -315,7 +315,7 @@ def r17_derived_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 R17_SQL = """
 SELECT o_custkey, count(*) AS n_orders,
-       SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS lifetime_cents
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS lifetime_cents
 FROM orders GROUP BY o_custkey
 """
 
