@@ -18,6 +18,10 @@ import zlib
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 6: 4}
+# poison-pill guard: a hostile IHDR can declare absurd dimensions and a
+# tiny IDAT can decompress to gigabytes (zip bomb). A never-drop pipeline
+# must fail such rows into the error envelope, not OOM the executor.
+MAX_PIXELS = 64 << 20   # 64 Mpx ≈ 256 MiB of RGBA
 
 
 class PngError(ValueError):
@@ -63,12 +67,22 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             break
     if width is None or not idat:
         raise PngError("missing IHDR/IDAT")
+    if width == 0 or height == 0:
+        raise PngError("zero-dimension image")
+    if width * height > MAX_PIXELS:
+        raise PngError(f"image exceeds {MAX_PIXELS} pixel cap")
+    stride = width * channels
+    expected = (stride + 1) * height
     try:
-        raw = zlib.decompress(bytes(idat))
+        # cap decompression at the size IHDR promises — a bomb that
+        # inflates past it errors instead of allocating unboundedly
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected)
+        if d.decompress(b"", 1) or not d.eof and d.unconsumed_tail:
+            raise PngError("IDAT decompresses past declared dimensions")
     except zlib.error as e:
         raise PngError(f"bad IDAT stream: {e}") from None
-    stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    if len(raw) != expected:
         raise PngError("IDAT length does not match dimensions")
     out = bytearray(stride * height)
     prev = bytes(stride)

@@ -143,13 +143,16 @@ def image_stats(payload: bytes) -> tuple:
     """(width, height, channels, [per-channel mean_x1e6], thumb4x4) via
     the real decoder. Pure function of bytes — the fixture-oracle side
     calls exactly this."""
+    import numpy as np
+
     w, h, ch, px = decode_image(payload)
     n = w * h
-    sums = [0] * ch
-    for i, b in enumerate(px):
-        sums[i % ch] += b
+    # integer channel sums, vectorized (identical values to a Python loop
+    # — uint8 → int64 accumulation is exact)
+    sums = np.frombuffer(px, dtype=np.uint8).reshape(-1, ch).sum(
+        axis=0, dtype=np.int64)
     thumb = ",".join(str(v) for v in resize_nearest_luma(w, h, ch, px))
-    return w, h, ch, [s * 10 ** 6 // n for s in sums], thumb
+    return w, h, ch, [int(s) * 10 ** 6 // n for s in sums], thumb
 
 
 def _decode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -100,6 +100,32 @@ class TestErrors:
         with pytest.raises(PngError):
             encode_png(4, 4, 3, b"\x00" * 10)
 
+    def test_zip_bomb_rejected(self):
+        """IDAT inflating past the IHDR-declared size must error, not
+        allocate unboundedly (poison-pill guard)."""
+        good = encode_png(2, 2, 1, b"\x00" * 4)
+        # splice an IDAT that decompresses to 1 MiB into a 2x2 header
+        bomb_raw = zlib.compress(b"\x00" * (1 << 20))
+
+        def chunk(ctype, data):
+            crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+            return struct.pack(">I", len(data)) + ctype + data + \
+                struct.pack(">I", crc)
+
+        ihdr_end = 8 + 8 + 13 + 4
+        bombed = (good[:ihdr_end] + chunk(b"IDAT", bomb_raw)
+                  + chunk(b"IEND", b""))
+        with pytest.raises(PngError):
+            decode_png(bombed)
+
+    def test_absurd_dimensions_rejected(self):
+        bad = bytearray(encode_png(2, 2, 1, b"\x00" * 4))
+        # overwrite IHDR width/height with 2^30 each (offset 16 = after
+        # signature + IHDR length/type)
+        bad[16:24] = struct.pack(">II", 1 << 30, 1 << 30)
+        with pytest.raises(PngError, match="pixel cap"):
+            decode_png(bytes(bad))
+
 
 class TestGenMedia:
     def test_deterministic_and_mixed(self):
