@@ -232,6 +232,28 @@ def test_ann_ivf_matches_python_replica(spark):
     assert spark_rows == set(ivf_topk_python(vecs))
 
 
+def test_duplicate_clusters_warns_on_nonconvergence(spark):
+    """A chain whose diameter exceeds max_iter must WARN (partial labels
+    would otherwise silently produce wrong keep decisions)."""
+    import warnings
+
+    from ocr_platform_spark.operators.dedup import duplicate_clusters
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "a_id long, b_id long")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        duplicate_clusters(ids, chain, max_iter=1).collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+    # and with enough rounds the same chain resolves cleanly, no warning
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = duplicate_clusters(ids, chain, max_iter=10).collect()
+    assert not any("did not converge" in str(w.message) for w in caught)
+    assert {r["cluster_id"] for r in out} == {0}
+
+
 def test_duplicate_clusters_match_union_find(spark):
     """Label-propagation connected components must equal a pure-Python
     union-find over the same pair set (incl. transitive chains)."""
