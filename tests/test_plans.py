@@ -99,6 +99,17 @@ def test_pagination_no_global_window_sort(spark):
     assert "Window" not in scan_side, p
 
 
+def test_corrections_overlay_broadcasts_corrections(spark):
+    """R21's read path joins the big extracted table with the small
+    human-corrections table: the corrections side must broadcast — at
+    corpus scale shuffling the extracted side on the join key for a
+    tiny overlay would dominate the query."""
+    df = relational.r21_corrections_overlay(spark, SF_DIR)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p and "LeftOuter" in p
+    assert "SortMergeJoin" not in p
+
+
 def test_catalog_page_broadcasts_all_dims(spark):
     """R22 composes filter + semi/anti-joins + count + paginate + pivot:
     every dimension side must broadcast (the fact scans never shuffle on a
