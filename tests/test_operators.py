@@ -232,6 +232,30 @@ def test_ann_ivf_matches_python_replica(spark):
     assert spark_rows == set(ivf_topk_python(vecs))
 
 
+def test_winnowing_guarantee():
+    """The winnowing contract (Schleimer et al. 2003): two documents
+    sharing a substring of length >= w + k - 1 (after canonicalization)
+    MUST share at least one fingerprint. Verified on the SQL oracle side
+    (the Spark side is driver-verified equal to it)."""
+    import duckdb
+
+    from ocr_platform_spark.operators.text_analysis import (
+        TA_WINNOW_SQL, WINNOW_K, WINNOW_W)
+
+    shared = "x" .join(f"common{i}" for i in range(12))   # > w+k-1 chars
+    assert len(shared) >= WINNOW_K + WINNOW_W - 1
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents AS SELECT * FROM (VALUES "
+            f"(1, 'left padding words {shared} more on this side'), "
+            f"(2, 'totally different prefix {shared} other suffix here')"
+            ") AS t(doc_id, text)")
+    rows = con.sql(TA_WINNOW_SQL).fetchall()
+    fps = {}
+    for doc_id, fp in rows:
+        fps.setdefault(doc_id, set()).add(fp)
+    assert fps[1] & fps[2], "shared substring must share a fingerprint"
+
+
 def test_duplicate_clusters_warns_on_nonconvergence(spark):
     """A chain whose diameter exceeds max_iter must WARN (partial labels
     would otherwise silently produce wrong keep decisions)."""

@@ -127,6 +127,21 @@ class TestErrors:
             decode_png(bytes(bad))
 
 
+class TestHypothesisRoundTrip:
+    def test_random_images_round_trip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.integers(1, 9), st.integers(1, 9),
+               st.sampled_from([1, 3, 4]), st.randoms(use_true_random=False))
+        def check(w, h, ch, rng):
+            px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+            assert decode_png(encode_png(w, h, ch, px)) == (w, h, ch, px)
+
+        check()
+
+
 class TestGenMedia:
     def test_deterministic_and_mixed(self):
         from ocr_platform_spark.datagen import gen_media
