@@ -19,9 +19,13 @@ import zlib
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 6: 4}
 # poison-pill guard: a hostile IHDR can declare absurd dimensions and a
-# tiny IDAT can decompress to gigabytes (zip bomb). A never-drop pipeline
-# must fail such rows into the error envelope, not OOM the executor.
-MAX_PIXELS = 64 << 20   # 64 Mpx ≈ 256 MiB of RGBA
+# tiny IDAT can decompress to gigabytes (zip bomb), and the pure-Python
+# per-byte defilter loop (Sub/Avg/Paeth) costs ~minutes per 100 Mpx — so a
+# max-size filtered PNG would stall one executor core in the never-drop
+# pipeline. Thumbnails/channel stats don't need big images: cap LOW and
+# fail oversized rows into the error envelope (cap × per-byte cost bounds
+# worst-case single-row CPU to well under a second).
+MAX_PIXELS = 4 << 20   # 4 Mpx ≈ 16 MiB of RGBA
 
 
 class PngError(ValueError):
@@ -80,10 +84,14 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         raw = d.decompress(bytes(idat), expected)
         if d.decompress(b"", 1) or not d.eof and d.unconsumed_tail:
             raise PngError("IDAT decompresses past declared dimensions")
-    except zlib.error as e:
-        raise PngError(f"bad IDAT stream: {e}") from None
+    except zlib.error:
+        # fixed message: embedding zlib's exception text would make the
+        # oracled decode_error column depend on the zlib build
+        raise PngError("bad IDAT stream") from None
     if len(raw) != expected:
         raise PngError("IDAT length does not match dimensions")
+    import numpy as np
+
     out = bytearray(stride * height)
     prev = bytes(stride)
     for y in range(height):
@@ -93,9 +101,9 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         if ftype == 1:    # Sub
             for i in range(channels, stride):
                 row[i] = (row[i] + row[i - channels]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 2:  # Up — no intra-row dependency: whole-row numpy
+            row = bytearray((np.frombuffer(bytes(row), np.uint8)
+                             + np.frombuffer(prev, np.uint8)).tobytes())
         elif ftype == 3:  # Average
             for i in range(stride):
                 left = row[i - channels] if i >= channels else 0

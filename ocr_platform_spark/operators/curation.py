@@ -28,11 +28,10 @@ from ocr_platform_spark.operators.text_analysis import (
     TA_GOPHER_SQL, TA_SAMPLE_SQL, ta_gopher_quality, ta_sample_split)
 
 
-# Quality gate = the four content-shape Gopher checks. The fifth
-# (stopword presence) is vocabulary-dependent and the synthetic fixture's
-# word banks contain too few canonical stopwords for it to discriminate
-# (it zeroes the corpus); on real web text the full gopher_pass applies.
-_QUALITY_GATE = "wc_ok AND mwl_ok AND sym_ok AND alpha_ok"
+# Quality gate = the FULL Gopher rule set (content-shape checks, the
+# language-aware stopword guard, and the lines-based bullet/ellipsis
+# rules) — gopher_pass from ta_gopher_quality, nothing carved out.
+_QUALITY_GATE = "gopher_pass"
 
 
 def cx_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -63,8 +63,28 @@ def _shingles(docs: DataFrame) -> DataFrame:
 
 
 # --- brute-force n-gram Jaccard (the verifiable oracle path) --------------
-def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+# The two all-pairs operators below are ORACLE paths: they exist so the
+# probabilistic scale paths (dd_minhash_lsh, dd_embedding_lsh) can be
+# verified against exact answers at small scale. Quadratic plans must never
+# silently run corpus-wide, so both hard-fail above this row cap (a cheap
+# metadata count; override only for a deliberately larger oracle run).
+ORACLE_MAX_ROWS = 50_000
+
+
+def _guard_oracle_scale(df: DataFrame, op: str,
+                        max_rows: int = ORACLE_MAX_ROWS) -> None:
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{op} is a quadratic all-pairs ORACLE path, refused on "
+            f"{n} rows (cap {max_rows}). Use the LSH-bucketed scale path "
+            "instead, or raise max_rows for a deliberate oracle run.")
+
+
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str,
+                     max_rows: int = ORACLE_MAX_ROWS) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    _guard_oracle_scale(docs, "dd_ngram_jaccard", max_rows)
     sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -412,8 +432,10 @@ WITH dt AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
   FROM documents),
 th AS (
+  -- tok <> '' mirrors Python str.split(): splitting ''/whitespace-only
+  -- text yields NO tokens (regexp_split_to_array yields one '' instead)
   SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS th
-  FROM dt),
+  FROM dt WHERE tok <> ''),
 bits AS (
   SELECT doc_id, count(*) AS n,
          {bit_sums}
@@ -421,7 +443,11 @@ bits AS (
 usigs AS (
   SELECT doc_id,
          ({sig_terms}) AS usig
-  FROM bits),
+  FROM bits
+  UNION ALL
+  -- token-less docs: simhash64 returns signature 0 (never absent)
+  SELECT doc_id, 0::UBIGINT AS usig FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM th)),
 sigs AS (
   SELECT doc_id,
          CAST(CASE WHEN usig >= {1 << 63}::UBIGINT
@@ -455,9 +481,11 @@ COSINE_NEAR_DUP = 0.35
 from ocr_platform_spark.operators.similarity import _cos_expr  # noqa: E402
 
 
-def dd_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dd_embedding_near(spark: SparkSession, sf_dir: str,
+                      max_rows: int = ORACLE_MAX_ROWS) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    _guard_oracle_scale(emb, "dd_embedding_near", max_rows)
     a = emb.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
     b = emb.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
     pairs = a.join(b, F.col("a_id") < F.col("b_id"))

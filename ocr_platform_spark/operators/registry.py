@@ -26,6 +26,25 @@ def fixture_sql(parquet_name: str, select: str = "*") -> str:
             f"read_parquet('{ORACLE_FIXTURES / parquet_name}')")
 
 
+# Fixtures staged FROM testdata tables (vs from the scale-free synthetic
+# generators) are only valid at the scale they were generated from. The
+# scale is encoded in the fixture filename (e.g. ann_ivf_topk.sf0.01
+# .parquet) and the query fn hard-fails on any other sf_dir — otherwise
+# running the gate at another scale would report false mismatches.
+PINNED_SF = "sf0.01"
+
+
+def assert_fixture_scale(sf_dir: str, query: str,
+                         pinned: str = PINNED_SF) -> None:
+    actual = Path(sf_dir).name
+    if actual != pinned:
+        raise ValueError(
+            f"{query}'s oracle fixture is staged from {pinned} tables but "
+            f"the gate is running at {actual}; regenerate the fixture for "
+            "that scale (tools/make_driver_fixtures.py) or run at "
+            f"{pinned}")
+
+
 def _modules():
     from ocr_platform_spark.operators import (
         curation, dedup, relational, scalar_queries, similarity,

@@ -148,6 +148,9 @@ FROM built
 # pure-Python scorer's top-20 over the fixed sf0.01 part table, staged as
 # parquet by tools/make_driver_fixtures.py.
 def f07_command_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_platform_spark.operators.registry import assert_fixture_scale
+
+    assert_fixture_scale(sf_dir, "f07_command_score_topk")
     part = load(spark, sf_dir, "part")
     scored = part.select(
         "p_partkey", "p_name",
@@ -275,7 +278,8 @@ QUERIES: dict = {
     "f06_publishing": (f06_publishing, F06_SQL),
     "f07_command_score_topk": (
         f07_command_score_topk,
-        _fixture_sql("command_score_topk.parquet", "p_partkey, p_name")),
+        _fixture_sql("command_score_topk.sf0.01.parquet",
+                     "p_partkey, p_name")),
     "f10_string_norm": (f10_string_norm, F10_SQL),
     "f11_star_strip": (f11_star_strip, F11_SQL),
     "f12_json_parse": (f12_json_parse, F12_SQL),

@@ -264,7 +264,8 @@ def ivf_fit(emb: DataFrame) -> list[list[float]]:
     return centers
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_topk(spark: SparkSession, sf_dir: str, *,
+                 enforce_fixture_pin: bool = True) -> DataFrame:
     """IVF: a coarse k-means quantizer partitions the corpus into
     IVF_CLUSTERS cells; each query exactly-ranks only vectors in its
     IVF_PROBES nearest cells.
@@ -276,6 +277,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus. Fully deterministic (see ivf_fit); recall vs
     ann_brute_topk asserted in pytest, exact output value-hash verified
     against the pure-Python replica fixture."""
+    # The Spark plan is scale-free; the pin only protects the driver gate,
+    # whose ORACLE for this query is a parquet fixture staged from sf0.01
+    # tables. Direct callers (recall tests, ad-hoc runs) pass
+    # enforce_fixture_pin=False.
+    if enforce_fixture_pin:
+        from ocr_platform_spark.operators.registry import assert_fixture_scale
+
+        assert_fixture_scale(sf_dir, "ann_ivf_topk")
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     centers = ivf_fit(emb)
@@ -369,5 +378,6 @@ QUERIES: dict = {
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (
         ann_ivf_topk,
-        _fixture_sql("ann_ivf_topk.parquet", "query_id, neighbor_id, rank")),
+        _fixture_sql("ann_ivf_topk.sf0.01.parquet",
+                     "query_id, neighbor_id, rank")),
 }

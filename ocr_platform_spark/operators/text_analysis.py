@@ -82,6 +82,17 @@ FROM documents
 """
 
 
+# Gopher's stop-word rule is language-specific; the published English list
+# is {the, be, to, of, and, that, have, with} — extended here with 'a' plus
+# Arabic/Turkish function words so the rule discriminates on every corpus
+# language instead of auto-failing non-English docs.
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in",
+                    "من", "في", "على", "ve", "bir")
+# bullet glyphs for the lines-based rule (Gopher §A1.1: <=90% of lines may
+# start with a bullet; <=30% may end with an ellipsis)
+_BULLETS = ("•", "-", "*", "●")
+
+
 def ta_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The published Gopher quality rules (Rae et al. 2021, §A1.1) as pure
     JVM column math — the standard pretraining-corpus document filter:
@@ -91,12 +102,13 @@ def ta_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     - symbol-to-word ratio ('#' or '…') <= 0.1
     - fraction of words with >=1 alphabetic char >= 0.80
     - >= 2 distinct common stopwords present ("harmful boilerplate" guard)
+    - <= 90% of lines start with a bullet glyph
+    - <= 30% of lines end with an ellipsis
 
-    (The lines-based rules — bullet/ellipsis line fractions — need line
-    structure the flat `documents.text` fixture lacks; at extraction time
-    they apply per block instead, which is what the block classifier's
-    density cuts already cover.) Every ratio is floor(10000*x) integer math
-    so the DuckDB value-hash is bit-stable.
+    The line rules split on '\\n' (a single-line doc is one line — both
+    trivially pass, as Gopher intends for prose); pytest pins multi-line
+    bullet/ellipsis fixtures against DuckDB. Every ratio is floor(10000*x)
+    integer math so the DuckDB value-hash is bit-stable.
     """
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
@@ -110,14 +122,23 @@ def ta_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha_ratio_x10k = F.floor(10000.0 * n_alpha_words / n_tok)
     stop_distinct = F.size(F.array_intersect(
         F.array_distinct(toks),
-        F.array(*[F.lit(w) for w in ("the", "and", "of", "to", "in",
-                                     "من", "في", "على", "ve", "bir")])))
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
+    lines = F.split(F.col("text"), r"\n")
+    n_lines = F.size(lines)
+    bullet_set = F.array(*[F.lit(b) for b in _BULLETS])
+    n_bullet = F.size(F.filter(
+        lines, lambda l: F.array_contains(
+            bullet_set, F.substring(F.trim(l), 1, 1))))
+    n_ellipsis = F.size(F.filter(
+        lines, lambda l: F.trim(l).endswith("…") | F.trim(l).endswith("...")))
     checks = {
         "wc_ok": (n_tok >= 50) & (n_tok <= 100000),
         "mwl_ok": (mean_wl_x10k >= 30000) & (mean_wl_x10k <= 100000),
         "sym_ok": sym_ratio_x10k <= 1000,
         "alpha_ok": alpha_ratio_x10k >= 8000,
         "stop_ok": stop_distinct >= 2,
+        "bullet_ok": F.floor(10000.0 * n_bullet / n_lines) <= 9000,
+        "ellipsis_ok": F.floor(10000.0 * n_ellipsis / n_lines) <= 3000,
     }
     passed = None
     for c in checks.values():
@@ -129,13 +150,17 @@ def ta_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         passed.alias("gopher_pass"))
 
 
-TA_GOPHER_SQL = r"""
+_SQL_STOPLIST = "[" + ",".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+_SQL_BULLETS = "[" + ",".join(f"'{b}'" for b in _BULLETS) + "]"
+
+TA_GOPHER_SQL = rf"""
 WITH t AS (
   SELECT doc_id,
          regexp_split_to_array(trim(text), '\s+') AS toks,
          len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
          length(regexp_replace(text, '\s+', '', 'g')) AS n_chars,
          length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS n_sym,
+         regexp_split_to_array(text, '\n') AS lines,
          text
   FROM documents),
 m AS (
@@ -145,7 +170,13 @@ m AS (
          floor(10000.0 * len(list_filter(toks,
                x -> regexp_matches(x, '[A-Za-z؀-ۿ]'))) / n_tok) AS alphar,
          len(list_intersect(list_distinct(toks),
-             ['the','and','of','to','in','من','في','على','ve','bir'])) AS stopd
+             {_SQL_STOPLIST})) AS stopd,
+         floor(10000.0 * len(list_filter(lines,
+               l -> list_contains({_SQL_BULLETS}, substr(trim(l), 1, 1))))
+               / len(lines)) AS bulletr,
+         floor(10000.0 * len(list_filter(lines,
+               l -> ends_with(trim(l), '…') OR ends_with(trim(l), '...')))
+               / len(lines)) AS ellipsisr
   FROM t)
 SELECT doc_id, n_tok AS n_words,
        CAST(mwl AS BIGINT) AS mean_word_len_x10k,
@@ -154,8 +185,11 @@ SELECT doc_id, n_tok AS n_words,
        symr <= 1000 AS sym_ok,
        alphar >= 8000 AS alpha_ok,
        stopd >= 2 AS stop_ok,
+       bulletr <= 9000 AS bullet_ok,
+       ellipsisr <= 3000 AS ellipsis_ok,
        (n_tok >= 50 AND n_tok <= 100000) AND (mwl >= 30000 AND mwl <= 100000)
-       AND symr <= 1000 AND alphar >= 8000 AND stopd >= 2 AS gopher_pass
+       AND symr <= 1000 AND alphar >= 8000 AND stopd >= 2
+       AND bulletr <= 9000 AND ellipsisr <= 3000 AS gopher_pass
 FROM m
 """
 

@@ -158,10 +158,15 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame,
     todo = with_bucket(pages, n_buckets)
     if resume:
         todo = pending_buckets(spark, todo, output_path)
-    if todo.limit(1).count() > 0:
+    # one url-column-pruned scan yields BOTH the "anything pending?" answer
+    # and the manifest scope (bucket cardinality <= n_buckets, tiny on the
+    # driver even at the 2^16 cluster sizing) — no separate probe job
+    todo_buckets = [r["bucket"]
+                    for r in todo.select("bucket").distinct().collect()]
+    if todo_buckets:
         extracted = extract_pages(todo, n_buckets, salt)
-        # bucket list of this run = hash of urls only — computed without
-        # running the (expensive) extraction a second time
-        write_with_manifest(extracted, output_path, run_id,
-                            processed_buckets=todo.select("bucket"))
+        write_with_manifest(
+            extracted, output_path, run_id,
+            processed_buckets=spark.createDataFrame(
+                [(b,) for b in todo_buckets], "bucket int"))
     return spark.read.parquet(output_path)

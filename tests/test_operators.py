@@ -203,12 +203,12 @@ def test_ann_ivf_recall(spark):
     exact = {(r["query_id"], r["neighbor_id"])
              for r in ann_brute_topk(spark, sf).collect()}
     approx = {(r["query_id"], r["neighbor_id"])
-              for r in ann_ivf_topk(spark, sf).collect()}
+              for r in ann_ivf_topk(spark, sf, enforce_fixture_pin=False).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"IVF recall {recall:.2f}"
     # determinism: same plan twice → same result set
     again = {(r["query_id"], r["neighbor_id"])
-             for r in ann_ivf_topk(spark, sf).collect()}
+             for r in ann_ivf_topk(spark, sf, enforce_fixture_pin=False).collect()}
     assert approx == again
 
 
@@ -224,7 +224,7 @@ def test_ann_ivf_matches_python_replica(spark):
 
     sf = "/root/testdata/sf0.001"
     spark_rows = {(r["query_id"], r["neighbor_id"], r["rank"])
-                  for r in ann_ivf_topk(spark, sf).collect()}
+                  for r in ann_ivf_topk(spark, sf, enforce_fixture_pin=False).collect()}
     vecs = [(r["vec_id"], list(r["v"])) for r in
             load(spark, sf, "embeddings")
             .select("vec_id", F.col("embedding").cast("array<double>")

@@ -125,7 +125,9 @@ def command_score_topk() -> None:
         ((command_score(name, "red gear"), key, name)
          for key, name in parts),
         key=lambda t: (-t[0], t[1]))[:20]
-    _write("command_score_topk.parquet", pa.table({
+    # .sf0.01. in the name: staged from sf0.01 tables, valid only there
+    # (the query fn asserts the gate's sf_dir matches)
+    _write("command_score_topk.sf0.01.parquet", pa.table({
         "p_partkey": pa.array([k for _, k, _ in scored], pa.int64()),
         "p_name": pa.array([n for _, _, n in scored], pa.string()),
     }))
@@ -172,7 +174,7 @@ def ann_ivf_topk() -> None:
         f"read_parquet('{SF001}/embeddings.parquet') ORDER BY vec_id"
     ).fetchall()]
     rows = ivf_topk_python(vecs)
-    _write("ann_ivf_topk.parquet", pa.table({
+    _write("ann_ivf_topk.sf0.01.parquet", pa.table({
         "query_id": pa.array([q for q, _, _ in rows], pa.int64()),
         "neighbor_id": pa.array([n for _, n, _ in rows], pa.int64()),
         "rank": pa.array([r for _, _, r in rows], pa.int32()),
