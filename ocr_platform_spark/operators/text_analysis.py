@@ -208,34 +208,42 @@ FROM documents
 """
 
 
-# --- BPE-ish regex token count (SQL-expressible) --------------------------
-# The standard subword-ish pre-tokenization shape (letter runs / digit runs
-# / punctuation runs) with an RE2-safe pattern (no lookahead — Java regex
-# and DuckDB RE2 agree on \p{L}/\p{N}/\s for the corpus scripts). This is
-# the "token counting: whitespace + a BPE-ish regex" counter a training
-# pipeline budgets with, next to ta_token_stats' whitespace counter.
-_BPE_PATTERN = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]+"
+# --- BPE token count (merge-table BPE; fixture-parquet oracle) ------------
+# Real byte-pair encoding (functions/bpe.py): the checked-in merge table
+# (functions/bpe_merges.py, trained deterministically by
+# tools/make_bpe_merges.py) is applied in rank order inside an
+# Arrow-batched pandas UDF. Token counts drive corpus-mixing budgets, so
+# the counter is a real subword tokenizer, not a regex approximation
+# (round 2's version). The table ships in the UDF closure (a few KB — no
+# broadcast needed at 100 TB) and the per-distinct-word memo makes the
+# cost per *distinct* word per batch, not per occurrence.
+from pyspark.sql.types import LongType
 
 
-def ta_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+@F.pandas_udf(LongType())
+def bpe_count_udf(text: pd.Series) -> pd.Series:
+    from ocr_platform_spark.functions.bpe import default_tokenizer
+
+    tok = default_tokenizer()   # memo cache lives for the whole batch
+    return text.map(lambda t: tok.count_tokens(t) if t is not None else 0)
+
+
+def ta_bpe_tokens(spark: SparkSession, sf_dir: str, *,
+                  enforce_fixture_pin: bool = True) -> DataFrame:
+    # Scale-free plan; the pin only protects the driver gate, whose oracle
+    # is a fixture staged from sf0.01 (see registry.assert_fixture_scale).
+    if enforce_fixture_pin:
+        from ocr_platform_spark.operators.registry import assert_fixture_scale
+
+        assert_fixture_scale(sf_dir, "ta_bpe_tokens")
     docs = load(spark, sf_dir, "documents")
-    n_bpe = F.regexp_count("text", F.lit(_BPE_PATTERN)).cast("long")
     n_ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    return docs.select(
-        "doc_id", n_bpe.alias("n_bpe_tokens"),
-        F.floor(10000.0 * n_bpe / n_ws).cast("long")
-        .alias("bpe_per_word_x10k"))
-
-
-TA_BPE_SQL = rf"""
-SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
-           AS n_bpe_tokens,
-       CAST(floor(10000.0 * len(regexp_extract_all(text, '{_BPE_PATTERN}'))
-                  / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
-           AS bpe_per_word_x10k
-FROM documents
-"""
+    return (docs.select("doc_id",
+                        bpe_count_udf("text").alias("n_bpe_tokens"),
+                        n_ws.alias("n_ws"))
+            .select("doc_id", "n_bpe_tokens",
+                    F.floor(10000.0 * F.col("n_bpe_tokens") / F.col("n_ws"))
+                    .cast("long").alias("bpe_per_word_x10k")))
 
 
 # --- winnowing fingerprints (rolling-hash doc fingerprinting; SQL) --------
@@ -406,7 +414,8 @@ QUERIES: dict = {
     "ta_quality_flags": (ta_quality_flags, TA_QUALITY_SQL),
     "ta_gopher_quality": (ta_gopher_quality, TA_GOPHER_SQL),
     "ta_fingerprint": (ta_fingerprint, TA_FINGERPRINT_SQL),
-    "ta_bpe_tokens": (ta_bpe_tokens, TA_BPE_SQL),
+    "ta_bpe_tokens": (
+        ta_bpe_tokens, _fixture_sql("ta_bpe_tokens.sf0.01.parquet")),
     "ta_winnow_fp": (ta_winnow_fp, TA_WINNOW_SQL),
     "ta_sample_split": (ta_sample_split, TA_SAMPLE_SQL),
     "ta_langid_pages": (

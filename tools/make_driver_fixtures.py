@@ -163,6 +163,34 @@ def mm_decode() -> None:
     }))
 
 
+def ta_bpe_tokens() -> None:
+    import math
+    import re
+
+    import duckdb
+
+    from ocr_platform_spark.functions.bpe import default_tokenizer
+
+    tok = default_tokenizer()
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{SF001}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    rows = []
+    for doc_id, text in docs:
+        n_bpe = tok.count_tokens(text) if text is not None else 0
+        # mirrors Spark's size(split(trim(text), '\s+')): '' -> [''] -> 1
+        n_ws = len(re.split(r"\s+", (text or "").strip()))
+        rows.append((doc_id, n_bpe,
+                     int(math.floor(10000.0 * n_bpe / n_ws))))
+    _write("ta_bpe_tokens.sf0.01.parquet", pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_bpe_tokens": pa.array([r[1] for r in rows], pa.int64()),
+        "bpe_per_word_x10k": pa.array([r[2] for r in rows], pa.int64()),
+    }))
+
+
 def ann_ivf_topk() -> None:
     import duckdb
 
@@ -187,4 +215,5 @@ if __name__ == "__main__":
     mm_features()
     mm_decode()
     command_score_topk()
+    ta_bpe_tokens()
     ann_ivf_topk()
