@@ -47,10 +47,10 @@ def assert_fixture_scale(sf_dir: str, query: str,
 
 def _modules():
     from ocr_platform_spark.operators import (
-        curation, dedup, relational, scalar_queries, similarity,
-        text_analysis)
-    return (relational, scalar_queries, text_analysis, dedup, similarity,
-            curation)
+        curation, dedup, incremental, relational, scalar_queries,
+        similarity, text_analysis)
+    return (relational, scalar_queries, text_analysis, dedup, incremental,
+            similarity, curation)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
