@@ -174,14 +174,16 @@ def gen_batch(start: int, end: int, seed: int = 42) -> list[dict]:
 
 
 def gen_media(doc_index: int, seed: int = 42) -> dict:
-    """Deterministic media-table row: a small synthetic PNG payload (pure
-    function of (doc_index, seed), like gen_document). Every 13th row is a
-    truncated payload and every 17th a non-PNG magic — the decode error
+    """Deterministic media-table row: a small synthetic PNG or baseline-JPEG
+    payload (pure function of (doc_index, seed), like gen_document). Every
+    3rd row (when 1- or 3-channel) encodes as JPEG — the web's dominant
+    format — the rest as PNG. Every 13th row is truncated and every 17th
+    carries the *other* format's magic over its body — the decode error
     envelope must route those, never drop them."""
+    from ocr_platform_spark.functions.jpeg import encode_jpeg
     from ocr_platform_spark.functions.png import encode_png
 
     rng = random.Random((seed << 32) ^ (doc_index * 2654435761))
-    url = f"https://img.example.org/m/{doc_index}.png"
     w = 16 + rng.randrange(17)          # 16..32
     h = 12 + rng.randrange(13)          # 12..24
     channels = rng.choice([1, 3, 3, 4])  # gray/RGB/RGBA mix
@@ -192,9 +194,18 @@ def gen_media(doc_index: int, seed: int = 42) -> dict:
             for c in range(channels):
                 px.append((base + 7 * x + 13 * y + 29 * c
                            + rng.randrange(8)) & 0xFF)
-    payload = encode_png(w, h, channels, bytes(px))
+    # JPEG supports 1/3 channels; RGBA rows stay PNG
+    as_jpeg = doc_index % 3 == 1 and channels in (1, 3)
+    if as_jpeg:
+        payload = encode_jpeg(w, h, channels, bytes(px))
+    else:
+        payload = encode_png(w, h, channels, bytes(px))
+    ext = "jpg" if as_jpeg else "png"
+    url = f"https://img.example.org/m/{doc_index}.{ext}"
     if doc_index % 13 == 5:
         payload = payload[: len(payload) * 2 // 3]   # truncated
     elif doc_index % 17 == 3:
-        payload = b"\xff\xd8\xff" + payload[3:]      # jpeg magic, no codec
+        # foreign magic over the wrong body: the sniffed codec must reject
+        other = b"\x89PNG\r\n\x1a\n" if as_jpeg else b"\xff\xd8\xff"
+        payload = other + payload[len(other):]
     return {"url": url, "media": payload}

@@ -1,0 +1,496 @@
+"""Pure-stdlib+numpy baseline JPEG codec (encode + decode) for the
+multimodal path.
+
+The container has no image libraries, but baseline sequential JFIF is
+huffman coding + an 8x8 DCT — both expressible with the stdlib plus
+numpy. This makes the S4 decode step REAL for JPEG (the most common web
+image format; reference analogue: the rasterization path
+apps/queue/src/lib/ocr.ts:56-71), alongside the PNG codec
+(functions/png.py). On a production cluster the dispatch point
+(operators/multimodal.decode_image) would call libjpeg-turbo instead;
+the semantics — dims, channels, pixel buffer, hostile-payload errors —
+are what this module pins down.
+
+Supported: baseline sequential (SOF0), 8-bit, grayscale or 3-component
+YCbCr with no chroma subsampling (1x1 sampling for every component),
+standard or custom DQT/DHT, restart-marker-free scans. Progressive
+(SOF2), arithmetic coding, subsampled chroma and 12-bit depth raise
+JpegError — callers route it into the never-drop error envelope.
+
+Determinism: encoder and decoder run the DCT as fixed-order numpy float64
+matrix products and quantize with explicit rounding; the same code runs
+in the fixture-oracle generator and the Spark workers, so outputs are
+bit-identical between them (the same contract as functions/png.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# same poison-pill bound as png.MAX_PIXELS: a hostile SOF0 can declare
+# absurd dimensions; per-block pure-Python huffman decode would stall an
+# executor core. Channel stats/thumbnails never need more.
+MAX_PIXELS = 4 << 20
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+# ITU-T T.81 Annex K reference tables
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99],
+    dtype=np.int64)
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99],
+    dtype=np.int64)
+
+# Annex K huffman specs: (bits[1..16] counts, values)
+DC_LUMA_SPEC = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12)))
+DC_CHROMA_SPEC = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                  list(range(12)))
+AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+     0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+     0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+     0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+     0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+     0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa])
+AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+     0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+     0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+     0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+     0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+     0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+     0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+     0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa])
+
+
+class JpegError(ValueError):
+    pass
+
+
+# 8x8 DCT-II basis, orthonormal; fixed-order matmul keeps it deterministic
+def _dct_matrix() -> np.ndarray:
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    c = np.cos((2 * x + 1) * u * np.pi / 16) * 0.5
+    c[0, :] *= 1 / np.sqrt(2)
+    return c
+
+
+_DCT = _dct_matrix()
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling: 50 → reference table, clamped to 1..255."""
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((table * scale + 50) // 100, 1, 255)
+
+
+# --- bit I/O ---------------------------------------------------------------
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:          # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.write(0x7F, 8 - self.n)   # pad with 1s per spec
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise JpegError("truncated scan data")
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(self.data):
+                raise JpegError("truncated scan data")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1          # stuffed byte
+            elif 0xD0 <= nxt <= 0xD7:
+                raise JpegError("restart markers not supported")
+            else:
+                raise JpegError("marker inside scan data")
+        self.acc = (self.acc << 8) | byte
+        self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+# --- huffman tables --------------------------------------------------------
+def _build_encode_table(spec: tuple) -> dict[int, tuple[int, int]]:
+    """value → (code, length), canonical code assignment."""
+    bits, values = spec
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_decode_table(spec: tuple) -> dict[tuple[int, int], int]:
+    """(length, code) → value."""
+    enc = _build_encode_table(spec)
+    return {(ln, code): val for val, (code, ln) in enc.items()}
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise JpegError("invalid huffman code")
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: negative values stored as v - 1 in cat bits."""
+    cat = _category(v)
+    return (v if v >= 0 else v - 1 + (1 << cat)), cat
+
+
+def _decode_magnitude(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    if bits >> (cat - 1):              # leading 1 → positive
+        return bits
+    return bits - (1 << cat) + 1
+
+
+# --- color transforms (JFIF floats, fixed op order) ------------------------
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+# --- encoder ---------------------------------------------------------------
+def encode_jpeg(width: int, height: int, channels: int, px: bytes,
+                quality: int = 85) -> bytes:
+    """Baseline sequential JFIF: grayscale (channels=1) or YCbCr 4:4:4
+    (channels=3). Deterministic pure function of its arguments."""
+    if channels not in (1, 3):
+        raise JpegError(f"encode supports 1 or 3 channels, got {channels}")
+    if len(px) != width * height * channels:
+        raise JpegError("pixel buffer size mismatch")
+    img = np.frombuffer(px, dtype=np.uint8).reshape(
+        height, width, channels).astype(np.float64)
+    planes = ([img[..., 0]] if channels == 1
+              else [_rgb_to_ycbcr(img)[..., c] for c in range(3)])
+
+    qluma = _quality_scale(QUANT_LUMA, quality)
+    qchroma = _quality_scale(QUANT_CHROMA, quality)
+    qtables = [qluma] if channels == 1 else [qluma, qchroma]
+    comp_q = [0] if channels == 1 else [0, 1, 1]
+
+    enc_dc = [_build_encode_table(DC_LUMA_SPEC),
+              _build_encode_table(DC_CHROMA_SPEC)]
+    enc_ac = [_build_encode_table(AC_LUMA_SPEC),
+              _build_encode_table(AC_CHROMA_SPEC)]
+    comp_h = comp_q   # table 0 for luma, 1 for chroma
+
+    bw = _BitWriter()
+    prev_dc = [0] * channels
+    bh = (height + 7) // 8
+    bwid = (width + 7) // 8
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci in range(channels):
+                plane = planes[ci]
+                block = np.full((8, 8), 0.0)
+                y0, x0 = by * 8, bx * 8
+                tile = plane[y0:min(y0 + 8, height), x0:min(x0 + 8, width)]
+                # edge replication padding
+                block[:tile.shape[0], :tile.shape[1]] = tile
+                if tile.shape[0] < 8:
+                    block[tile.shape[0]:, :] = block[tile.shape[0] - 1, :]
+                if tile.shape[1] < 8:
+                    block[:, tile.shape[1]:] = block[:, tile.shape[1] - 1,
+                                                     None].reshape(8, 1)
+                coefs = _DCT @ (block - 128.0) @ _DCT.T
+                q = qtables[comp_q[ci]].reshape(8, 8)
+                zz = np.floor(coefs / q + 0.5).astype(np.int64)  # round half-up
+                zz = zz.reshape(64)[ZIGZAG]
+                # DC
+                diff = int(zz[0]) - prev_dc[ci]
+                prev_dc[ci] = int(zz[0])
+                mag, cat = _encode_magnitude(diff)
+                code, ln = enc_dc[comp_h[ci]][cat]
+                bw.write(code, ln)
+                if cat:
+                    bw.write(mag, cat)
+                # AC
+                run = 0
+                ac = enc_ac[comp_h[ci]]
+                last_nz = max(np.nonzero(zz)[0], default=0)
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac[0xF0]    # ZRL
+                        bw.write(code, ln)
+                        run -= 16
+                    mag, cat = _encode_magnitude(v)
+                    code, ln = ac[(run << 4) | cat]
+                    bw.write(code, ln)
+                    bw.write(mag, cat)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac[0x00]        # EOB
+                    bw.write(code, ln)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")                       # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)             # APP0 (v1.1, no dpi)
+    for tid, qt in enumerate(qtables):                 # DQT (zigzag order)
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) \
+            + bytes(int(qt[i]) for i in ZIGZAG)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * channels, 8,
+                                     height, width, channels)  # SOF0
+    for ci in range(channels):
+        out += struct.pack("BBB", ci + 1, 0x11, comp_q[ci])
+    specs = ([(0x00, DC_LUMA_SPEC), (0x10, AC_LUMA_SPEC)] if channels == 1
+             else [(0x00, DC_LUMA_SPEC), (0x10, AC_LUMA_SPEC),
+                   (0x01, DC_CHROMA_SPEC), (0x11, AC_CHROMA_SPEC)])
+    for tc_th, (bits, values) in specs:                # DHT
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), tc_th) \
+            + bytes(bits) + bytes(values)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * channels, channels)
+    for ci in range(channels):                         # SOS
+        out += struct.pack("BB", ci + 1, comp_h[ci] * 0x11)
+    out += b"\x00\x3f\x00"                             # Ss/Se/AhAl
+    out += bw.buf
+    out += b"\xff\xd9"                                 # EOI
+    return bytes(out)
+
+
+# --- decoder ---------------------------------------------------------------
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+    """payload → (width, height, n_channels, raw pixel bytes row-major).
+
+    Baseline sequential only; 1x1 sampling for every component."""
+    if not payload.startswith(b"\xff\xd8"):
+        raise JpegError("not a JPEG signature")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    width = height = None
+    comps: list[tuple[int, int, int]] = []   # (comp_id, sampling, qid)
+    scan_comps: list[tuple[int, int, int]] = []  # (comp_idx, dc_id, ac_id)
+    scan_start = None
+
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise JpegError("bad marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:                    # EOI before SOS
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        seg = payload[pos + 4:pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise JpegError("truncated segment")
+        if marker == 0xDB:                    # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise JpegError("16-bit quant tables not supported")
+                zz = np.frombuffer(seg[p + 1:p + 65], dtype=np.uint8)
+                if len(zz) != 64:
+                    raise JpegError("short quant table")
+                qt = np.zeros(64, dtype=np.int64)
+                qt[ZIGZAG] = zz
+                qtables[tq] = qt
+                p += 65
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
+            depth, height, width, nc = struct.unpack(">BHHB", seg[:6])
+            if depth != 8:
+                raise JpegError("only 8-bit depth supported")
+            if nc not in (1, 3):
+                raise JpegError(f"unsupported component count {nc}")
+            if width * height > MAX_PIXELS:
+                raise JpegError("image exceeds MAX_PIXELS")
+            if width == 0 or height == 0:
+                raise JpegError("zero dimension")
+            for ci in range(nc):
+                cid, samp, qid = seg[6 + 3 * ci:9 + 3 * ci]
+                if samp != 0x11:
+                    raise JpegError("chroma subsampling not supported")
+                comps.append((cid, samp, qid))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise JpegError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:                  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1:p + 17])
+                nvals = sum(bits)
+                values = list(seg[p + 17:p + 17 + nvals])
+                if len(values) != nvals:
+                    raise JpegError("short huffman table")
+                table = _build_decode_table((bits, values))
+                (dc_tables if tc == 0 else ac_tables)[th] = table
+                p += 17 + nvals
+        elif marker == 0xDA:                  # SOS
+            ns = seg[0]
+            if ns != len(comps):
+                raise JpegError("interleave mismatch")
+            for si in range(ns):
+                cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                idx = next((i for i, (cid, _, _) in enumerate(comps)
+                            if cid == cs), None)
+                if idx is None:
+                    raise JpegError("scan references unknown component")
+                scan_comps.append((idx, tt >> 4, tt & 0x0F))
+            scan_start = pos + 2 + seglen
+            break
+        elif marker == 0xDD:
+            raise JpegError("restart intervals not supported")
+        # APPn/COM/others: skip
+        pos += 2 + seglen
+
+    if width is None or scan_start is None:
+        raise JpegError("missing SOF or SOS")
+    nc = len(comps)
+
+    # locate EOI (scan data may contain stuffed FF00 and no restarts)
+    end = payload.rfind(b"\xff\xd9")
+    if end < scan_start:
+        end = len(payload)
+    reader = _BitReader(payload[scan_start:end])
+
+    bh, bwid = (height + 7) // 8, (width + 7) // 8
+    planes = [np.zeros((bh * 8, bwid * 8), dtype=np.float64)
+              for _ in range(nc)]
+    prev_dc = [0] * nc
+    for by in range(bh):
+        for bx in range(bwid):
+            for idx, dc_id, ac_id in scan_comps:
+                if dc_id not in dc_tables or ac_id not in ac_tables:
+                    raise JpegError("scan references missing huffman table")
+                qid = comps[idx][2]
+                if qid not in qtables:
+                    raise JpegError("scan references missing quant table")
+                zz = np.zeros(64, dtype=np.int64)
+                cat = _huff_decode(reader, dc_tables[dc_id])
+                if cat > 11:
+                    raise JpegError("invalid DC category")
+                diff = _decode_magnitude(reader.read_bits(cat), cat)
+                prev_dc[idx] += diff
+                zz[0] = prev_dc[idx]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(reader, ac_tables[ac_id])
+                    run, cat = rs >> 4, rs & 0x0F
+                    if cat == 0:
+                        if run == 15:       # ZRL
+                            k += 16
+                            continue
+                        break               # EOB
+                    k += run
+                    if k > 63:
+                        raise JpegError("AC index overflow")
+                    zz[k] = _decode_magnitude(reader.read_bits(cat), cat)
+                    k += 1
+                coefs = np.zeros(64, dtype=np.int64)
+                coefs[ZIGZAG] = zz
+                block = (coefs * qtables[qid])[  # dequant in natural order
+                    :].reshape(8, 8).astype(np.float64)
+                spatial = _DCT.T @ block @ _DCT + 128.0
+                planes[idx][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = spatial
+
+    planes = [p[:height, :width] for p in planes]
+    if nc == 1:
+        out = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        return width, height, 1, out.tobytes()
+    ycc = np.stack(planes, axis=-1)
+    rgb = np.clip(np.floor(_ycbcr_to_rgb(ycc) + 0.5), 0, 255).astype(np.uint8)
+    return width, height, 3, rgb.tobytes()

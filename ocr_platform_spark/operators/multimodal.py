@@ -2,10 +2,11 @@
 
 Images/audio/video ride through the engine as BinaryType columns with a
 struct of metadata; decode / feature-extraction runs in Arrow-batched
-``mapInPandas`` kernels. The decode step itself is STUBBED (no image/audio
-libraries in this container): ``decode_image`` raises NotImplementedError
-unless the deterministic-fake mode is used, while everything Spark-side —
-schema, batching, partitioning, UDF signatures — is real and tested.
+``mapInPandas`` kernels. ``decode_image`` is REAL for PNG and baseline
+JPEG (pure stdlib+numpy codecs, functions/png.py and functions/jpeg.py);
+GIF/audio/video raise NotImplementedError (no codecs in this container),
+while everything Spark-side — schema, batching, partitioning, UDF
+signatures — is real and tested for every format.
 
 The reference's analogue is the page-rasterization path
 (apps/queue/src/lib/ocr.ts:56-71: PDF page → PNG buffer → base64) and the
@@ -55,18 +56,24 @@ def sniff_format(payload: bytes) -> str | None:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Real decode for PNG payloads (pure-stdlib codec, functions/png.py) →
-    (width, height, channels, raw pixels). JPEG/audio/video remain
-    declared stubs: their codecs are not installed in this container; on a
-    cluster with codec libraries, extend the dispatch here."""
+    """Real decode for PNG (functions/png.py) and baseline-sequential JPEG
+    (functions/jpeg.py) payloads — both pure stdlib+numpy codecs →
+    (width, height, channels, raw pixels). GIF/audio/video remain declared
+    stubs: their codecs are not installed in this container; on a cluster
+    with codec libraries, extend the dispatch here."""
     fmt = sniff_format(payload)
     if fmt == "png":
         from ocr_platform_spark.functions.png import decode_png
 
         return decode_png(payload)
+    if fmt == "jpeg":
+        from ocr_platform_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"no codec for format {fmt!r} in this environment "
-        "(only the pure-stdlib PNG decoder is available)")
+        "(only the pure-stdlib PNG and baseline-JPEG decoders are "
+        "available)")
 
 
 def fake_features(payload: bytes, dim: int = MEDIA_FEATURE_DIM) -> list[float]:

@@ -1,0 +1,121 @@
+"""Baseline-JPEG codec tests (functions/jpeg.py): round-trip fidelity,
+determinism, and hostile-payload rejection — the S4 decode contract for
+the web's dominant image format."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from ocr_platform_spark.functions.jpeg import (
+    MAX_PIXELS, JpegError, decode_jpeg, encode_jpeg)
+
+
+class TestRoundTrip:
+    def test_constant_image_exact(self):
+        # a constant block is pure DC: quantization round-trips it exactly
+        for val in (0, 57, 128, 255):
+            for w, h, ch in [(8, 8, 1), (16, 8, 3), (13, 11, 1)]:
+                px = bytes([val]) * (w * h * ch)
+                got = decode_jpeg(encode_jpeg(w, h, ch, px))
+                assert got[:3] == (w, h, ch)
+                arr = np.frombuffer(got[3], np.uint8)
+                # YCbCr float transform can wobble ±1 on 3-channel
+                tol = 0 if ch == 1 else 1
+                assert int(np.abs(arr.astype(int) - val).max()) <= tol
+
+    def test_smooth_gradient_close(self):
+        xx, yy = np.meshgrid(np.arange(32), np.arange(24))
+        img = (xx * 3 + yy * 5 + 20).astype(np.uint8)   # no wrap: max 232
+        w, h, c, px = decode_jpeg(encode_jpeg(32, 24, 1, img.tobytes()))
+        assert (w, h, c) == (32, 24, 1)
+        arr = np.frombuffer(px, np.uint8).reshape(24, 32)
+        assert int(np.abs(arr.astype(int) - img.astype(int)).max()) <= 2
+
+    def test_rgb_gradient_close_q95(self):
+        xx, yy = np.meshgrid(np.arange(32), np.arange(16))
+        img = np.stack([xx * 4 % 256, yy * 8 % 256, (xx + yy) * 2 % 256],
+                       axis=-1).astype(np.uint8)
+        blob = encode_jpeg(32, 16, 3, img.tobytes(), quality=95)
+        w, h, c, px = decode_jpeg(blob)
+        assert (w, h, c) == (32, 16, 3)
+        arr = np.frombuffer(px, np.uint8).reshape(16, 32, 3)
+        assert int(np.abs(arr.astype(int) - img.astype(int)).max()) <= 2
+
+    def test_non_multiple_of_8_dims(self):
+        rng = np.random.default_rng(7)
+        for w, h in [(1, 1), (7, 9), (17, 13), (9, 8)]:
+            img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            gw, gh, gc, _ = decode_jpeg(encode_jpeg(w, h, 1, img.tobytes()))
+            assert (gw, gh, gc) == (w, h, 1)
+
+    def test_deterministic_encode(self):
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, size=(24, 31, 3), dtype=np.uint8)
+        a = encode_jpeg(31, 24, 3, img.tobytes())
+        b = encode_jpeg(31, 24, 3, img.tobytes())
+        assert a == b
+        assert decode_jpeg(a) == decode_jpeg(b)
+
+
+class TestHostilePayloads:
+    @pytest.mark.parametrize("payload", [
+        b"", b"\xff\xd8", b"\xff\xd8\xff", b"\xff\xd8\xff\xe0junk",
+        b"\xff\xd8\xff not a real jpeg body",
+        b"not a jpeg at all",
+    ])
+    def test_garbage_raises(self, payload):
+        with pytest.raises(JpegError):
+            decode_jpeg(payload)
+
+    def test_truncated_real_blob_raises(self):
+        blob = encode_jpeg(16, 16, 1, bytes(range(256)))
+        for cut in (20, len(blob) // 2, len(blob) - 4):
+            with pytest.raises(JpegError):
+                decode_jpeg(blob[:cut])
+
+    def test_declared_dims_capped(self):
+        # hand-built SOF0 declaring an absurd image: the pixel cap must
+        # reject it before any per-block work happens (poison-pill guard)
+        sof = b"\xff\xc0" + struct.pack(
+            ">HBHHB", 11, 8, 30000, 30000, 1) + bytes([1, 0x11, 0])
+        payload = b"\xff\xd8" + sof + b"\xff\xd9"
+        assert 30000 * 30000 > MAX_PIXELS
+        with pytest.raises(JpegError, match="MAX_PIXELS"):
+            decode_jpeg(payload)
+
+    def test_progressive_rejected(self):
+        blob = bytearray(encode_jpeg(8, 8, 1, bytes(64)))
+        idx = blob.find(b"\xff\xc0")
+        blob[idx + 1] = 0xC2            # SOF0 → SOF2 (progressive)
+        with pytest.raises(JpegError, match="baseline"):
+            decode_jpeg(bytes(blob))
+
+    def test_subsampled_chroma_rejected(self):
+        blob = bytearray(encode_jpeg(8, 8, 3, bytes(192)))
+        idx = blob.find(b"\xff\xc0")
+        blob[idx + 11] = 0x22           # luma sampling 1x1 → 2x2
+        with pytest.raises(JpegError, match="subsampling"):
+            decode_jpeg(bytes(blob))
+
+
+class TestGenMediaMix:
+    def test_jpeg_rows_decode_and_hostiles_error(self):
+        from ocr_platform_spark.datagen import gen_media
+        from ocr_platform_spark.operators.multimodal import (
+            image_stats, sniff_format)
+
+        rows = [gen_media(i, 42) for i in range(80)]
+        fmts = {sniff_format(r["media"]) for r in rows}
+        assert "jpeg" in fmts and "png" in fmts
+        jpeg_ok = err = 0
+        for i, r in enumerate(rows):
+            try:
+                w, h, ch, means, thumb = image_stats(r["media"])
+                assert 16 <= w <= 32 and 12 <= h <= 24
+                assert len(means) == ch
+                if sniff_format(r["media"]) == "jpeg":
+                    jpeg_ok += 1
+            except Exception:
+                err += 1
+        assert jpeg_ok > 0 and err > 0

@@ -150,17 +150,24 @@ def test_media_features(spark):
 
 
 def test_decode_dispatch():
-    """PNG payloads really decode (pure-stdlib codec); malformed PNG raises
-    the codec error; formats with no installed codec stay declared stubs."""
+    """PNG and JPEG payloads really decode (pure-stdlib codecs); malformed
+    payloads raise the codec error; formats with no installed codec stay
+    declared stubs."""
+    from ocr_platform_spark.functions.jpeg import (
+        JpegError, decode_jpeg, encode_jpeg)
     from ocr_platform_spark.functions.png import PngError, encode_png
     from ocr_platform_spark.operators.multimodal import decode_image
 
     w, h, ch, px = decode_image(encode_png(2, 2, 3, bytes(range(12))))
     assert (w, h, ch, px) == (2, 2, 3, bytes(range(12)))
+    jblob = encode_jpeg(8, 8, 1, bytes(64))
+    assert decode_image(jblob) == decode_jpeg(jblob)
     with pytest.raises(PngError):
         decode_image(b"\x89PNG\r\n\x1a\nxxxx")   # malformed PNG
+    with pytest.raises(JpegError):
+        decode_image(b"\xff\xd8\xff not a real jpeg body")
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff no jpeg codec here")
+        decode_image(b"GIF89a no gif codec here")
 
 
 def test_simhash_vectorized_matches_naive_loop():
