@@ -64,12 +64,22 @@ def build_manifest(extracted: DataFrame, run_id: str) -> DataFrame:
 
 def write_with_manifest(extracted: DataFrame, output_path: str,
                         run_id: str,
-                        processed_buckets: DataFrame | None = None) -> None:
+                        processed_buckets: DataFrame | None = None,
+                        table: str | None = None) -> None:
     """Write extraction output partitioned by bucket + append manifest rows.
 
-    Dynamic partition overwrite keeps the write idempotent per bucket: a
-    re-run of bucket k replaces exactly bucket k's files (Iceberg
-    ``overwritePartitions`` on a real catalog; parquet dynamic mode here).
+    Two sinks behind one seam (SURVEY §7):
+
+    - ``table`` set → DataSourceV2 catalog path: ``writeTo(table)
+      .overwritePartitions()`` — on an Iceberg catalog this is the atomic
+      per-partition replace; the manifest appends to ``<table>_manifest``.
+      (No Iceberg runtime ships in this container, so this branch is
+      covered by a call-shape unit test, not an end-to-end run.)
+    - otherwise → parquet fallback at ``output_path`` with dynamic
+      partition overwrite — same idempotent-per-bucket semantics.
+
+    Either way a re-run of bucket k replaces exactly bucket k (the S7
+    upsert/redo path).
 
     ``processed_buckets`` (single ``bucket`` column) scopes the manifest to
     the buckets THIS run touched — buckets written by earlier runs keep
@@ -77,21 +87,29 @@ def write_with_manifest(extracted: DataFrame, output_path: str,
     (re-)manifested under this run_id.
     """
     spark = extracted.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (extracted.write.mode("overwrite").partitionBy("bucket")
-         .parquet(output_path))
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    # manifest derives from what is now durably on disk (not from the
-    # pre-write plan — a lost task would otherwise go unnoticed)
-    done = spark.read.parquet(output_path)
+    if table is not None:
+        extracted.writeTo(table).overwritePartitions()
+        done = spark.read.table(table)
+    else:
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (extracted.write.mode("overwrite").partitionBy("bucket")
+             .parquet(output_path))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # manifest derives from what is now durably on disk (not from the
+        # pre-write plan — a lost task would otherwise go unnoticed)
+        done = spark.read.parquet(output_path)
     if processed_buckets is not None:
         done = done.join(F.broadcast(processed_buckets.select("bucket")
                                      .distinct()), "bucket", "left_semi")
-    build_manifest(done, run_id).write.mode("append").parquet(
-        manifest_path(output_path))
+    manifest = build_manifest(done, run_id)
+    if table is not None:
+        manifest.writeTo(table + "_manifest").append()
+    else:
+        manifest.write.mode("append").parquet(manifest_path(output_path))
 
 
 def _path_exists(spark: SparkSession, path: str) -> bool:

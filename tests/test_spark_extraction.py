@@ -129,3 +129,42 @@ def test_manifest_cost_column(spark, tmp_path):
     m = spark.read.parquet(out + "_manifest")
     assert "cost_ms" in m.columns
     assert m.filter("cost_ms > 0").count() == m.count()
+
+
+def test_catalog_table_sink_call_shape(spark, monkeypatch):
+    """The Iceberg seam (SURVEY §7): with ``table=`` set,
+    write_with_manifest must go through DataSourceV2 ``writeTo(table)
+    .overwritePartitions()`` and append the manifest to
+    ``<table>_manifest`` — no parquet path involved. No Iceberg runtime
+    ships in this container, so this pins the call shape."""
+    # pyspark 4: methods resolve on the concrete classic DataFrame class,
+    # not the pyspark.sql.DataFrame abstract base
+    from pyspark.sql.classic.dataframe import DataFrame
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from ocr_platform_spark.sources.manifest import write_with_manifest
+
+    extracted = extract_pages(pages_df(spark, 20), n_buckets=4)
+    calls: list[tuple[str, str]] = []
+
+    class _Recorder:
+        def __init__(self, table: str) -> None:
+            self.table = table
+
+        def overwritePartitions(self) -> None:
+            calls.append((self.table, "overwritePartitions"))
+
+        def append(self) -> None:
+            calls.append((self.table, "append"))
+
+    monkeypatch.setattr(
+        DataFrame, "writeTo", lambda self, tbl: _Recorder(tbl))
+    monkeypatch.setattr(
+        DataFrameReader, "table", lambda self, tbl: extracted)
+
+    write_with_manifest(extracted, output_path="/nonexistent/never-used",
+                        run_id="r1", table="cat.db.pages_extracted")
+    assert calls == [
+        ("cat.db.pages_extracted", "overwritePartitions"),
+        ("cat.db.pages_extracted_manifest", "append"),
+    ]
