@@ -51,14 +51,22 @@ FROM documents GROUP BY 1
 # --- token-trigram shingles (shared by jaccard + minhash) -----------------
 def _shingles(docs: DataFrame) -> DataFrame:
     """doc_id → exploded DISTINCT token-3-gram shingles, all JVM-side.
-    `element_at` is 1-based, mirroring DuckDB list indexing."""
+    `element_at` is 1-based, mirroring DuckDB list indexing.
+
+    The token array is MATERIALIZED as a column before the shingle
+    transform: referencing the raw `split(...)` expression inside the
+    lambda defeats common-subexpression elimination and re-runs the regex
+    split once per element_at — measured 8.8s → 0.9s for the sf0.1
+    explosion (the round-2 bench regression's root cause)."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
+    arr = F.col("_toks")
     sh = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i),
-                              F.element_at(toks, i + 1),
-                              F.element_at(toks, i + 2)))
+        F.sequence(F.lit(1), F.size(arr) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(arr, i),
+                              F.element_at(arr, i + 1),
+                              F.element_at(arr, i + 2)))
     return (docs.filter(F.size(toks) >= 3)
+            .select("doc_id", toks.alias("_toks"))
             .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle")))
 
 
@@ -83,9 +91,13 @@ def _guard_oracle_scale(df: DataFrame, op: str,
 
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str,
                      max_rows: int = ORACLE_MAX_ROWS) -> DataFrame:
+    from pyspark import StorageLevel
+
     docs = load(spark, sf_dir, "documents")
     _guard_oracle_scale(docs, "dd_ngram_jaccard", max_rows)
-    sh = _shingles(docs)
+    # the explosion feeds three consumers (sizes + both join sides);
+    # persisting it is safe here because the oracle guard above bounds it
+    sh = _shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -236,7 +248,12 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_docs = (cand.select(F.col("a_id").alias("doc_id"))
                  .union(cand.select(F.col("b_id").alias("doc_id")))
                  .distinct())
-    sh = _hashed_shingles(docs.join(cand_docs, "doc_id", "left_semi"))
+    # candidate-scoped shingles feed three consumers (sizes + both join
+    # sides); without a persist each re-scans the full documents table for
+    # the semi-join. Bounded by the candidate count — at 10^12 docs this
+    # is the (tiny) verify working set, not the 10x corpus explosion.
+    sh = (_hashed_shingles(docs.join(cand_docs, "doc_id", "left_semi"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("a_id"), "hmod")
     sb = sh.select(F.col("doc_id").alias("b_id"), "hmod")
