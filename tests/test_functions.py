@@ -180,3 +180,37 @@ class TestStripHtmlLinear:
             t0 = time.time()
             count_words(s)
             assert time.time() - t0 < 10
+
+
+def test_count_words_fast_path_equivalence():
+    """count_words' isalnum fast path must equal the pure-findall
+    definition on every input — punctuation, combining marks, digits,
+    mixed scripts, and whitespace variants."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_platform_spark.functions.words import (
+        WORD_RE, count_words, strip_html)
+
+    def reference(text):
+        if not text:
+            return 0
+        return len(WORD_RE.findall(strip_html(text)))
+
+    vectors = [
+        "hello, world!", "a—b", "étude", "१२३ ٤٥٦", "a_b c.d",
+        " nbsp sep", "tab\tand\nnewline", "🙂 emoji only 🙂",
+        "mixed مرحبا world 42", "... --- ...", "", "   ",
+    ]
+    for v in vectors:
+        assert count_words(v) == reference(v), v
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=st.characters(
+        codec="utf-8", categories=(
+            "Lu", "Ll", "Lo", "Mn", "Nd", "No", "Po", "Sm", "Zs", "Cc")),
+        max_size=80))
+    def check(s):
+        assert count_words(s) == reference(s)
+
+    check()
