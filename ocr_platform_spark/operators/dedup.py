@@ -533,7 +533,7 @@ def dd_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²); pytest asserts recall vs the exact path, the DuckDB oracle
     reproduces bucket+verify bit-for-bit."""
     from ocr_platform_spark.operators.similarity import (
-        LSH_PLANES, LSH_TABLES, bucket_array)
+        LSH_PLANES, LSH_TABLES, bucket_array_np)
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -544,7 +544,7 @@ def dd_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deduplicated pair set — the same shape as the SQL oracle.
     banded = emb.select(
         "vec_id",
-        F.posexplode(bucket_array("v", LSH_TABLES, LSH_PLANES))
+        F.posexplode(bucket_array_np("v", LSH_TABLES, LSH_PLANES))
         .alias("tbl", "bucket"))
     a = banded.alias("a")
     b = banded.alias("b")

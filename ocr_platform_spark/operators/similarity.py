@@ -16,6 +16,7 @@ results hash-match DuckDB exactly.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -110,7 +111,14 @@ def _dot_lit(v_col: str, comps: list[float]) -> F.Column:
 
 
 def bucket_array(v_col: str, n_tables: int, n_planes: int) -> F.Column:
-    """Array of n_tables LSH bucket ids for the vector column."""
+    """Array of n_tables LSH bucket ids for the vector column — pure
+    Catalyst-expression form (the direct analogue of the SQL oracle).
+
+    NOTE: higher-order functions (aggregate/zip_with) are interpreted, not
+    codegen'd — n_tables*n_planes folds of EMB_DIM elements per row is the
+    slow path. Hot call sites use :func:`bucket_array_np` (identical
+    buckets, asserted by tests/test_operators.py); this form remains the
+    documented 1:1 SQL replica and the parity reference."""
     buckets = []
     for t in range(n_tables):
         b = F.lit(0)
@@ -119,6 +127,42 @@ def bucket_array(v_col: str, n_tables: int, n_planes: int) -> F.Column:
                  + (_dot_lit(v_col, md5_plane(t, p)) > 0).cast("int"))
         buckets.append(b)
     return F.array(*buckets)
+
+
+def _planes_matrix(n_tables: int, n_planes: int, dim: int = EMB_DIM):
+    """(n_tables*n_planes, dim) float64 matrix of the md5-derived planes,
+    row order = (t, p) nested loops — same planes the expression/SQL
+    forms inline as literals."""
+    import numpy as np
+
+    return np.array([md5_plane(t, p, dim)
+                     for t in range(n_tables) for p in range(n_planes)])
+
+
+def bucket_array_np(v_col: str, n_tables: int, n_planes: int) -> F.Column:
+    """Arrow-batched numpy twin of :func:`bucket_array`: one (n, dim) @
+    (dim, tables*planes) matmul per batch instead of tables*planes
+    interpreted HOF folds per row (measured ~30x on the sf0.1 bucketing
+    stage). Buckets depend only on dot-product SIGNS; the smallest |dot|
+    across the testdata is 2.9e-5 (see _dot_lit) — ten orders above the
+    summation-order difference between numpy's pairwise sum and the
+    sequential fold — so bucket ids are identical, which
+    tests/test_operators.py asserts over the full embeddings table."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    planes = _planes_matrix(n_tables, n_planes)      # captured in closure
+    weights = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _buckets(vs: pd.Series) -> pd.Series:
+        V = np.vstack(vs.to_numpy())                 # (n, dim)
+        bits = (V @ planes.T > 0).astype(np.int64)   # (n, tables*planes)
+        ids = (bits.reshape(len(vs), n_tables, n_planes)
+               * weights).sum(axis=2).astype(np.int32)
+        return pd.Series(list(ids))
+
+    return _buckets(F.col(v_col))
 
 
 def _plane_sql(comps: list[float]) -> str:
@@ -148,14 +192,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    # one pass: all LSH_TABLES bucket ids per row via posexplode; persisted
-    # WITHOUT the vectors (ids+buckets only) so (a) the 48 hyperplane dots
-    # run once, not once per join side, and (b) the candidate join +
-    # distinct move bare ids — vectors are fetched afterwards for just the
-    # deduplicated candidate set (same shape as dd_embedding_lsh)
+    # one pass: all LSH_TABLES bucket ids per row via posexplode (numpy
+    # matmul kernel — identical buckets to the expression/SQL form);
+    # persisted WITHOUT the vectors (ids+buckets only) so (a) the
+    # hyperplane dots run once, not once per join side, and (b) the
+    # candidate join + distinct move bare ids — vectors are fetched
+    # afterwards for just the deduplicated candidate set (same shape as
+    # dd_embedding_lsh)
     banded = (emb.select(
         "vec_id",
-        F.posexplode(bucket_array("v", LSH_TABLES, LSH_PLANES))
+        F.posexplode(bucket_array_np("v", LSH_TABLES, LSH_PLANES))
         .alias("tbl", "bucket"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     q = (banded.filter(F.col("vec_id") < N_QUERIES)

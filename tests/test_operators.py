@@ -340,3 +340,23 @@ def test_dd_clusters_on_testdata(spark):
     for cid, members in by_cluster.items():
         assert min(m["doc_id"] for m in members) == cid
         assert sum(m["is_canonical"] for m in members) == 1
+
+
+def test_lsh_bucket_np_matches_expression(spark):
+    """bucket_array_np (numpy matmul) must produce EXACTLY the bucket ids
+    of the Catalyst-expression form (the SQL oracle's 1:1 replica) over
+    the full embeddings table — the sign-margin argument made executable."""
+    from pyspark.sql import functions as F
+
+    from ocr_platform_spark.operators.similarity import (
+        LSH_PLANES, LSH_TABLES, bucket_array, bucket_array_np)
+    from ocr_platform_spark.operators.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    both = emb.select(
+        "vec_id",
+        bucket_array("v", LSH_TABLES, LSH_PLANES).alias("expr_b"),
+        bucket_array_np("v", LSH_TABLES, LSH_PLANES).alias("np_b"))
+    diff = both.filter(F.col("expr_b") != F.col("np_b")).count()
+    assert diff == 0
