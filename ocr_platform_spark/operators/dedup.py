@@ -554,10 +554,16 @@ def dd_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.vec_id").alias("a_id"),
                     F.col("b.vec_id").alias("b_id"))
             .distinct())
-    va = emb.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    # norms once per vector; the (many) candidate pairs pay only the dot
+    # fold — identical doubles to _cos_expr (see similarity._cos_expr)
+    from ocr_platform_spark.operators.similarity import _dot_expr, _norm_expr
+
+    va = emb.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
+                    _norm_expr("v").alias("na"))
+    vb = emb.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"),
+                    _norm_expr("v").alias("nb"))
     pairs = cand.join(va, "a_id").join(vb, "b_id")
-    cos = _cos_expr("va", "vb")
+    cos = _dot_expr("va", "vb") / (F.col("na") * F.col("nb"))
     return (pairs.withColumn("cos", cos)
             .filter(F.col("cos") >= COSINE_NEAR_DUP)
             .select("a_id", "b_id",
