@@ -31,6 +31,7 @@ from ocr_platform_spark.functions.words import count_page_words
 STAGE_CORRECT = "CORRECT"
 STAGE_HTML = "CONVERT_TO_HTML"
 STAGE_SEGMENT = "SEGMENT"
+STAGE_PDF = "PDF_PARSE"
 
 FLAG_NEEDS_REVIEW = "NEEDS_ADDITIONAL_REVIEW"  # ref schema.prisma PageFlag
 FLAG_EMPTY = "EMPTY"
@@ -94,6 +95,10 @@ def extract_document(url: str, html: bytes | None) -> ExtractionResult:
     # ---- stage 1: CORRECT (decode + normalize) --------------------------
     if html is None or len(html) == 0:
         return _failure(url, STAGE_CORRECT, "empty html payload")
+    if html[:5] == b"%PDF-":
+        # crawl payloads are content-type-mixed: PDF bytes route to the
+        # layout parser (functions/pdftext.py), same envelope out
+        return extract_pdf_payload(url, html)
     nbytes = len(html)
     try:
         raw = html.decode("utf-8")           # strict first ...
@@ -154,4 +159,68 @@ def extract_document(url: str, html: bytes | None) -> ExtractionResult:
         bytes_parsed=nbytes,
         blocks_kept=seg.blocks_kept,
         blocks_dropped=seg.blocks_dropped,
+    )
+
+
+def extract_pdf_payload(url: str, data: bytes) -> ExtractionResult:
+    """PDF branch of the pipeline: layout parse → same envelope (P2-P4 for
+    the PDF half of the north rule). Regions come from the layout analyzer
+    (functions/pdftext.py: XY-band + column reading order); the printed
+    page number is excluded from the text like the HTML segmenter does.
+    Never raises."""
+    from ocr_platform_spark.functions.pdftext import PdfError, parse_pdf
+
+    nbytes = len(data)
+    try:
+        pages = parse_pdf(data)
+    except PdfError as e:
+        return _failure(url, STAGE_PDF, str(e), nbytes=nbytes)
+    except Exception as e:  # pragma: no cover - PdfError covers the subset
+        return _failure(url, STAGE_PDF, f"parse: {e}", nbytes=nbytes)
+
+    parts: list[str] = []
+    spans: list[tuple[int, int, int, str]] = []
+    bodies: list[str] = []
+    feet: list[str] = []
+    pos = 0
+    block_id = 0
+    kept = 0
+    for p in pages:
+        for text, kind in ((p.header, "header"), (p.body, "body"),
+                           (p.footnotes, "footnotes")):
+            if not text:
+                continue
+            text = correct_text(text)
+            if parts:
+                pos += 1                      # the "\n" joiner
+            parts.append(text)
+            spans.append((block_id, pos, pos + len(text), kind))
+            pos += len(text)
+            block_id += 1
+            kept += 1
+            if kind == "body":
+                bodies.append(text)
+            elif kind == "footnotes":
+                feet.append(text)
+
+    extracted = "\n".join(parts)
+    if not extracted:
+        return _failure(url, STAGE_PDF, "no text in PDF", nbytes=nbytes)
+    body_all = "\n".join(bodies)
+    feet_all = "\n".join(feet) or None
+    return ExtractionResult(
+        url=url,
+        extracted_text=extracted,
+        header=next((correct_text(p.header) for p in pages if p.header),
+                    None),
+        body=body_all,
+        footnotes=feet_all,
+        page_number=next((p.page_number for p in pages
+                          if p.page_number is not None), None),
+        total_words=count_page_words(body_all, feet_all),
+        spans=spans,
+        flags=[] if body_all else [FLAG_EMPTY],
+        bytes_parsed=nbytes,
+        blocks_kept=kept,
+        blocks_dropped=0,
     )

@@ -47,10 +47,10 @@ def assert_fixture_scale(sf_dir: str, query: str,
 
 def _modules():
     from ocr_platform_spark.operators import (
-        curation, dedup, incremental, relational, scalar_queries,
-        similarity, text_analysis)
+        curation, dedup, incremental, pdf_extract, relational,
+        scalar_queries, similarity, text_analysis)
     return (relational, scalar_queries, text_analysis, dedup, incremental,
-            similarity, curation)
+            similarity, curation, pdf_extract)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:

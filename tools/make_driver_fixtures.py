@@ -209,6 +209,35 @@ def ann_ivf_topk() -> None:
     }))
 
 
+def extract_pdf_pages() -> None:
+    """Pure-Python recomputation of the PDF render→layout-parse pipeline
+    over sf0.01 documents (operators/pdf_extract.py runs the identical
+    kernel inside mapInPandas). .sf0.01. in the name: scale-pinned."""
+    import duckdb
+
+    from ocr_platform_spark.operators.pdf_extract import pdf_pages_rows
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF001}/documents.parquet')"
+        " ORDER BY doc_id").fetchall()
+    rows = [r for doc_id, text in docs for r in pdf_pages_rows(doc_id, text)]
+    _write("extract_pdf_pages.sf0.01.parquet", pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "page_no": pa.array([r["page_no"] for r in rows], pa.int32()),
+        "n_pages": pa.array([r["n_pages"] for r in rows], pa.int32()),
+        "n_columns": pa.array([r["n_columns"] for r in rows], pa.int32()),
+        "n_lines": pa.array([r["n_lines"] for r in rows], pa.int32()),
+        "page_number": pa.array([r["page_number"] for r in rows],
+                                pa.int32()),
+        "header": pa.array([r["header"] for r in rows], pa.string()),
+        "body": pa.array([r["body"] for r in rows], pa.string()),
+        "footnotes": pa.array([r["footnotes"] for r in rows], pa.string()),
+        "parse_error": pa.array([r["parse_error"] for r in rows],
+                                pa.string()),
+    }))
+
+
 if __name__ == "__main__":
     flagship_pages()
     langid_pages()
@@ -217,3 +246,4 @@ if __name__ == "__main__":
     command_score_topk()
     ta_bpe_tokens()
     ann_ivf_topk()
+    extract_pdf_pages()
