@@ -49,8 +49,9 @@ def _modules():
     from ocr_platform_spark.operators import (
         curation, dedup, incremental, pdf_extract, relational,
         scalar_queries, similarity, text_analysis)
+    from ocr_platform_spark.streaming import sessions, windowed
     return (relational, scalar_queries, text_analysis, dedup, incremental,
-            similarity, curation, pdf_extract)
+            similarity, curation, pdf_extract, windowed, sessions)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
