@@ -55,6 +55,20 @@ _CDATA_ELEMENTS = ("script", "style")
 _ASCII_ALPHA_EQ_SLASH = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/")
 
+# One-shot fast path for the overwhelmingly common tag shape: lowercase-ish
+# name, zero or more space-separated double-quoted attributes whose values
+# contain no <, >, & (so no unescape needed and the full-grammar scanner
+# would produce the identical result), closed by > or />. Anything else
+# falls back to the grammar-mirroring _starttag.
+_SIMPLE_START = re.compile(
+    r"<([a-zA-Z][-a-zA-Z0-9]*)"
+    # attr names lowercase-only: the full path lowercases names before the
+    # class compare, so CLASS="x" must fall back to it
+    r"((?:\s+[a-z_:][-a-z0-9_:.]*=\"[^\"<>&]*\")*)"
+    r"\s*(/?)>")
+_SIMPLE_CLASS = re.compile(r"\bclass=\"([^\"]*)\"")
+_SIMPLE_END = re.compile(r"</([a-zA-Z][-.a-zA-Z0-9:_]*)>")
+
 
 def _starttag(html: str, i: int, n: int, sink) -> int:
     """Mirror of parse_starttag + check_for_whole_start_tag.
@@ -165,9 +179,33 @@ def scan(html: str, sink) -> None:
         c = html[lt + 1] if lt + 1 < n else ""
         k = -1
         if "a" <= c <= "z" or "A" <= c <= "Z":
-            k = _starttag(html, lt, n, sink)
+            sm = _SIMPLE_START.match(html, lt)
+            if sm:
+                tag, attrstr, selfclose = sm.group(1, 2, 3)
+                tag = tag.lower()
+                if "class=\"" in attrstr:
+                    # last class wins — same as the full attr loop's append
+                    # order feeding the sink's overwrite loop
+                    attrs = [("class", v) for v in
+                             _SIMPLE_CLASS.findall(attrstr)]
+                else:
+                    attrs = []
+                if selfclose:
+                    sink.handle_startendtag(tag, attrs)
+                    k = sm.end()
+                else:
+                    sink.handle_starttag(tag, attrs)
+                    k = (_cdata(html, sm.end(), n, sink, tag)
+                         if tag in _CDATA_ELEMENTS else sm.end())
+            else:
+                k = _starttag(html, lt, n, sink)
         elif c == "/":
-            k = _endtag(html, lt, n, sink)
+            em = _SIMPLE_END.match(html, lt)
+            if em:
+                sink.handle_endtag(em.group(1).lower())
+                k = em.end()
+            else:
+                k = _endtag(html, lt, n, sink)
         elif html.startswith("<!--", lt):
             cm = _COMMENT_CLOSE.search(html, lt + 4)
             k = cm.end() if cm else -1       # comment consumed silently
