@@ -156,3 +156,27 @@ def test_scalar_queries_stay_in_codegen(spark):
     assert "Python" not in p
     # '*(n)' prefixes mark WholeStageCodegen spans in executedPlan strings
     assert "*(1)" in p
+
+
+def test_windowed_agg_single_shuffle_with_partial_agg(spark):
+    """ev_windowed_agg must be scan → partial HashAggregate → ONE exchange
+    → final aggregate: map-side combine bounds the shuffle by
+    (windows x event types), not by input rows."""
+    from ocr_platform_spark.streaming.windowed import ev_windowed_agg
+
+    p = formatted(ev_windowed_agg(spark, SF_DIR))
+    # formatted output names each node twice (tree + detail section)
+    assert p.count(") Exchange") == 1
+    assert "partial_count" in p and "partial_sum" in p
+
+
+def test_sessionize_single_shuffle_reused_across_windows(spark):
+    """ev_sessionize: ONE exchange on user_id feeds the lag window, the
+    running-sum window, AND the per-session aggregation — Catalyst must
+    not re-shuffle between them (grouping keys are a superset of the
+    partitioning)."""
+    from ocr_platform_spark.streaming.sessions import ev_sessionize
+
+    p = formatted(ev_sessionize(spark, SF_DIR))
+    assert p.count(") Exchange") == 1
+    assert "hashpartitioning(user_id" in p
