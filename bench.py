@@ -147,9 +147,65 @@ def extract_worker(cores: int, input_path: str) -> None:
     spark.stop()
 
 
+def extract_cluster_worker(n_exec: int, input_path: str,
+                           cores_per_exec: int = 4) -> None:
+    """Multi-EXECUTOR leg: ``local-cluster[n_exec, cores, mem]`` spawns
+    real separate executor JVMs (own heaps, own Python daemons, real
+    executor-to-executor shuffle over the block manager) — the closest
+    in-sandbox analogue of the north rule's "N and 4N executors via
+    spark-submit". The package reaches executors via PYTHONPATH (the
+    local-cluster stand-in for --py-files); everything else — job, input,
+    timing protocol — is identical to the local[N] legs."""
+    total = n_exec * cores_per_exec
+    try:
+        os.sched_setaffinity(0, set(range(total)))   # inherited by all
+    except (AttributeError, OSError):                # executor JVMs
+        pass
+
+    from pyspark.sql import SparkSession
+
+    from ocr_platform_spark.plans.extract_job import extract_pages
+    from ocr_platform_spark.sources.pages import read_pages
+
+    repo = str(Path(__file__).resolve().parent)
+    spark = (SparkSession.builder
+             # 8 GiB per executor — constant as executors scale, like a
+             # real cluster (4 GiB OOMs the 1-executor leg: one heap holds
+             # every in-flight Arrow batch + the whole shuffle)
+             .master(f"local-cluster[{n_exec},{cores_per_exec},8192]")
+             .appName(f"bench-cluster-{n_exec}x{cores_per_exec}")
+             .config("spark.sql.shuffle.partitions", str(total * 2))
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.python.daemon.module",
+                     "ocr_platform_spark.spark_daemon")
+             .config("spark.executorEnv.PYTHONPATH", repo)
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = read_pages(spark, input_path)
+    warm = pages.sample(fraction=0.2, seed=7)
+    for _ in range(2):
+        extract_pages(warm, n_buckets=64).count()
+    times, canaries = [], []
+    for _ in range(3):
+        canaries.append(_canary_rate(total))
+        t0 = time.time()
+        n = extract_pages(pages, n_buckets=64).count()
+        times.append(time.time() - t0)
+    print(json.dumps({"executors": n_exec, "cores_per_executor":
+                      cores_per_exec, "docs": n, "sec": min(times),
+                      "canary": round(max(canaries), 1),
+                      "all_times": [round(t, 2) for t in times],
+                      "all_canaries": [round(c, 1) for c in canaries]}))
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--extract-worker":
         extract_worker(int(sys.argv[2]), sys.argv[3])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--extract-cluster":
+        extract_cluster_worker(int(sys.argv[2]), sys.argv[3])
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
