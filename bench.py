@@ -169,10 +169,13 @@ def extract_cluster_worker(n_exec: int, input_path: str,
 
     repo = str(Path(__file__).resolve().parent)
     spark = (SparkSession.builder
-             # 8 GiB per executor — constant as executors scale, like a
-             # real cluster (4 GiB OOMs the 1-executor leg: one heap holds
-             # every in-flight Arrow batch + the whole shuffle)
+             # 8 GiB worker capacity, 6 GiB executor heap — constant per
+             # executor as the cluster scales, like a real cluster. The
+             # bracket arg is WORKER capacity only; without an explicit
+             # spark.executor.memory the executor gets the 1 GiB default
+             # and the 1-executor leg dies with exit code 52 (JVM OOM).
              .master(f"local-cluster[{n_exec},{cores_per_exec},8192]")
+             .config("spark.executor.memory", "6g")
              .appName(f"bench-cluster-{n_exec}x{cores_per_exec}")
              .config("spark.sql.shuffle.partitions", str(total * 2))
              .config("spark.sql.session.timeZone", "UTC")
