@@ -50,9 +50,9 @@ def test_page_numbers_sequential_and_excluded_from_text():
         for i, p in enumerate(parse_pdf(build_pdf(doc_id, text))):
             if p.page_number is not None:
                 assert p.page_number == i + 1
-                assert str(p.page_number) not in (p.body.split("\n")[-1:]
-                                                  or [""])[0].strip() or \
-                    p.body.split()  # page number never a body line of its own
+                # the printed number is navigation, not content: it must
+                # not surface as a standalone body line
+                assert str(p.page_number) not in p.body.split("\n")
 
 
 def test_header_matches_spec():
