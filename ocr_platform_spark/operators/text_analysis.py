@@ -409,6 +409,75 @@ def ta_langid_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                     detect_language_udf("extracted_text").alias("lang_detected")))
 
 
+# --- PII scrubbing (the C4/RefinedWeb masking step) ------------------------
+# Conservative ASCII patterns from the Java-regex ∩ RE2 common subset (no
+# lookaround, no backreferences; \d and \b are ASCII-based in both), so
+# the SQL oracle replays the scrub bit-for-bit in DuckDB.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:\d{1,3}\.)(?:\d{1,3}\.)(?:\d{1,3}\.)\d{1,3}\b"
+PII_PHONE = r"\+\d{8,14}\b"
+
+
+def _pii_augmented() -> F.Column:
+    """The synthetic corpus has no natural PII, so each doc gets a
+    deterministic contact line appended IN THE QUERY (the oracle appends
+    the identical line) — the scrubber then has real positives to find."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1555"),
+        F.lpad((F.col("doc_id") % 10000000).cast("string"), 7, "0"),
+        F.lit(" at 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"))
+
+
+def ta_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count + mask emails / IPv4s / intl phone numbers per document.
+
+    Plan shape: pure per-row JVM regex work over the scan — no shuffle at
+    all; at 10^12 docs this is the cheapest possible full-corpus pass.
+    The masked text leaves the query as an md5 (hash-portable; the full
+    masked string would dominate the comparison payload for no signal).
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = _pii_augmented()
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, F.lit(PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(PII_IPV4), F.lit("<IP>")),
+        F.lit(PII_PHONE), F.lit("<PHONE>"))
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(aug, F.lit(PII_IPV4)).alias("n_ips"),
+        F.regexp_count(aug, F.lit(PII_PHONE)).alias("n_phones"),
+        F.md5(F.encode(masked, "UTF-8")).alias("masked_md5"))
+
+
+TA_PII_SQL = """
+WITH aug AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or +1555'
+                || lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0')
+                || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{email}')) AS n_emails,
+       len(regexp_extract_all(t, '{ipv4}')) AS n_ips,
+       len(regexp_extract_all(t, '{phone}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+           t, '{email}', '<EMAIL>', 'g'),
+              '{ipv4}', '<IP>', 'g'),
+              '{phone}', '<PHONE>', 'g')) AS masked_md5
+FROM aug
+""".format(email=PII_EMAIL.replace("\\", "\\"),
+           ipv4=PII_IPV4, phone=PII_PHONE)
+
+
 QUERIES: dict = {
     "ta_token_stats": (ta_token_stats, TA_TOKEN_SQL),
     "ta_quality_flags": (ta_quality_flags, TA_QUALITY_SQL),
@@ -421,4 +490,5 @@ QUERIES: dict = {
     "ta_langid_pages": (
         ta_langid_pages,
         _fixture_sql("langid_pages.parquet", "url, lang, lang_detected")),
+    "ta_pii_scrub": (ta_pii_scrub, TA_PII_SQL),
 }

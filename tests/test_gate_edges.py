@@ -113,3 +113,33 @@ def test_quadratic_oracle_paths_guarded(spark):
         dd_ngram_jaccard(spark, SF, max_rows=10)
     with pytest.raises(ValueError, match="quadratic all-pairs ORACLE"):
         dd_embedding_near(spark, SF, max_rows=10)
+
+
+def test_pii_patterns_hand_vectors():
+    """The PII regex subset must behave identically under Python re (a
+    third engine, adjacent to Java regex and RE2) on hand vectors."""
+    import re
+
+    from ocr_platform_spark.operators.text_analysis import (
+        PII_EMAIL, PII_IPV4, PII_PHONE)
+
+    assert re.findall(PII_EMAIL, "mail a.b+c@x-y.co.uk now") == \
+        ["a.b+c@x-y.co.uk"]
+    assert re.findall(PII_EMAIL, "not an@email") == []
+    assert re.findall(PII_IPV4, "at 10.0.3.77, ok") == ["10.0.3.77"]
+    assert re.findall(PII_IPV4, "ver 1.2.3 only") == []
+    assert re.findall(PII_PHONE, "call +15551234567 pls") == ["+15551234567"]
+    assert re.findall(PII_PHONE, "+123 short") == []
+    masked = re.sub(PII_EMAIL, "<EMAIL>",
+                    "x a@b.co y c@d.org")
+    assert masked == "x <EMAIL> y <EMAIL>"
+
+
+def test_pii_scrub_finds_injected_pii(spark):
+    from ocr_platform_spark.operators.text_analysis import ta_pii_scrub
+
+    rows = ta_pii_scrub(spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["n_emails"] >= 1 and r["n_ips"] >= 1 and r["n_phones"] >= 1
+        assert len(r["masked_md5"]) == 32
