@@ -98,15 +98,43 @@ def _wrap(text: str, width: int) -> list[str]:
     return lines
 
 
-def _show_op(x: int, y: int, size: int, text: str, kerned: bool) -> bytes:
-    """One BT..ET block at absolute (x, y). Kerned lines are split into a
-    TJ array with a -333/1000-em adjustment standing in for a word gap."""
-    head = b"BT /F1 %d Tf 1 0 0 1 %d %d Tm " % (size, x, y)
+def _show_op(x: int, y: int, size: int, text: str, kerned: bool,
+             variant: int = 0, hexstr: bool = False) -> bytes:
+    """One self-contained BT..ET block whose text lands at (x, y).
+
+    ``variant`` selects the positioning operators (all four reach the
+    same final text-space position, so the PARSE is invariant while the
+    operator stream differs — this is how the corpus round-trip tests
+    cover the whole interpreter, not just Tm):
+      0  absolute Tm
+      1  Tm one leading above + TL/T* (next-line)
+      2  offset Tm + relative Td
+      3  Tm one leading above + TL + ' (move-and-show)
+    Kerned lines are split into a TJ array with a -333/1000-em word gap;
+    ``hexstr`` emits the text as a hex string instead of a literal."""
+    if kerned and variant == 3:
+        variant = 1   # ' shows a single literal; a TJ array needs the
+        # position settled before the show op
+    if variant == 1:
+        head = (b"BT /F1 %d Tf %d TL 1 0 0 1 %d %d Tm T* "
+                % (size, LEADING, x, y + LEADING))
+    elif variant == 2:
+        head = (b"BT /F1 %d Tf 1 0 0 1 %d %d Tm 10 5 Td "
+                % (size, x - 10, y - 5))
+    elif variant == 3:
+        head = (b"BT /F1 %d Tf %d TL 1 0 0 1 %d %d Tm "
+                % (size, LEADING, x, y + LEADING))
+    else:
+        head = b"BT /F1 %d Tf 1 0 0 1 %d %d Tm " % (size, x, y)
     words = text.split(" ")
     if kerned and len(words) >= 2:
         mid = len(words) // 2
         a, b = " ".join(words[:mid]), " ".join(words[mid:])
         return head + b"[(%s) -333 (%s)] TJ ET\n" % (_esc(a), _esc(b))
+    if variant == 3:
+        return head + b"(%s) ' ET\n" % _esc(text)
+    if hexstr:
+        return head + b"<%s> Tj ET\n" % text.encode("utf-8").hex().encode()
     return head + b"(%s) Tj ET\n" % _esc(text)
 
 
@@ -165,9 +193,13 @@ def _page_content(doc_id: int, pno: int, spec: PageSpec) -> bytes:
 
     def add(x, y, size, text):
         nonlocal k
-        kerned = bool(_seed_u64("kern", doc_id, pno, k) & 1)
+        seed = _seed_u64("kern", doc_id, pno, k)
+        kerned = bool(seed & 1)
+        variant = (seed >> 1) & 3      # Tm / TL+T* / Td / TL+'
+        hexstr = bool(seed & 16)
         key = _seed_u64("order", doc_id, pno, k)
-        ops.append((key, _show_op(x, y, size, text, kerned)))
+        ops.append((key, _show_op(x, y, size, text, kerned, variant,
+                                  hexstr)))
         k += 1
 
     if spec.header:

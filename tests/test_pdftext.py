@@ -204,3 +204,39 @@ def test_pipeline_html_path_unaffected():
                          "path</p></body></html>".encode())
     assert r.failed_stage is None
     assert "still html path" in r.extracted_text
+
+
+# ------------------------------------------------------------ fuzzing
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORD = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        exclude_categories=("Cs", "Cc", "Zs", "Zl", "Zp")),
+    min_size=1, max_size=12)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31), st.lists(_WORD, max_size=120))
+def test_fuzz_roundtrip_any_text_any_layout(doc_id, words):
+    """Any text through any seeded layout (all positioning-operator
+    variants, kerned TJ, hex strings, scrambled draw order) must
+    round-trip as a word sequence."""
+    text = " ".join(words)
+    pages = parse_pdf(build_pdf(doc_id, text))
+    got = " ".join(" ".join(p.body.split()) for p in pages).split()
+    got += " ".join(p.footnotes or "" for p in pages).split()
+    assert got == text.split()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_fuzz_parser_never_hangs_or_leaks_exceptions(payload):
+    """Arbitrary bytes behind a %PDF- magic either parse or raise PdfError
+    — never any other exception (the pipeline envelope depends on it)."""
+    try:
+        parse_pdf(b"%PDF-1.4\n" + payload)
+    except PdfError:
+        pass
