@@ -478,6 +478,68 @@ FROM aug
            ipv4=PII_IPV4, phone=PII_PHONE)
 
 
+# --- repetition metrics (Gopher repetition-rule family) ---------------------
+def ta_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition signals: fraction of tokens taken by the most
+    frequent unigram and by the most frequent bigram (floor-scaled x10000
+    ints). The Gopher repetition rules gate on exactly these shapes;
+    corpus-wide this is two explode+agg passes keyed on (doc_id, gram) —
+    partial aggregation collapses each doc's grams map-side, so the
+    shuffle carries one row per DISTINCT gram per doc."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = (docs.filter(F.size(toks) >= 2)
+            .select("doc_id", toks.alias("toks"), F.size(toks).alias("n")))
+
+    uni = (base.select("doc_id", "n", F.explode("toks").alias("g"))
+           .groupBy("doc_id", "n", "g").agg(F.count("*").alias("c"))
+           .groupBy("doc_id")
+           .agg(F.floor(F.lit(10000.0) * F.max("c") / F.first("n"))
+                .cast("long").alias("top_unigram_x10000")))
+    bi_arr = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - 1),
+        lambda i: F.concat(F.element_at("toks", i), F.lit(" "),
+                           F.element_at("toks", i + 1)))
+    bi = (base.select("doc_id", (F.col("n") - 1).alias("nb"),
+                      F.explode(bi_arr).alias("g"))
+          .groupBy("doc_id", "nb", "g").agg(F.count("*").alias("c"))
+          .groupBy("doc_id")
+          .agg(F.floor(F.lit(10000.0) * F.max("c") / F.first("nb"))
+               .cast("long").alias("top_bigram_x10000")))
+    return uni.join(bi, "doc_id")
+
+
+TA_REPETITION_SQL = """
+WITH base AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(text), '\\s+') AS toks
+    FROM documents
+    WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2
+), uni AS (
+    SELECT doc_id,
+           CAST(floor(10000.0 * MAX(c) / ANY_VALUE(n)) AS BIGINT)
+               AS top_unigram_x10000
+    FROM (
+        SELECT doc_id, len(toks) AS n, u.g AS g, COUNT(*) AS c
+        FROM base, unnest(toks) AS u(g)
+        GROUP BY doc_id, len(toks), u.g
+    ) GROUP BY doc_id
+), bi AS (
+    SELECT doc_id,
+           CAST(floor(10000.0 * MAX(c) / ANY_VALUE(nb)) AS BIGINT)
+               AS top_bigram_x10000
+    FROM (
+        SELECT doc_id, len(toks) - 1 AS nb,
+               toks[i] || ' ' || toks[i + 1] AS g, COUNT(*) AS c
+        FROM base, unnest(range(1, len(toks))) AS r(i)
+        GROUP BY doc_id, len(toks) - 1, g
+    ) GROUP BY doc_id
+)
+SELECT uni.doc_id, top_unigram_x10000, top_bigram_x10000
+FROM uni JOIN bi USING (doc_id)
+"""
+
+
 QUERIES: dict = {
     "ta_token_stats": (ta_token_stats, TA_TOKEN_SQL),
     "ta_quality_flags": (ta_quality_flags, TA_QUALITY_SQL),
@@ -491,4 +553,5 @@ QUERIES: dict = {
         ta_langid_pages,
         _fixture_sql("langid_pages.parquet", "url, lang, lang_detected")),
     "ta_pii_scrub": (ta_pii_scrub, TA_PII_SQL),
+    "ta_repetition": (ta_repetition, TA_REPETITION_SQL),
 }
