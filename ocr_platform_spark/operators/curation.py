@@ -25,19 +25,28 @@ from ocr_platform_spark.operators.dedup import (
     DD_CLUSTERS_SQL, DD_EXACT_SQL, dd_clusters, dd_exact)
 from ocr_platform_spark.operators.tables import load
 from ocr_platform_spark.operators.text_analysis import (
-    TA_GOPHER_SQL, TA_SAMPLE_SQL, ta_gopher_quality, ta_sample_split)
+    TA_GOPHER_SQL, TA_REPETITION_SQL, TA_SAMPLE_SQL, ta_gopher_quality,
+    ta_repetition, ta_sample_split)
 
 
 # Quality gate = the FULL Gopher rule set (content-shape checks, the
 # language-aware stopword guard, and the lines-based bullet/ellipsis
 # rules) — gopher_pass from ta_gopher_quality, nothing carved out.
 _QUALITY_GATE = "gopher_pass"
+# Gopher repetition rules (token-level analogues of the paper's
+# most-common-n-gram character fractions): drop docs whose top bigram
+# exceeds 20% of tokens or whose top unigram exceeds 30%. Expressed as an
+# anti-join on FAILURES so docs below ta_repetition's 2-token floor are
+# governed by the word-count gate, not silently dropped here.
+_REP_FAIL = "top_bigram_x10000 > 2000 OR top_unigram_x10000 > 3000"
 
 
 def cx_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     good = (ta_gopher_quality(spark, sf_dir)
             .filter(F.expr(_QUALITY_GATE)).select("doc_id"))
+    rep_fail = (ta_repetition(spark, sf_dir)
+                .filter(F.expr(_REP_FAIL)).select("doc_id"))
     exact_keeps = (dd_exact(spark, sf_dir)
                    .select(F.col("keep_id").alias("doc_id")))
     near_dropped = (dd_clusters(spark, sf_dir)
@@ -45,6 +54,7 @@ def cx_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = ta_sample_split(spark, sf_dir).select("doc_id", "split")
     return (docs.select("doc_id", "lang")
             .join(good, "doc_id", "left_semi")
+            .join(rep_fail, "doc_id", "left_anti")
             .join(exact_keeps, "doc_id", "left_semi")
             .join(near_dropped, "doc_id", "left_anti")
             .join(sampled, "doc_id"))
@@ -56,6 +66,8 @@ FROM documents d
 JOIN (SELECT doc_id, split FROM ({TA_SAMPLE_SQL}) t) s USING (doc_id)
 WHERE d.doc_id IN (SELECT doc_id FROM ({TA_GOPHER_SQL}) g
                    WHERE {_QUALITY_GATE})
+  AND d.doc_id NOT IN (SELECT doc_id FROM ({TA_REPETITION_SQL}) r
+                       WHERE {_REP_FAIL})
   AND d.doc_id IN (SELECT keep_id FROM ({DD_EXACT_SQL}) e)
   AND d.doc_id NOT IN (SELECT doc_id FROM ({DD_CLUSTERS_SQL}) c
                        WHERE NOT is_canonical)

@@ -143,3 +143,39 @@ def test_pii_scrub_finds_injected_pii(spark):
     for r in rows:
         assert r["n_emails"] >= 1 and r["n_ips"] >= 1 and r["n_phones"] >= 1
         assert len(r["masked_md5"]) == 32
+
+
+def test_repetition_rule_catches_spam(spark):
+    """A doc whose top bigram dominates must fail the curation repetition
+    rule; normal prose must pass — Spark and DuckDB agree on both."""
+    import pandas as pd
+
+    from ocr_platform_spark.operators.curation import _REP_FAIL
+    from ocr_platform_spark.operators.text_analysis import (
+        TA_REPETITION_SQL, ta_repetition)
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["buy now " * 40,                      # one bigram, 100%
+                 "the quick brown fox jumps over the lazy dog and then "
+                 "rests under a tall green tree near the calm river",
+                 "word " * 30],                        # one unigram, 100%
+    })
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    sf = tempfile.mkdtemp()
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet",
+                                              mode="overwrite")
+    rep = {r["doc_id"]: r for r in ta_repetition(spark, sf).collect()}
+    fails = {r["doc_id"] for r in
+             ta_repetition(spark, sf).filter(F.expr(_REP_FAIL)).collect()}
+    assert fails == {1, 3}
+    assert rep[2]["top_bigram_x10000"] <= 2000
+    con = duckdb.connect()
+    con.register("documents", docs)
+    oracle_fails = {r[0] for r in con.sql(
+        f"SELECT doc_id FROM ({TA_REPETITION_SQL}) WHERE {_REP_FAIL}"
+    ).fetchall()}
+    assert oracle_fails == {1, 3}
