@@ -240,3 +240,33 @@ def test_fuzz_parser_never_hangs_or_leaks_exceptions(payload):
         parse_pdf(b"%PDF-1.4\n" + payload)
     except PdfError:
         pass
+
+
+# ------------------------------------------------------- byte-golden pin
+
+def test_golden_pdf_bytes_parse_to_pinned_output():
+    """Round-trips cannot catch COORDINATED writer+parser drift (both
+    moving together still round-trips). This pins the parser against
+    checked-in PDF BYTES and the writer against the same pinned parse:
+    two-column page, header, footnotes, page numbers, all operator
+    variants."""
+    import json
+    from pathlib import Path
+
+    fx = Path(__file__).parent / "fixtures"
+    want = json.load(open(fx / "pdf_golden.json"))
+    got = parse_pdf((fx / "pdf_golden.pdf").read_bytes())
+    as_dicts = [{"page_no": p.page_no, "header": p.header, "body": p.body,
+                 "footnotes": p.footnotes, "page_number": p.page_number,
+                 "n_columns": p.n_columns, "n_lines": p.n_lines}
+                for p in got]
+    assert as_dicts == want["pages"]
+    assert got[0].n_columns == 2 and got[0].header and got[-1].footnotes
+    # the writer, rebuilt from the pinned inputs, must parse identically
+    # (byte-equality would pin zlib's compressor; parse-equality is the
+    # semantic contract)
+    rebuilt = [{"page_no": p.page_no, "header": p.header, "body": p.body,
+                "footnotes": p.footnotes, "page_number": p.page_number,
+                "n_columns": p.n_columns, "n_lines": p.n_lines}
+               for p in parse_pdf(build_pdf(want["doc_id"], want["text"]))]
+    assert rebuilt == want["pages"]
