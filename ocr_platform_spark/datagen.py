@@ -174,12 +174,14 @@ def gen_batch(start: int, end: int, seed: int = 42) -> list[dict]:
 
 
 def gen_media(doc_index: int, seed: int = 42) -> dict:
-    """Deterministic media-table row: a small synthetic PNG or baseline-JPEG
-    payload (pure function of (doc_index, seed), like gen_document). Every
-    3rd row (when 1- or 3-channel) encodes as JPEG — the web's dominant
-    format — the rest as PNG. Every 13th row is truncated and every 17th
-    carries the *other* format's magic over its body — the decode error
-    envelope must route those, never drop them."""
+    """Deterministic media-table row: a small synthetic PNG, baseline-JPEG
+    or GIF payload (pure function of (doc_index, seed), like gen_document).
+    index%3==1 rows (when 1- or 3-channel) encode as JPEG — the web's
+    dominant format; index%3==2 rows as GIF (palette+LZW); the rest as
+    PNG. Every 13th row is truncated and every 17th carries a *foreign*
+    format's magic over its body — the decode error envelope must route
+    those, never drop them."""
+    from ocr_platform_spark.functions.gif import encode_gif
     from ocr_platform_spark.functions.jpeg import encode_jpeg
     from ocr_platform_spark.functions.png import encode_png
 
@@ -194,18 +196,23 @@ def gen_media(doc_index: int, seed: int = 42) -> dict:
             for c in range(channels):
                 px.append((base + 7 * x + 13 * y + 29 * c
                            + rng.randrange(8)) & 0xFF)
-    # JPEG supports 1/3 channels; RGBA rows stay PNG
+    # JPEG supports 1/3 channels; RGBA rows stay PNG/GIF
     as_jpeg = doc_index % 3 == 1 and channels in (1, 3)
+    as_gif = doc_index % 3 == 2
     if as_jpeg:
         payload = encode_jpeg(w, h, channels, bytes(px))
+        ext = "jpg"
+    elif as_gif:
+        payload = encode_gif(w, h, channels, bytes(px))
+        ext = "gif"
     else:
         payload = encode_png(w, h, channels, bytes(px))
-    ext = "jpg" if as_jpeg else "png"
+        ext = "png"
     url = f"https://img.example.org/m/{doc_index}.{ext}"
     if doc_index % 13 == 5:
         payload = payload[: len(payload) * 2 // 3]   # truncated
     elif doc_index % 17 == 3:
         # foreign magic over the wrong body: the sniffed codec must reject
-        other = b"\x89PNG\r\n\x1a\n" if as_jpeg else b"\xff\xd8\xff"
+        other = b"\x89PNG\r\n\x1a\n" if ext != "png" else b"\xff\xd8\xff"
         payload = other + payload[len(other):]
     return {"url": url, "media": payload}

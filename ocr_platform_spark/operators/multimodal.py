@@ -2,10 +2,10 @@
 
 Images/audio/video ride through the engine as BinaryType columns with a
 struct of metadata; decode / feature-extraction runs in Arrow-batched
-``mapInPandas`` kernels. ``decode_image`` is REAL for PNG and baseline
-JPEG (pure stdlib+numpy codecs, functions/png.py and functions/jpeg.py);
-GIF/audio/video raise NotImplementedError (no codecs in this container),
-while everything Spark-side — schema, batching, partitioning, UDF
+``mapInPandas`` kernels. ``decode_image`` is REAL for PNG, baseline
+JPEG and GIF (pure stdlib+numpy codecs: functions/png.py, functions/
+jpeg.py, functions/gif.py); audio/video raise NotImplementedError (no
+codecs in this container), while everything Spark-side — schema, batching, partitioning, UDF
 signatures — is real and tested for every format.
 
 The reference's analogue is the page-rasterization path
@@ -56,11 +56,12 @@ def sniff_format(payload: bytes) -> str | None:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Real decode for PNG (functions/png.py) and baseline-sequential JPEG
-    (functions/jpeg.py) payloads — both pure stdlib+numpy codecs →
-    (width, height, channels, raw pixels). GIF/audio/video remain declared
-    stubs: their codecs are not installed in this container; on a cluster
-    with codec libraries, extend the dispatch here."""
+    """Real decode for PNG (functions/png.py), baseline-sequential JPEG
+    (functions/jpeg.py) and GIF (functions/gif.py) payloads — pure
+    stdlib+numpy codecs → (width, height, channels, raw pixels).
+    Audio/video remain declared stubs: their codecs are not installed in
+    this container; on a cluster with codec libraries, extend the
+    dispatch here."""
     fmt = sniff_format(payload)
     if fmt == "png":
         from ocr_platform_spark.functions.png import decode_png
@@ -70,9 +71,13 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         from ocr_platform_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if fmt == "gif":
+        from ocr_platform_spark.functions.gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
         f"no codec for format {fmt!r} in this environment "
-        "(only the pure-stdlib PNG and baseline-JPEG decoders are "
+        "(only the pure-stdlib PNG, baseline-JPEG and GIF decoders are "
         "available)")
 
 

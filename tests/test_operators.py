@@ -150,9 +150,11 @@ def test_media_features(spark):
 
 
 def test_decode_dispatch():
-    """PNG and JPEG payloads really decode (pure-stdlib codecs); malformed
-    payloads raise the codec error; formats with no installed codec stay
-    declared stubs."""
+    """PNG, JPEG and GIF payloads really decode (pure-stdlib codecs);
+    malformed payloads raise the codec error; formats with no installed
+    codec stay declared stubs."""
+    from ocr_platform_spark.functions.gif import (
+        GifError, decode_gif, encode_gif)
     from ocr_platform_spark.functions.jpeg import (
         JpegError, decode_jpeg, encode_jpeg)
     from ocr_platform_spark.functions.png import PngError, encode_png
@@ -162,12 +164,16 @@ def test_decode_dispatch():
     assert (w, h, ch, px) == (2, 2, 3, bytes(range(12)))
     jblob = encode_jpeg(8, 8, 1, bytes(64))
     assert decode_image(jblob) == decode_jpeg(jblob)
+    gblob = encode_gif(4, 4, 3, bytes(48))
+    assert decode_image(gblob) == decode_gif(gblob)
     with pytest.raises(PngError):
         decode_image(b"\x89PNG\r\n\x1a\nxxxx")   # malformed PNG
     with pytest.raises(JpegError):
         decode_image(b"\xff\xd8\xff not a real jpeg body")
+    with pytest.raises(GifError):
+        decode_image(b"GIF89a corrupt gif body here")
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a no gif codec here")
+        decode_image(b"RIFF....WAVE no audio codec")
 
 
 def test_simhash_vectorized_matches_naive_loop():
