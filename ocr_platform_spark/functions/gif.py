@@ -7,9 +7,10 @@ it quantizes RGB to the fixed 3-3-2 palette (grayscale maps through the
 same palette), so encode→decode is exactly reproducible in pure Python —
 the fixture-oracle property every codec here must have. The decoder
 handles what the format commonly carries: global/local color tables,
-extension blocks (skipped), non-interlaced LZW image data with full
-code-table growth/reset semantics. Interlaced images and animation
-beyond the first frame raise ``GifError`` (declared bounds, tested).
+extension blocks (skipped), LZW image data with full code-table
+growth/reset semantics, interlaced row order (appendix-E four-pass).
+Animation beyond the first frame is out of scope (first frame decoded,
+rest ignored — the feature-extraction contract).
 
 Reference seam: the rasterization path (apps/queue/src/lib/ocr.ts:56-71)
 — image bytes → pixels; GIF is the third format a web crawl actually
@@ -214,8 +215,7 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
     pos += 9
     if w == 0 or h == 0 or w * h > MAX_PIXELS:
         raise GifError("image exceeds pixel cap")
-    if iflags & 0x40:
-        raise GifError("interlaced GIF not supported")
+    interlaced = bool(iflags & 0x40)
     table = gct
     if iflags & 0x80:
         size = 2 << (iflags & 7)
@@ -244,6 +244,16 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
             raise GifError("truncated image data")
         pos += ln
     indices = _lzw_decode(bytes(lzw), min_code, w * h)
+    if interlaced:
+        # GIF89a appendix E: rows arrive in four passes (start 0 step 8,
+        # start 4 step 8, start 2 step 4, start 1 step 2)
+        rows = bytearray(w * h)
+        src = 0
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            for y in range(start, h, step):
+                rows[y * w:(y + 1) * w] = indices[src:src + w]
+                src += w
+        indices = bytes(rows)
     ncolors = len(table) // 3
     rgb = bytearray(w * h * 3)
     for i, ix in enumerate(indices):

@@ -71,13 +71,31 @@ def test_truncated_variants_raise_giferror():
             decode_gif(good[:cut])
 
 
-def test_interlaced_rejected():
-    good = bytearray(encode_gif(4, 4, 3, bytes(48)))
-    # image descriptor flags byte sits right after 0x2C + 8 bytes
-    at = good.index(b"\x2c") + 9
-    good[at] |= 0x40
-    with pytest.raises(GifError, match="interlaced"):
-        decode_gif(bytes(good))
+def test_interlaced_rows_reordered():
+    """Encode a 8x8 gradient, rewrite the payload as interlaced (permute
+    the index rows into GIF pass order + set the interlace flag): the
+    decoder must reproduce the original sequential image."""
+    w = h = 8
+    px = bytes((x * 8 + y * 32) & 0xFF
+               for y in range(h) for x in range(w) for _ in range(3))
+    sequential = decode_gif(encode_gif(w, h, 3, px))[3]
+
+    idx = quantize_332(w, h, 3, px)
+    order = ([y for y in range(0, h, 8)] + [y for y in range(4, h, 8)]
+             + [y for y in range(2, h, 4)] + [y for y in range(1, h, 2)])
+    permuted = b"".join(idx[y * w:(y + 1) * w] for y in order)
+    from ocr_platform_spark.functions.gif import _PALETTE as PAL, _lzw_encode
+    out = bytearray(b"GIF89a" + w.to_bytes(2, "little")
+                    + h.to_bytes(2, "little") + bytes((0xF7, 0, 0)) + PAL)
+    out += (b"\x2c" + bytes(4) + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little") + b"\x40")        # interlace flag
+    out.append(8)
+    lzw = _lzw_encode(permuted)
+    for i in range(0, len(lzw), 255):
+        out.append(len(lzw[i:i + 255]))
+        out += lzw[i:i + 255]
+    out += b"\x00\x3b"
+    assert decode_gif(bytes(out))[3] == sequential
 
 
 def test_decode_image_dispatch_and_media_mix():
