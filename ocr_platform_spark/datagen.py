@@ -184,8 +184,23 @@ def gen_media(doc_index: int, seed: int = 42) -> dict:
     from ocr_platform_spark.functions.gif import encode_gif
     from ocr_platform_spark.functions.jpeg import encode_jpeg
     from ocr_platform_spark.functions.png import encode_png
+    from ocr_platform_spark.functions.wav import encode_wav
 
     rng = random.Random((seed << 32) ^ (doc_index * 2654435761))
+    if doc_index % 7 == 4:
+        # audio row: deterministic integer triangle-ish waveform
+        rate = rng.choice([8000, 16000, 44100])
+        ch = rng.choice([1, 2])
+        n = (64 + rng.randrange(192)) * ch
+        freq = 3 + rng.randrange(29)
+        samples = [(((i * freq) % 256) - 128) * 137 for i in range(n)]
+        payload = encode_wav(rate, ch, samples)
+        url = f"https://img.example.org/m/{doc_index}.wav"
+        if doc_index % 13 == 5:
+            payload = payload[: len(payload) * 2 // 3]
+        elif doc_index % 17 == 3:
+            payload = b"\x89PNG\r\n\x1a\n" + payload[8:]
+        return {"url": url, "media": payload}
     w = 16 + rng.randrange(17)          # 16..32
     h = 12 + rng.randrange(13)          # 12..24
     channels = rng.choice([1, 3, 3, 4])  # gray/RGB/RGBA mix

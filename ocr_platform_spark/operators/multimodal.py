@@ -4,9 +4,10 @@ Images/audio/video ride through the engine as BinaryType columns with a
 struct of metadata; decode / feature-extraction runs in Arrow-batched
 ``mapInPandas`` kernels. ``decode_image`` is REAL for PNG, baseline
 JPEG and GIF (pure stdlib+numpy codecs: functions/png.py, functions/
-jpeg.py, functions/gif.py); audio/video raise NotImplementedError (no
-codecs in this container), while everything Spark-side — schema, batching, partitioning, UDF
-signatures — is real and tested for every format.
+jpeg.py, functions/gif.py) and ``media_audio`` decodes RIFF/WAVE PCM for
+real (functions/wav.py); video remains the one declared stub (no codec
+in this container), while everything Spark-side — schema, batching,
+partitioning, UDF signatures — is real and tested for every format.
 
 The reference's analogue is the page-rasterization path
 (apps/queue/src/lib/ocr.ts:56-71: PDF page → PNG buffer → base64) and the
@@ -187,3 +188,56 @@ def media_decode(media: DataFrame) -> DataFrame:
     (the same never-drop envelope as extraction)."""
     return media.select("url", "media").mapInPandas(
         _decode_kernel, schema=MEDIA_DECODE_SCHEMA)
+
+
+# --- real decode path (audio: RIFF/WAVE PCM) -------------------------------
+
+MEDIA_AUDIO_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("channels", IntegerType(), True),
+    StructField("n_frames", IntegerType(), True),
+    StructField("duration_ms", LongType(), True),
+    # integer micro-units again: (sum(|s|)*1e6)//n and max|s| — exact
+    StructField("mean_abs_x1e6", LongType(), True),
+    StructField("peak_abs", IntegerType(), True),
+    StructField("decode_error", StringType(), True),
+])
+
+
+def audio_stats(payload: bytes) -> tuple:
+    """(rate, channels, n_frames, duration_ms, mean_abs_x1e6, peak) via
+    the pure-stdlib WAV decoder. Pure function of bytes — the
+    fixture-oracle side calls exactly this. Raises WavError on anything
+    that is not integer-PCM WAV (images land here too: the audio kernel
+    and the image kernel reject each other's formats symmetrically)."""
+    from ocr_platform_spark.functions.wav import decode_wav
+
+    rate, ch, n_frames, samples = decode_wav(payload)
+    n = len(samples)
+    total = sum(abs(s) for s in samples)
+    return (rate, ch, n_frames, n_frames * 1000 // rate,
+            total * 10 ** 6 // max(n, 1),
+            max((abs(s) for s in samples), default=0))
+
+
+def _audio_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in MEDIA_AUDIO_SCHEMA.fields]
+    for pdf in batches:
+        out = []
+        for url, payload in zip(pdf["url"], pdf["media"]):
+            try:
+                rate, ch, nf, ms, mean, peak = audio_stats(
+                    bytes(payload or b""))
+                out.append((url, rate, ch, nf, ms, mean, peak, None))
+            except Exception as e:  # never-drop
+                out.append((url, None, None, None, None, None, None,
+                            f"{type(e).__name__}: {e}"))
+        yield pd.DataFrame(out, columns=cols)
+
+
+def media_audio(media: DataFrame) -> DataFrame:
+    """media(url, media:binary) → PCM geometry + amplitude stats; non-WAV
+    payloads (the table's images) carry decode_error instead of dropping."""
+    return media.select("url", "media").mapInPandas(
+        _audio_kernel, schema=MEDIA_AUDIO_SCHEMA)

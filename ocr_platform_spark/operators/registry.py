@@ -69,6 +69,15 @@ def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("f0_u32"))
 
 
+def _mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE PCM decode over the media table's audio rows; image
+    rows route into decode_error (symmetric to mm_decode rejecting WAVs)."""
+    from ocr_platform_spark.operators.multimodal import media_audio
+    from ocr_platform_spark.sources.pages import media_df
+
+    return media_audio(media_df(spark, 200))
+
+
 def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode over the synthetic media table (pure-stdlib codec);
     truncated/foreign payloads route into decode_error, never dropped."""
@@ -92,6 +101,7 @@ def all_entries() -> dict[str, tuple[Callable, str | None]]:
             out[name] = (fn, sql)
     out["mm_features"] = (_mm_features, fixture_sql("mm_features.parquet"))
     out["mm_decode"] = (_mm_decode, fixture_sql("mm_decode.parquet"))
+    out["mm_audio"] = (_mm_audio, fixture_sql("mm_audio.parquet"))
     return out
 
 

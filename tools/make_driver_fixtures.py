@@ -209,6 +209,32 @@ def ann_ivf_topk() -> None:
     }))
 
 
+def mm_audio() -> None:
+    from ocr_platform_spark.datagen import gen_media
+    from ocr_platform_spark.operators.multimodal import audio_stats
+
+    rows = []
+    for i in range(MM_DOCS):
+        d = gen_media(i, seed=SEED)
+        try:
+            rate, ch, nf, ms, mean, peak = audio_stats(bytes(d["media"]))
+            rows.append((d["url"], rate, ch, nf, ms, mean, peak, None))
+        except Exception as e:
+            rows.append((d["url"], None, None, None, None, None, None,
+                         f"{type(e).__name__}: {e}"))
+    cols = list(zip(*rows))
+    _write("mm_audio.parquet", pa.table({
+        "url": pa.array(cols[0], pa.string()),
+        "sample_rate": pa.array(cols[1], pa.int32()),
+        "channels": pa.array(cols[2], pa.int32()),
+        "n_frames": pa.array(cols[3], pa.int32()),
+        "duration_ms": pa.array(cols[4], pa.int64()),
+        "mean_abs_x1e6": pa.array(cols[5], pa.int64()),
+        "peak_abs": pa.array(cols[6], pa.int32()),
+        "decode_error": pa.array(cols[7], pa.string()),
+    }))
+
+
 def extract_pdf_pages() -> None:
     """Pure-Python recomputation of the PDF render→layout-parse pipeline
     over sf0.01 documents (operators/pdf_extract.py runs the identical
@@ -247,3 +273,4 @@ if __name__ == "__main__":
     ta_bpe_tokens()
     ann_ivf_topk()
     extract_pdf_pages()
+    mm_audio()
