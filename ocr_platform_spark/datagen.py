@@ -184,9 +184,25 @@ def gen_media(doc_index: int, seed: int = 42) -> dict:
     from ocr_platform_spark.functions.gif import encode_gif
     from ocr_platform_spark.functions.jpeg import encode_jpeg
     from ocr_platform_spark.functions.png import encode_png
+    from ocr_platform_spark.functions.avi import encode_avi
     from ocr_platform_spark.functions.wav import encode_wav
 
     rng = random.Random((seed << 32) ^ (doc_index * 2654435761))
+    if doc_index % 11 == 6 and doc_index % 7 != 4:
+        # video row: 2-5 small deterministic MJPEG frames in an AVI
+        w, h = 16, 12
+        n_frames = 2 + rng.randrange(4)
+        frames = [encode_jpeg(w, h, 3, bytes(
+            (17 * x + 13 * y + 71 * k + rng.randrange(4)) & 0xFF
+            for y in range(h) for x in range(w) for _ in range(3)))
+            for k in range(n_frames)]
+        payload = encode_avi(frames, fps=10, w=w, h=h)
+        url = f"https://img.example.org/m/{doc_index}.avi"
+        if doc_index % 13 == 5:
+            payload = payload[: len(payload) * 2 // 3]
+        elif doc_index % 17 == 3:
+            payload = b"\x89PNG\r\n\x1a\n" + payload[8:]
+        return {"url": url, "media": payload}
     if doc_index % 7 == 4:
         # audio row: deterministic integer triangle-ish waveform
         rate = rng.choice([8000, 16000, 44100])

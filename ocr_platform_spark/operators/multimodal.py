@@ -4,10 +4,12 @@ Images/audio/video ride through the engine as BinaryType columns with a
 struct of metadata; decode / feature-extraction runs in Arrow-batched
 ``mapInPandas`` kernels. ``decode_image`` is REAL for PNG, baseline
 JPEG and GIF (pure stdlib+numpy codecs: functions/png.py, functions/
-jpeg.py, functions/gif.py) and ``media_audio`` decodes RIFF/WAVE PCM for
-real (functions/wav.py); video remains the one declared stub (no codec
-in this container), while everything Spark-side — schema, batching,
-partitioning, UDF signatures — is real and tested for every format.
+jpeg.py, functions/gif.py); ``media_audio`` decodes RIFF/WAVE PCM for
+real (functions/wav.py); ``media_video`` walks MJPEG-in-AVI containers
+and samples frames through the JPEG codec (functions/avi.py) — every
+modality decodes for real within its declared codec subset; everything
+Spark-side — schema, batching, partitioning, UDF signatures — is real
+and tested for every format.
 
 The reference's analogue is the page-rasterization path
 (apps/queue/src/lib/ocr.ts:56-71: PDF page → PNG buffer → base64) and the
@@ -241,3 +243,52 @@ def media_audio(media: DataFrame) -> DataFrame:
     payloads (the table's images) carry decode_error instead of dropping."""
     return media.select("url", "media").mapInPandas(
         _audio_kernel, schema=MEDIA_AUDIO_SCHEMA)
+
+
+# --- real decode path (video: MJPEG-in-AVI frame sampling) ------------------
+
+MEDIA_VIDEO_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("n_frames", IntegerType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("channels", IntegerType(), True),
+    # middle frame's overall pixel mean, integer micro-units (exact)
+    StructField("mid_mean_x1e6", LongType(), True),
+    StructField("decode_error", StringType(), True),
+])
+
+
+def video_stats(payload: bytes) -> tuple:
+    """(n_frames, w, h, ch, mid_mean_x1e6) — frame COUNT from the
+    container walk, pixel stats from SAMPLING only the middle frame (the
+    100 TB contract: never decode every frame of every clip). Pure
+    function of bytes; the fixture-oracle side calls exactly this."""
+    from ocr_platform_spark.functions.avi import decode_avi_frames
+    from ocr_platform_spark.functions.jpeg import decode_jpeg
+
+    frames = decode_avi_frames(payload)
+    w, h, ch, px = decode_jpeg(frames[len(frames) // 2])
+    return (len(frames), w, h, ch,
+            sum(px) * 10 ** 6 // max(len(px), 1))
+
+
+def _video_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in MEDIA_VIDEO_SCHEMA.fields]
+    for pdf in batches:
+        out = []
+        for url, payload in zip(pdf["url"], pdf["media"]):
+            try:
+                nf, w, h, ch, mean = video_stats(bytes(payload or b""))
+                out.append((url, nf, w, h, ch, mean, None))
+            except Exception as e:  # never-drop
+                out.append((url, None, None, None, None, None,
+                            f"{type(e).__name__}: {e}"))
+        yield pd.DataFrame(out, columns=cols)
+
+
+def media_video(media: DataFrame) -> DataFrame:
+    """media(url, media:binary) → frame count + sampled-frame stats;
+    non-AVI payloads carry decode_error instead of dropping."""
+    return media.select("url", "media").mapInPandas(
+        _video_kernel, schema=MEDIA_VIDEO_SCHEMA)

@@ -78,6 +78,15 @@ def _mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_audio(media_df(spark, 200))
 
 
+def _mm_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MJPEG-AVI frame sampling over the media table's video rows;
+    everything else routes into decode_error (never-drop)."""
+    from ocr_platform_spark.operators.multimodal import media_video
+    from ocr_platform_spark.sources.pages import media_df
+
+    return media_video(media_df(spark, 200))
+
+
 def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode over the synthetic media table (pure-stdlib codec);
     truncated/foreign payloads route into decode_error, never dropped."""
@@ -102,6 +111,7 @@ def all_entries() -> dict[str, tuple[Callable, str | None]]:
     out["mm_features"] = (_mm_features, fixture_sql("mm_features.parquet"))
     out["mm_decode"] = (_mm_decode, fixture_sql("mm_decode.parquet"))
     out["mm_audio"] = (_mm_audio, fixture_sql("mm_audio.parquet"))
+    out["mm_video"] = (_mm_video, fixture_sql("mm_video.parquet"))
     return out
 
 

@@ -235,6 +235,31 @@ def mm_audio() -> None:
     }))
 
 
+def mm_video() -> None:
+    from ocr_platform_spark.datagen import gen_media
+    from ocr_platform_spark.operators.multimodal import video_stats
+
+    rows = []
+    for i in range(MM_DOCS):
+        d = gen_media(i, seed=SEED)
+        try:
+            nf, w, h, ch, mean = video_stats(bytes(d["media"]))
+            rows.append((d["url"], nf, w, h, ch, mean, None))
+        except Exception as e:
+            rows.append((d["url"], None, None, None, None, None,
+                         f"{type(e).__name__}: {e}"))
+    cols = list(zip(*rows))
+    _write("mm_video.parquet", pa.table({
+        "url": pa.array(cols[0], pa.string()),
+        "n_frames": pa.array(cols[1], pa.int32()),
+        "width": pa.array(cols[2], pa.int32()),
+        "height": pa.array(cols[3], pa.int32()),
+        "channels": pa.array(cols[4], pa.int32()),
+        "mid_mean_x1e6": pa.array(cols[5], pa.int64()),
+        "decode_error": pa.array(cols[6], pa.string()),
+    }))
+
+
 def extract_pdf_pages() -> None:
     """Pure-Python recomputation of the PDF render→layout-parse pipeline
     over sf0.01 documents (operators/pdf_extract.py runs the identical
@@ -274,3 +299,4 @@ if __name__ == "__main__":
     ann_ivf_topk()
     extract_pdf_pages()
     mm_audio()
+    mm_video()
