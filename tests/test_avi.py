@@ -83,3 +83,25 @@ def test_video_stats_media_mix():
                 video_stats(bytes(d["media"]))
             saw_rejected = True
     assert saw_video and saw_rejected
+
+
+def test_fuzz_codecs_raise_only_their_stable_errors():
+    """Arbitrary bytes behind each container magic must parse or raise the
+    codec's OWN error type — struct.error/IndexError leaking out would
+    put unstable messages into the oracled decode_error columns."""
+    import random
+
+    from ocr_platform_spark.functions.gif import GifError, decode_gif
+    from ocr_platform_spark.functions.wav import WavError, decode_wav
+
+    rng = random.Random(1)
+    for _ in range(500):
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(160)))
+        for magic, fn, err in (
+                (b"GIF89a", decode_gif, GifError),
+                (b"RIFF" + body[:4] + b"WAVE", decode_wav, WavError),
+                (b"RIFF" + body[:4] + b"AVI ", decode_avi_frames, AviError)):
+            try:
+                fn(magic + body)
+            except err:
+                pass
