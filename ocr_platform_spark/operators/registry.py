@@ -102,6 +102,25 @@ def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "thumb4x4", "decode_error")
 
 
+def _warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container ingestion (the Common-Crawl source format) over the
+    committed fixture crawl: 3 clean CC-style files + hostile/corrupt ones.
+    Every parse_error branch lands as a row (never-drop); oracle is the
+    pure-Python kernel's parse of the same bytes. Scale-free (fixture
+    input), like mm_*."""
+    from pyspark.sql import functions as F
+    from ocr_platform_spark.sources.warc import FIXTURE_DIR, read_warc
+
+    df = read_warc(spark, str(FIXTURE_DIR / "*.warc.gz"))
+    return df.select(
+        F.element_at(F.split("warc_file", "/"), -1).alias("warc_file"),
+        "record_index", "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_iso"),
+        F.sha2("html", 256).alias("html_sha256"),
+        F.length("html").cast("int").alias("n_bytes"),
+        "http_status", "content_type", "parse_error")
+
+
 def all_entries() -> dict[str, tuple[Callable, str | None]]:
     out: dict[str, tuple[Callable, str | None]] = {}
     for mod in _modules():
@@ -112,6 +131,7 @@ def all_entries() -> dict[str, tuple[Callable, str | None]]:
     out["mm_decode"] = (_mm_decode, fixture_sql("mm_decode.parquet"))
     out["mm_audio"] = (_mm_audio, fixture_sql("mm_audio.parquet"))
     out["mm_video"] = (_mm_video, fixture_sql("mm_video.parquet"))
+    out["warc_ingest"] = (_warc_ingest, fixture_sql("warc_ingest.parquet"))
     return out
 
 

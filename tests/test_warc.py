@@ -1,0 +1,187 @@
+"""WARC ingestion source (sources/warc.py): pure-kernel vectors, hostile
+payloads (never-drop, stable error strings), Spark↔pure parity, and the
+pages-shape projection. Reference analogue: the document-fetch source edge
+(apps/queue/src/lib/ocr.ts:15-33) — here the crawl container format itself."""
+
+import gzip
+import random
+
+import pytest
+
+from ocr_platform_spark.datagen import gen_document
+from ocr_platform_spark.sources.warc import (
+    FIXTURE_DIR, MAX_RECORD_BYTES, http_response_bytes,
+    make_warc_fixture_files, parse_warc, read_warc, response_record,
+    warc_pages, warc_record_bytes, warcinfo_record, write_warc,
+)
+
+TS = "2026-02-03T04:05:06Z"
+
+
+def _gz(*records: bytes) -> bytes:
+    return b"".join(gzip.compress(r, mtime=0) for r in records)
+
+
+# --------------------------------------------------------------------------
+# pure kernel
+# --------------------------------------------------------------------------
+
+def test_roundtrip_byte_identical():
+    recs, origs = [], []
+    for i in range(25):
+        d = gen_document(i, 42)
+        ts = d["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+        recs.append(response_record(d["url"], ts, bytes(d["html"])))
+        origs.append((d["url"], ts, bytes(d["html"])))
+    rows = parse_warc(_gz(*recs), "rt")
+    assert len(rows) == 25
+    for r, (u, ts, h) in zip(rows, origs):
+        assert (r["url"], r["warc_date"], r["html"]) == (u, ts, h)
+        assert r["http_status"] == 200 and r["parse_error"] is None
+
+
+def test_record_spanning_gzip_members():
+    r = response_record("https://x/span", TS, b"<html>" + b"y" * 300)
+    data = _gz(r[:137]) + _gz(r[137:])
+    rows = parse_warc(data, "s")
+    assert len(rows) == 1 and rows[0]["parse_error"] is None
+    assert rows[0]["html"] == b"<html>" + b"y" * 300
+
+
+def test_single_member_multi_record_and_bare():
+    recs = [response_record(f"https://x/{i}", TS, b"<p>a</p>")
+            for i in range(3)]
+    # whole file as ONE gzip member (non-CC layout) and uncompressed
+    for data in (gzip.compress(b"".join(recs), mtime=0), b"".join(recs)):
+        rows = parse_warc(data, "m")
+        assert [r["url"] for r in rows] == [f"https://x/{i}" for i in range(3)]
+
+
+def test_non_response_records_skipped_but_indexed():
+    data = _gz(warcinfo_record("f.warc.gz"),
+               warc_record_bytes("request", {
+                   "WARC-Target-URI": "https://x/r", "WARC-Date": TS},
+                   b"GET / HTTP/1.1\r\n\r\n"),
+               response_record("https://x/keep", TS, b"<p>k</p>"))
+    rows = parse_warc(data, "skip")
+    assert len(rows) == 1
+    assert rows[0]["url"] == "https://x/keep"
+    assert rows[0]["record_index"] == 2  # gaps are auditable
+
+
+@pytest.mark.parametrize("data,err", [
+    (b"\x1f\x8b\x08garbage-not-gzip" + b"\x00" * 32, "bad gzip member"),
+    (b"PK\x03\x04zipfile", "not a warc file"),
+    (b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: nope\r\n\r\nx",
+     "bad content-length"),
+    (b"WARC/1.0\r\nWARC-Type: response\r\n\r\n", "bad content-length"),
+    (b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: "
+     + str(MAX_RECORD_BYTES + 1).encode() + b"\r\n\r\n",
+     "record exceeds MAX_RECORD_BYTES"),
+])
+def test_hostile_payloads_stable_errors(data, err):
+    rows = parse_warc(data, "h")
+    assert rows[-1]["parse_error"] == err
+
+
+def test_truncated_record_and_file_stops():
+    full = response_record("https://x/t", TS, b"<html>" + b"z" * 200)
+    rows = parse_warc(_gz(full[: len(full) // 2]), "t")
+    assert rows == [{"warc_file": "t", "record_index": 0, "url": None,
+                     "warc_date": None, "html": None, "http_status": None,
+                     "content_type": None, "parse_error": "truncated record"}]
+
+
+def test_http_edge_cases_kept_never_dropped():
+    recs = [
+        response_record("https://x/404", TS, b"<html>gone</html>",
+                        status=404),
+        warc_record_bytes("response", {
+            "WARC-Target-URI": "https://x/badhttp", "WARC-Date": TS,
+            "Content-Type": "application/http; msgtype=response",
+        }, b"NOT-HTTP\r\n\r\nbody"),
+        warc_record_bytes("response", {
+            "WARC-Target-URI": "https://x/baddate",
+            "WARC-Date": "yesterday",
+            "Content-Type": "application/http; msgtype=response",
+        }, http_response_bytes(b"<p>d</p>")),
+        warc_record_bytes("response", {
+            "WARC-Target-URI": "https://x/raw", "WARC-Date": TS,
+            "Content-Type": "text/html"}, b"<p>no http</p>"),
+    ]
+    rows = parse_warc(_gz(*recs), "e")
+    by_url = {r["url"]: r for r in rows}
+    assert by_url["https://x/404"]["http_status"] == 404
+    assert by_url["https://x/badhttp"]["parse_error"] == "bad http status line"
+    assert by_url["https://x/baddate"]["parse_error"] == "bad warc-date"
+    assert by_url["https://x/baddate"]["http_status"] == 200
+    assert by_url["https://x/raw"]["parse_error"] == "bad http framing"
+    assert by_url["https://x/raw"]["html"] == b"<p>no http</p>"
+
+
+def test_fuzz_never_raises():
+    rng = random.Random(7)
+    for _ in range(200):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(400)))
+        assert isinstance(parse_warc(blob, "f"), list)
+        assert isinstance(parse_warc(gzip.compress(blob, mtime=0), "fg"), list)
+
+
+def test_fixture_files_deterministic(tmp_path):
+    """Committed fixture bytes are a pure function of (n_pages, seed)."""
+    made = make_warc_fixture_files(tmp_path)
+    for f in made:
+        committed = FIXTURE_DIR / f.name
+        assert committed.exists(), f"{f.name} not committed — run " \
+            "tools/make_driver_fixtures.py"
+        assert f.read_bytes() == committed.read_bytes(), \
+            f"{f.name} drifted from the generator"
+
+
+# --------------------------------------------------------------------------
+# Spark wrapper
+# --------------------------------------------------------------------------
+
+def test_read_warc_matches_pure_parse(spark):
+    df = read_warc(spark, str(FIXTURE_DIR / "*.warc.gz"))
+    got = sorted(
+        (r["warc_file"].rsplit("/", 1)[-1], r["record_index"], r["url"],
+         bytes(r["html"]) if r["html"] is not None else None,
+         r["http_status"], r["content_type"], r["parse_error"])
+        for r in df.collect())
+    want = sorted(
+        (f.name, r["record_index"], r["url"], r["html"], r["http_status"],
+         r["content_type"], r["parse_error"])
+        for f in FIXTURE_DIR.glob("*.warc.gz")
+        for r in parse_warc(f.read_bytes(), source=f.name))
+    assert got == want
+
+
+def test_warc_pages_projection(spark, tmp_path):
+    recs = []
+    for i in range(8):
+        d = gen_document(i, 42)
+        ts = d["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+        recs.append(response_record(d["url"], ts, bytes(d["html"])))
+    recs.append(response_record("https://x/404", TS, b"x", status=404))
+    recs.append(response_record("https://x/pdf", TS, b"%PDF",
+                                content_type="application/pdf"))
+    write_warc(tmp_path / "p.warc.gz", recs)
+    pages = warc_pages(read_warc(spark, str(tmp_path / "p.warc.gz")))
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    rows = pages.collect()
+    assert len(rows) == 8  # 404 + pdf filtered by the projection
+    # html bytes survive Spark round-trip byte-identically
+    originals = {gen_document(i, 42)["url"]: bytes(gen_document(i, 42)["html"])
+                 for i in range(8)}
+    for r in rows:
+        assert bytes(r["html"]) == originals[r["url"]]
+
+
+def test_read_warc_plan_no_shuffle(spark):
+    """Ingest is scan → mapInPandas: no Exchange anywhere in the plan
+    (parallelism comes from binaryFile's file packing, the format's own
+    sharding — the 100 TB story)."""
+    df = read_warc(spark, str(FIXTURE_DIR / "*.warc.gz"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -289,6 +289,38 @@ def extract_pdf_pages() -> None:
     }))
 
 
+def warc_ingest() -> None:
+    """Regenerate the committed WARC fixture crawl (tests/fixtures/warc/)
+    AND its expected-output parquet in one step so they can never drift.
+    The expectation comes from the pure-Python kernel parsing the same
+    bytes the Spark query reads — independent of the Spark plumbing."""
+    from ocr_platform_spark.sources.warc import (
+        make_warc_fixture_files, parse_warc)
+
+    rows = []
+    for f in sorted(make_warc_fixture_files()):
+        for r in parse_warc(f.read_bytes(), source=str(f)):
+            html = r["html"]
+            rows.append((
+                f.name, r["record_index"], r["url"],
+                r["warc_date"],   # already the Spark-side ISO rendering
+                hashlib.sha256(html).hexdigest() if html is not None else None,
+                len(html) if html is not None else None,
+                r["http_status"], r["content_type"], r["parse_error"]))
+    cols = list(zip(*rows))
+    _write("warc_ingest.parquet", pa.table({
+        "warc_file": pa.array(cols[0], pa.string()),
+        "record_index": pa.array(cols[1], pa.int64()),
+        "url": pa.array(cols[2], pa.string()),
+        "ts_iso": pa.array(cols[3], pa.string()),
+        "html_sha256": pa.array(cols[4], pa.string()),
+        "n_bytes": pa.array(cols[5], pa.int32()),
+        "http_status": pa.array(cols[6], pa.int32()),
+        "content_type": pa.array(cols[7], pa.string()),
+        "parse_error": pa.array(cols[8], pa.string()),
+    }))
+
+
 if __name__ == "__main__":
     flagship_pages()
     langid_pages()
@@ -300,3 +332,4 @@ if __name__ == "__main__":
     extract_pdf_pages()
     mm_audio()
     mm_video()
+    warc_ingest()
