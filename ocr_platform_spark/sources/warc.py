@@ -258,14 +258,10 @@ def _valid_date(raw: str | None) -> tuple[str | None, str | None]:
 # Spark wrapper
 # --------------------------------------------------------------------------
 
-def read_warc(spark, path_glob: str):
-    """Directory/glob of WARC files → DataFrame of parsed records.
-
-    ``binaryFile`` yields one row per file and packs files into tasks by
-    size (``spark.sql.files.maxPartitionBytes``) — at CC scale each ~1 GiB
-    file is its own task, so parallelism comes free from the format's
-    sharding and there is NO shuffle anywhere in ingest. The parse kernel
-    is pure Python but runs once per FILE (amortized over thousands of
+def _warc_records(raw):
+    """(path, content) DataFrame → parsed-record DataFrame. One shared
+    transform for the batch and streaming readers: the parse kernel is
+    pure Python but runs once per FILE (amortized over thousands of
     records), not per row — Arrow-batched via mapInPandas like every other
     hot path here (no per-row Python contract, tests/test_no_per_row_python.py)."""
     import pandas as pd
@@ -300,14 +296,58 @@ def read_warc(spark, path_glob: str):
             out["http_status"] = out["http_status"].astype("Int32")
             yield out[[f.name for f in schema.fields]]
 
-    reader = spark.read.format("binaryFile")
+    return raw.mapInPandas(part, schema=schema)
+
+
+def _split_glob(path_glob: str) -> tuple[str, str | None]:
     # binaryFile resolves a trailing glob via pathGlobFilter, not the path
     base, _, leaf = str(path_glob).rpartition("/")
-    if "*" in leaf:
+    return (base, leaf) if "*" in leaf else (str(path_glob), None)
+
+
+def read_warc(spark, path_glob: str):
+    """Directory/glob of WARC files → DataFrame of parsed records.
+
+    ``binaryFile`` yields one row per file and packs files into tasks by
+    size (``spark.sql.files.maxPartitionBytes``) — at CC scale each ~1 GiB
+    file is its own task, so parallelism comes free from the format's
+    sharding and there is NO shuffle anywhere in ingest."""
+    path, leaf = _split_glob(path_glob)
+    reader = spark.read.format("binaryFile")
+    if leaf:
         reader = reader.option("pathGlobFilter", leaf)
-        path_glob = base
-    raw = reader.load(str(path_glob)).select("path", "content")
-    return raw.mapInPandas(part, schema=schema)
+    return _warc_records(reader.load(path).select("path", "content"))
+
+
+def read_warc_stream(spark, path_glob: str,
+                     max_files_per_trigger: int | None = None):
+    """Streaming variant: a binaryFile file-source stream over a growing
+    crawl directory — new WARC files are discovered per micro-batch and
+    parsed by the SAME kernel, so streamed rows are byte-identical to a
+    batch ``read_warc`` over the same files. ``maxFilesPerTrigger`` bounds
+    micro-batch size (→ bounded executor memory); the checkpoint's
+    file-source log gives exactly-once file processing across restarts,
+    same contract as streaming/ingest.py."""
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    # the binaryFile source's fixed schema — streaming sources require it
+    # stated explicitly (no inference pass over a possibly-empty dir)
+    binfile_schema = StructType([
+        StructField("path", StringType(), False),
+        StructField("modificationTime", TimestampType(), False),
+        StructField("length", LongType(), False),
+        StructField("content", BinaryType(), True),
+    ])
+    path, leaf = _split_glob(path_glob)
+    reader = spark.readStream.format("binaryFile").schema(binfile_schema)
+    if leaf:
+        reader = reader.option("pathGlobFilter", leaf)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _warc_records(reader.load(path).select("path", "content"))
 
 
 def warc_pages(df):

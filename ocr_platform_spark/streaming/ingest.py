@@ -51,6 +51,40 @@ def extract_stream(spark: SparkSession, input_dir: str,
     return extract_pages(pages, n_buckets=n_buckets, shuffle=False)
 
 
+def warc_extract_stream(spark: SparkSession, warc_dir: str,
+                        n_buckets: int = 64,
+                        max_files_per_trigger: int | None = None) -> DataFrame:
+    """The full incremental-crawl path in ONE streaming plan: WARC
+    container files land in a directory → parse (sources/warc.py kernel)
+    → clean-capture projection → the identical extraction kernel. This is
+    the job a daily Common-Crawl top-up runs: new ~1 GiB .warc.gz files
+    are each one task (no shuffle anywhere), and the checkpoint file log
+    makes re-runs exactly-once per FILE — the crawl's own delivery
+    granularity."""
+    from ocr_platform_spark.sources.warc import read_warc_stream, warc_pages
+
+    records = read_warc_stream(spark, warc_dir, max_files_per_trigger)
+    return extract_pages(warc_pages(records), n_buckets=n_buckets,
+                         shuffle=False)
+
+
+def run_warc_ingest_stream(spark: SparkSession, warc_dir: str,
+                           output_dir: str, checkpoint_dir: str,
+                           n_buckets: int = 64,
+                           available_now: bool = True):
+    """Drain all unprocessed WARC files into the extracted-pages sink
+    (parquet append; exactly-once via the checkpoint)."""
+    ext = warc_extract_stream(spark, warc_dir, n_buckets)
+    writer = (ext.writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_ingest_stream(spark: SparkSession, input_dir: str, output_dir: str,
                       checkpoint_dir: str, n_buckets: int = 64,
                       available_now: bool = True,

@@ -44,3 +44,47 @@ def test_stream_matches_batch_and_resumes(spark, tmp_path):
         assert r["extracted_text"] == b["extracted_text"]
         assert r["total_words"] == b["total_words"]
         assert r["bucket"] == b["bucket"]
+
+
+def test_warc_stream_matches_batch_and_resumes(spark, tmp_path):
+    """Incremental crawl over WARC container files: stream == batch,
+    exactly-once per file across re-runs."""
+    from ocr_platform_spark.datagen import gen_document
+    from ocr_platform_spark.sources.warc import (
+        read_warc, response_record, warc_pages, write_warc)
+    from ocr_platform_spark.streaming.ingest import run_warc_ingest_stream
+
+    warc_dir = tmp_path / "crawl"
+    out = str(tmp_path / "extracted")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, n0, n1):
+        recs = []
+        for i in range(n0, n1):
+            d = gen_document(i, 42)
+            ts = d["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+            recs.append(response_record(d["url"], ts, bytes(d["html"])))
+        write_warc(warc_dir / name, recs)
+
+    drop("crawl-a.warc.gz", 0, 40)
+    q = run_warc_ingest_stream(spark, str(warc_dir), out, ckpt, n_buckets=8)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 40
+
+    # second crawl file → only the NEW file is processed
+    drop("crawl-b.warc.gz", 40, 70)
+    q = run_warc_ingest_stream(spark, str(warc_dir), out, ckpt, n_buckets=8)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 70, "re-run must not duplicate old WARC files"
+
+    # parity with the batch path over the same container files
+    batch = {r["url"]: r for r in extract_pages(
+        warc_pages(read_warc(spark, str(warc_dir))), n_buckets=8,
+        shuffle=False).collect()}
+    assert len(batch) == 70
+    for r in got.collect():
+        b = batch[r["url"]]
+        assert r["extracted_text"] == b["extracted_text"]
+        assert r["total_words"] == b["total_words"]
+        assert r["bucket"] == b["bucket"]
