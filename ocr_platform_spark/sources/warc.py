@@ -364,6 +364,55 @@ def warc_pages(df):
                     F.lit(None).cast("string").alias("lang")))
 
 
+def write_warc_files(df, out_dir: str):
+    """Distributed WARC sink: pages-shaped rows → one ``.warc.gz`` per
+    partition, written BY THE EXECUTORS (no driver funnel), named by
+    partition id. Returns the lineage manifest as a DataFrame
+    (warc_file, n_records, n_bytes) — the per-partition counter contract
+    of sources/manifest.py applied to the crawl container format. Use for
+    re-sharding a crawl or exporting curated subsets in the format every
+    crawl tool reads; CC-style member-per-record output means the files
+    are themselves splittable by the reader.
+
+    Local-filesystem paths here (the sandbox); on a real cluster point
+    out_dir at a fuse/NFS mount or swap the ``open`` for an
+    fsspec/Hadoop-FS writer — the plan shape (one task, one file, one
+    manifest row) is the scalable part."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    manifest_schema = StructType([
+        StructField("warc_file", StringType(), False),
+        StructField("n_records", IntegerType(), False),
+        StructField("n_bytes", LongType(), False),
+    ])
+    out = str(out_dir)
+
+    def write_partition(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        recs: list[bytes] = []
+        for pdf in batches:
+            for url, ts, html in zip(pdf["url"], pdf["warc_ts"],
+                                     pdf["html"]):
+                recs.append(response_record(
+                    str(url), pd.Timestamp(ts).strftime(_DATE_FMT),
+                    bytes(html) if html is not None else b""))
+        name = f"part-{pid:05d}.warc.gz"
+        path = Path(out) / name
+        if recs:  # empty partitions write nothing (no zero-record files)
+            write_warc(path, [warcinfo_record(name)] + recs)
+        yield pd.DataFrame(
+            {"warc_file": [name], "n_records": [len(recs)],
+             "n_bytes": [path.stat().st_size if recs else 0]})
+
+    return (df.select("url", "warc_ts", "html")
+            .mapInPandas(write_partition, schema=manifest_schema))
+
+
 # --------------------------------------------------------------------------
 # deterministic fixture corpus (committed under tests/fixtures/warc/)
 # --------------------------------------------------------------------------
