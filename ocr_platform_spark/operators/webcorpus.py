@@ -1,0 +1,321 @@
+"""Web-corpus curation operators beyond per-document filters: the
+host/domain-level and cross-corpus passes a pretraining data team runs
+after extraction (reference analogue: the corpus-wide review/rollup views
+over extracted texts, apps/web/src/server/routers/texts.ts — here
+re-expressed as the standard published web-pipeline steps: C4 span dedup,
+RefinedWeb/CCNet host stats + per-domain caps, benchmark decontamination,
+and a fastText-style linear quality model).
+
+Everything is JVM column math (zero Python UDFs) and every ratio is
+``floor(10000*x)`` fixed-point so the DuckDB value-hash is bit-stable.
+
+Physical shape at scale (100 TB):
+- ``ta_host_stats``: one hash-aggregate keyed on host; partial (map-side)
+  combine does the heavy lifting, distinct counts are Spark's two-level
+  expand — no row ever leaves its partition un-combined.
+- ``cx_domain_cap``: per-domain top-K WITHOUT a per-domain single
+  partition: a salted pre-window prunes each domain to K rows per salt
+  shard (bounded memory even for a domain with 10^8 pages), then the
+  final window ranks at most K*SALTS rows per domain.
+- ``cx_decontaminate``: the eval/benchmark side is tiny by construction
+  (benchmarks are ~10^3..10^5 docs), so its distinct shingle set is
+  broadcast; the corpus side streams through a broadcast semi-join —
+  no corpus-wide shuffle of shingles.
+- ``dd_span_dedup``: keep-first is an aggregate (``min(struct(doc_id,
+  pos))`` per span hash) + regroup, NOT a global window — map-side
+  combine collapses hot spans (boilerplate repeated on millions of
+  pages) before the shuffle, the skew-safe form of C4's rule.
+- ``ta_quality_model``: pure per-row projection, no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocr_platform_spark.operators.tables import load
+
+
+def _toks():
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+# --- host/domain statistics (RefinedWeb/CCNet-style corpus census) --------
+def ta_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus census: volume, token mass, language spread, and
+    exact-dup mass — the table a data team reads before writing domain
+    rules. ``source`` is the host key of the documents table."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.select(
+        "source", "lang",
+        F.size(_toks()).alias("n_tok"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.md5("text").alias("th"))
+    return (per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.count("*") - F.countDistinct("th")).alias("n_exact_dup_docs"),
+        F.floor(10000.0 * F.sum("n_tok") / F.count("*"))
+        .cast("long").alias("mean_tokens_x10k")))
+
+
+TA_HOST_STATS_SQL = r"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS total_tokens,
+       count(DISTINCT lang) AS n_langs,
+       count(*) - count(DISTINCT md5(text)) AS n_exact_dup_docs,
+       CAST(floor(10000.0 * sum(len(regexp_split_to_array(trim(text), '\s+')))
+                  / count(*)) AS BIGINT) AS mean_tokens_x10k
+FROM documents
+GROUP BY source
+"""
+
+
+# --- per-domain document cap (anti-spam, CCNet/RefinedWeb practice) -------
+CAP_K = 10          # max docs kept per host
+_CAP_SALTS = 8      # phase-1 shards per host — bounds per-task state
+
+
+def cx_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most CAP_K docs per host, chosen by a deterministic
+    hash-priority (md5 of the doc id — an unbiased sample, not
+    first-crawled bias). Two-phase top-K: a salted window prunes each
+    host to <=CAP_K rows per salt shard first, so no single task ever
+    materializes a whole hot domain; the final per-host rank sees at
+    most CAP_K*_CAP_SALTS rows per host."""
+    docs = load(spark, sf_dir, "documents")
+    pri = F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    base = docs.select("doc_id", "source", pri.alias("pri"))
+    salted = base.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(_CAP_SALTS)))
+    w1 = Window.partitionBy("source", "salt").orderBy("pri", "doc_id")
+    pruned = (salted.withColumn("r1", F.row_number().over(w1))
+              .filter(F.col("r1") <= CAP_K).drop("r1", "salt"))
+    w2 = Window.partitionBy("source").orderBy("pri", "doc_id")
+    return (pruned.withColumn("cap_rank", F.row_number().over(w2))
+            .filter(F.col("cap_rank") <= CAP_K)
+            .select("doc_id", "source", "cap_rank"))
+
+
+CX_DOMAIN_CAP_SQL = """
+SELECT doc_id, source, cap_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS cap_rank
+  FROM documents) t
+WHERE cap_rank <= 10
+"""
+
+
+# --- benchmark decontamination (GPT-3 §2.2 / PaLM-style n-gram scan) ------
+_DECON_N = 5  # word n-gram width; GPT-3 used 13-grams on much longer docs
+
+
+def _shingles(n: int):
+    """Word n-gram array, empty when the doc has fewer than n tokens.
+    (Spark's sequence(1, 0) DESCENDS to [1, 0] — the when() guard is
+    load-bearing, not style.)"""
+    toks = _toks()
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def cx_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs that share any word 5-gram with the held-out
+    eval set (docs with doc_id % 97 == 0 stand in for the benchmark).
+    The eval shingle set is broadcast — benchmarks are tiny next to the
+    corpus — so the corpus side never shuffles its shingles."""
+    docs = load(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_sh = (docs.filter(is_eval)
+               .select(F.explode(_shingles(_DECON_N)).alias("sh"))
+               .distinct())
+    hits = (docs.filter(~is_eval)
+            .select("doc_id", F.explode(_shingles(_DECON_N)).alias("sh"))
+            .join(F.broadcast(eval_sh), "sh")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("sh").alias("n_hits")))
+    return (docs.select("doc_id", is_eval.alias("is_eval"))
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id", "is_eval",
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+                .alias("n_eval_shingle_hits"),
+                (F.coalesce(F.col("n_hits"), F.lit(0)) > 0)
+                .alias("contaminated")))
+
+
+CX_DECONTAMINATE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 0)),
+                               i -> array_to_string(ws[i:i+4], ' '))) AS sh
+  FROM toks),
+ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT s.doc_id, count(DISTINCT s.sh) AS n
+  FROM sh s JOIN ev USING (sh)
+  WHERE s.doc_id % 97 <> 0
+  GROUP BY s.doc_id)
+SELECT d.doc_id,
+       d.doc_id % 97 = 0 AS is_eval,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_eval_shingle_hits,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# --- C4-style duplicate-span removal (keep first occurrence) --------------
+_SPAN_W = 8  # words per span; C4 used three-sentence windows
+
+
+def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's corpus-level rule (Raffel et al. 2020 §2.2): occurring-more-
+    than-once spans are kept only at their first occurrence (order by
+    doc_id, then position). Spans are non-overlapping 8-word chunks
+    (the corpus is flat word text; C4's three-sentence unit assumes
+    punctuation). Keep-first is an AGGREGATE — min(struct(doc_id, pos))
+    per span — so hot boilerplate spans collapse map-side instead of
+    sorting inside one window partition."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _toks()
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(_SPAN_W))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            (i - 1).alias("pos"),
+            F.concat_ws(" ", F.slice(toks, (i - 1) * _SPAN_W + 1, _SPAN_W))
+            .alias("span")))
+    exploded = (docs.select("doc_id", F.explode(chunks).alias("c"))
+                .select("doc_id", F.col("c.pos").alias("pos"),
+                        F.col("c.span").alias("span")))
+    keep = (exploded.groupBy("span")
+            .agg(F.min(F.struct("doc_id", "pos")).alias("k"))
+            .select(F.col("k.doc_id").alias("doc_id"),
+                    F.col("k.pos").alias("pos"), "span"))
+    rebuilt = (keep.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "span"))),
+            lambda s: s["span"])).alias("clean_text")))
+    totals = exploded.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select("doc_id", "n_spans",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text")))
+
+
+DD_SPAN_DEDUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents),
+ch AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(ws[(i-1)*8+1 : least((i-1)*8+8, len(ws))], ' ')
+             AS span
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(
+                   1, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS i
+        FROM toks)),
+k AS (
+  SELECT doc_id, pos, span FROM (
+    SELECT doc_id, pos, span,
+           row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+    FROM ch)
+  WHERE rn = 1),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(span, ' ' ORDER BY pos) AS clean_text
+  FROM k GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_spans FROM ch GROUP BY doc_id)
+SELECT t.doc_id, t.n_spans,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(a.clean_text, '') AS clean_text
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# --- linear quality model (fastText-classifier stand-in) ------------------
+def ta_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic linear quality scorer — the shape of the fastText /
+    logistic quality classifiers used to rank web docs (CCNet, LLaMA),
+    with fixed interpretable integer weights instead of learned floats:
+    rewards lexical diversity (TTR) and stopword presence, penalizes
+    digit mass and word lengths far from prose norms, with a capped
+    length bonus. Pure projection; all integer fixed-point."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_chars_in_toks = F.length(F.regexp_replace("text", r"\s+", ""))
+    n_digits = (F.length("text")
+                - F.length(F.regexp_replace("text", r"[0-9]", "")))
+    ttr = F.floor(10000.0 * n_uniq / n_tok)
+    stop_hits = F.size(F.filter(
+        toks, lambda t: t.isin("the", "a", "and", "of", "to")))
+    stop = F.floor(10000.0 * stop_hits / n_tok)
+    mwl = F.floor(10000.0 * n_chars_in_toks / n_tok)
+    dig = F.floor(10000.0 * n_digits / F.greatest(F.length("text"), F.lit(1)))
+    wl_pen = F.floor(F.abs(mwl - 50000) / 10.0)
+    score = (3 * ttr + 6 * stop - 2 * dig - wl_pen
+             + 10 * F.least(n_tok, F.lit(300)))
+    return docs.select(
+        "doc_id",
+        ttr.cast("long").alias("ttr_x10k"),
+        stop.cast("long").alias("stop_x10k"),
+        mwl.cast("long").alias("mean_wl_x10k"),
+        dig.cast("long").alias("digit_x10k"),
+        score.cast("long").alias("score_x10k"),
+        (score >= 12000).alias("quality_pass"))
+
+
+TA_QUALITY_MODEL_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(floor(10000.0 * len(list_distinct(
+                  regexp_split_to_array(trim(text), '\s+')))
+              / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+             AS ttr_x10k,
+         CAST(floor(10000.0 * len(list_filter(
+                  regexp_split_to_array(trim(text), '\s+'),
+                  t -> t IN ('the','a','and','of','to')))
+              / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+             AS stop_x10k,
+         CAST(floor(10000.0 * length(regexp_replace(text, '\s+', '', 'g'))
+              / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+             AS mean_wl_x10k,
+         CAST(floor(10000.0 * (length(text)
+                  - length(regexp_replace(text, '[0-9]', '', 'g')))
+              / greatest(length(text), 1)) AS BIGINT) AS digit_x10k,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+  FROM documents)
+SELECT doc_id, ttr_x10k, stop_x10k, mean_wl_x10k, digit_x10k,
+       CAST(3 * ttr_x10k + 6 * stop_x10k - 2 * digit_x10k
+            - floor(abs(mean_wl_x10k - 50000) / 10.0)
+            + 10 * least(n_tok, 300) AS BIGINT) AS score_x10k,
+       (3 * ttr_x10k + 6 * stop_x10k - 2 * digit_x10k
+            - floor(abs(mean_wl_x10k - 50000) / 10.0)
+            + 10 * least(n_tok, 300)) >= 12000 AS quality_pass
+FROM f
+"""
+
+
+QUERIES: dict = {
+    "ta_host_stats": (ta_host_stats, TA_HOST_STATS_SQL),
+    "cx_domain_cap": (cx_domain_cap, CX_DOMAIN_CAP_SQL),
+    "cx_decontaminate": (cx_decontaminate, CX_DECONTAMINATE_SQL),
+    "dd_span_dedup": (dd_span_dedup, DD_SPAN_DEDUP_SQL),
+    "ta_quality_model": (ta_quality_model, TA_QUALITY_MODEL_SQL),
+}

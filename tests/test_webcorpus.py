@@ -1,0 +1,160 @@
+"""Web-corpus curation operators: semantics on hand-built corpora plus
+the plan shapes that make them safe at 100 TB (salted per-domain top-K,
+broadcast decontamination, aggregate-based keep-first span dedup)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_platform_spark.operators import webcorpus
+from ocr_platform_spark.operators.webcorpus import (
+    CAP_K, cx_decontaminate, cx_domain_cap, dd_span_dedup, ta_host_stats,
+    ta_quality_model)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from ocr_platform_spark.session import build_spark
+    return build_spark("webcorpus-tests", cores=4)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(spark, rows):
+    """(doc_id, text, source) triples as a documents-shaped frame."""
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars int")
+
+
+# --- semantics -------------------------------------------------------------
+def test_host_stats_counts_dups_and_langs(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "x y", "en", "h1", 3), (2, "x y", "de", "h1", 3),
+         (3, "a b", "en", "h1", 3), (4, "q", "en", "h2", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in
+           ta_host_stats(spark, str(tmp_path)).collect()}
+    assert out["h1"]["n_docs"] == 3
+    assert out["h1"]["n_exact_dup_docs"] == 1      # "x y" twice
+    assert out["h1"]["n_langs"] == 2
+    assert out["h2"]["n_docs"] == 1 and out["h2"]["n_exact_dup_docs"] == 0
+
+
+def test_domain_cap_keeps_at_most_k_per_source(spark):
+    out = cx_domain_cap(spark, SF_DIR)
+    per = out.groupBy("source").count().collect()
+    assert per and all(r["count"] <= CAP_K for r in per)
+    ranks = out.select(F.max("cap_rank")).first()[0]
+    assert ranks <= CAP_K
+
+
+def test_domain_cap_is_deterministic_hash_sample(spark):
+    a = {(r["doc_id"], r["cap_rank"])
+         for r in cx_domain_cap(spark, SF_DIR).collect()}
+    b = {(r["doc_id"], r["cap_rank"])
+         for r in cx_domain_cap(spark, SF_DIR).collect()}
+    assert a == b
+
+
+def test_decontaminate_flags_planted_overlap(spark, tmp_path):
+    # doc 0 and 97 are "eval" (doc_id % 97 == 0); doc 1 copies a 5-gram
+    # from doc 97, doc 2 shares nothing.
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "h"),
+        (97, "one two three four five six seven", "h"),
+        (1, "noise one two three four five more noise", "h"),
+        (2, "totally different words here entirely now", "h"),
+    ]
+    _docs(spark, rows).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           cx_decontaminate(spark, str(tmp_path)).collect()}
+    assert out[1]["contaminated"] and out[1]["n_eval_shingle_hits"] >= 1
+    assert not out[2]["contaminated"]
+    assert out[0]["is_eval"] and not out[0]["contaminated"]
+    assert out[97]["is_eval"]
+
+
+def test_decontaminate_short_docs_have_no_shingles(spark, tmp_path):
+    rows = [(0, "a b c d e f", "h"), (5, "a b c", "h")]  # doc 5: < 5 tokens
+    _docs(spark, rows).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           cx_decontaminate(spark, str(tmp_path)).collect()}
+    assert out[5]["n_eval_shingle_hits"] == 0
+    assert not out[5]["contaminated"]
+
+
+def test_span_dedup_keeps_first_occurrence(spark, tmp_path):
+    # 8-word span "w1 ... w8" appears in doc 1 (pos 0) and doc 2 (pos 0);
+    # doc 2 keeps only its unique tail span.
+    span = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [(1, span + " tail1 a b c d e f g", "h"),
+            (2, span + " tail2 q r s t u v w", "h")]
+    _docs(spark, rows).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           dd_span_dedup(spark, str(tmp_path)).collect()}
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["clean_text"] == span + " tail1 a b c d e f g"
+    assert out[2]["n_spans"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == "tail2 q r s t u v w"
+
+
+def test_span_dedup_clean_text_preserves_span_order(spark):
+    out = dd_span_dedup(spark, SF_DIR)
+    row = (out.filter(F.col("n_kept") == F.col("n_spans"))
+           .orderBy("doc_id").first())
+    # an untouched doc round-trips to its own (whitespace-normalized) text
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    orig = docs.filter(F.col("doc_id") == row["doc_id"]).first()["text"]
+    norm = " ".join(orig.split())
+    assert row["clean_text"] == norm
+
+
+def test_quality_model_monotone_in_diversity(spark, tmp_path):
+    # same length, same words-per-doc: the all-repeated doc must score
+    # strictly below the all-distinct doc (3 * ttr term).
+    rows = [(1, " ".join(["dup"] * 60), "h"),
+            (2, " ".join(f"w{i}" for i in range(60)), "h")]
+    _docs(spark, rows).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           ta_quality_model(spark, str(tmp_path)).collect()}
+    assert out[2]["score_x10k"] > out[1]["score_x10k"]
+    assert out[2]["ttr_x10k"] == 10000
+
+
+# --- plan shape at scale ----------------------------------------------------
+def test_domain_cap_windows_are_partitioned(spark):
+    """Both ranking windows must be keyed (salted then per-host) — an
+    unpartitioned window would move the corpus to ONE task."""
+    p = plan_of(cx_domain_cap(spark, SF_DIR))
+    assert "Window" in p
+    assert "No Partition Defined" not in p
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """The benchmark side is tiny: corpus shingles must stream through a
+    BroadcastHashJoin, never sort-merge on the shingle key."""
+    p = plan_of(cx_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p.split("BroadcastHashJoin")[0]
+
+
+def test_span_dedup_keep_first_is_aggregate_not_window(spark):
+    """C4 keep-first must be min(struct) aggregation (map-side combine
+    collapses hot boilerplate spans) — a per-span window would sort every
+    occurrence of a span inside one task."""
+    p = plan_of(dd_span_dedup(spark, SF_DIR))
+    assert "Window" not in p
+    assert "HashAggregate" in p or "ObjectHashAggregate" in p
+
+
+def test_quality_model_is_pure_projection(spark):
+    """Per-row scoring must not shuffle."""
+    p = plan_of(ta_quality_model(spark, SF_DIR))
+    assert "Exchange" not in p
