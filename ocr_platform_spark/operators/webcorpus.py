@@ -312,10 +312,153 @@ FROM f
 """
 
 
+# --- URL canonicalization + re-crawl dedup (keep newest capture) ----------
+def _raw_urls(df: DataFrame) -> DataFrame:
+    """Deterministic raw-URL corpus synthesized from orders: each group of
+    4 keys yields 4 messy variants (case, default port, fragment, tracking
+    params, param order, trailing slash) of ONE canonical URL, captured at
+    the row's o_orderdate — the shape of Common-Crawl re-crawls."""
+    g = (F.col("o_orderkey") / 4).cast("long")
+    v = F.pmod(F.col("o_orderkey"), F.lit(4))
+    gs = g.cast("string")
+    raw = (F.when(v == 0, F.concat(F.lit("https://WWW.Example.COM/items/"),
+                                   gs, F.lit("?b=2&a=1")))
+           .when(v == 1, F.concat(F.lit("https://www.example.com:443/items/"),
+                                  gs, F.lit("?a=1&b=2#frag")))
+           .when(v == 2, F.concat(F.lit("https://www.example.com/items/"),
+                                  gs, F.lit("/?utm_source=x&b=2&a=1")))
+           .otherwise(F.concat(F.lit("https://www.example.com/items/"),
+                               gs, F.lit("?a=1&fbclid=zz&b=2"))))
+    return df.select("o_orderkey", "o_orderdate", raw.alias("raw_url"))
+
+
+_TRACKING = r"^(utm_[a-z]+|fbclid|gclid)="
+
+
+def canonicalize_url(raw):
+    """Column → canonical URL: lowercase scheme+host, strip default port,
+    drop fragment, drop tracking params, sort surviving query params,
+    strip trailing slash. Pure JVM column math (regex + array ops)."""
+    no_frag = F.regexp_replace(raw, r"#.*$", "")
+    head = F.regexp_extract(no_frag, r"^([^?]*)", 1)      # scheme://host/path
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    scheme_host = F.lower(F.regexp_extract(head, r"^([a-zA-Z]+://[^/]*)", 1))
+    scheme_host = F.regexp_replace(scheme_host, r":(443|80)$", "")
+    path = F.regexp_replace(F.regexp_extract(head, r"^[a-zA-Z]+://[^/]*(/.*)?$", 1),
+                            r"/$", "")
+    params = F.filter(F.split(query, "&"),
+                      lambda p: (p != "") & ~p.rlike(_TRACKING))
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(scheme_host, path,
+                    F.when(qs != "", F.concat(F.lit("?"), qs))
+                    .otherwise(F.lit("")))
+
+
+def dd_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl dedup: canonicalize every captured URL, keep the NEWEST
+    capture per canonical URL (ties broken by key). Keep-newest is an
+    aggregate — max(struct(ts, key)) per canonical URL — not a window, so
+    a URL recrawled daily for years collapses map-side."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    caps = (_raw_urls(orders)
+            .select("o_orderkey", "o_orderdate",
+                    canonicalize_url(F.col("raw_url")).alias("canon_url")))
+    return (caps.groupBy("canon_url").agg(
+        F.count("*").alias("n_captures"),
+        F.max(F.struct(F.col("o_orderdate").alias("d"),
+                       F.col("o_orderkey").alias("k"))).alias("m"))
+        .select("canon_url", "n_captures",
+                F.col("m.k").alias("kept_orderkey"),
+                F.date_format("m.d", "yyyy-MM-dd").alias("latest_capture")))
+
+
+DD_URL_DEDUP_SQL = r"""
+WITH caps AS (
+  SELECT o_orderkey, o_orderdate,
+         raw_url,
+         -- canonicalize: drop fragment, lowercase scheme://host, strip
+         -- default port, strip trailing slash, drop tracking params,
+         -- sort surviving params
+         lower(regexp_extract(regexp_replace(raw_url, '#.*$', ''),
+                              '^([a-zA-Z]+://[^/]*)', 1)) AS sh0,
+         regexp_replace(regexp_extract(regexp_replace(raw_url, '#.*$', ''),
+                        '^[a-zA-Z]+://[^/]*(/[^?]*)?', 1), '/$', '') AS path,
+         array_to_string(list_sort(list_filter(
+             string_split(regexp_extract(regexp_replace(raw_url, '#.*$', ''),
+                                         '\?([^#]*)$', 1), '&'),
+             p -> p <> '' AND NOT regexp_matches(
+                 p, '^(utm_[a-z]+|fbclid|gclid)='))), '&') AS qs
+  FROM (
+    SELECT o_orderkey, o_orderdate,
+           CASE CAST(o_orderkey % 4 AS INT)
+             WHEN 0 THEN 'https://WWW.Example.COM/items/'
+                 || CAST(o_orderkey // 4 AS VARCHAR) || '?b=2&a=1'
+             WHEN 1 THEN 'https://www.example.com:443/items/'
+                 || CAST(o_orderkey // 4 AS VARCHAR) || '?a=1&b=2#frag'
+             WHEN 2 THEN 'https://www.example.com/items/'
+                 || CAST(o_orderkey // 4 AS VARCHAR) || '/?utm_source=x&b=2&a=1'
+             ELSE 'https://www.example.com/items/'
+                 || CAST(o_orderkey // 4 AS VARCHAR) || '?a=1&fbclid=zz&b=2'
+           END AS raw_url
+    FROM orders WHERE o_orderkey < 2000)),
+canon AS (
+  SELECT o_orderkey, o_orderdate,
+         regexp_replace(sh0, ':(443|80)$', '') || path
+             || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canon_url
+  FROM caps)
+SELECT canon_url, count(*) AS n_captures,
+       CAST(max(struct_pack(d := o_orderdate, k := o_orderkey)).k AS BIGINT)
+           AS kept_orderkey,
+       strftime(max(o_orderdate), '%Y-%m-%d') AS latest_capture
+FROM canon
+GROUP BY canon_url
+"""
+
+
+# --- LM-proxy quality: corpus token-frequency score (CCNet-style) ---------
+def ta_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-proxy document score without floats: each token is
+    scored by its corpus frequency (the integer stand-in for a KenLM
+    unigram log-prob), a doc by floor(10000 * mean token count). Garbage
+    and OOV-heavy docs score low; boilerplate scores high — both ends get
+    routed to review, the CCNet head/middle/tail practice.
+
+    Shape at scale: pass 1 is one map-side-combined count per token; the
+    score join keys tokens on the vocab table — Zipf means the hot head
+    (a few thousand tokens covering most mass) belongs in a broadcast and
+    only the long tail shuffles; at this corpus size the whole vocab fits
+    one broadcast, which is what AQE picks."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id", F.explode(_toks()).alias("tok")))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    return (toks.join(vocab, "tok")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tok"),
+                 F.floor(10000.0 * F.sum("tf") / F.count("*"))
+                 .cast("long").alias("freq_score_x10k")))
+
+
+TA_FREQ_SCORE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents),
+vocab AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok)
+SELECT t.doc_id,
+       count(*) AS n_tok,
+       CAST(floor(10000.0 * sum(v.tf) / count(*)) AS BIGINT)
+           AS freq_score_x10k
+FROM toks t JOIN vocab v USING (tok)
+GROUP BY t.doc_id
+"""
+
+
 QUERIES: dict = {
     "ta_host_stats": (ta_host_stats, TA_HOST_STATS_SQL),
     "cx_domain_cap": (cx_domain_cap, CX_DOMAIN_CAP_SQL),
     "cx_decontaminate": (cx_decontaminate, CX_DECONTAMINATE_SQL),
     "dd_span_dedup": (dd_span_dedup, DD_SPAN_DEDUP_SQL),
     "ta_quality_model": (ta_quality_model, TA_QUALITY_MODEL_SQL),
+    "dd_url_dedup": (dd_url_dedup, DD_URL_DEDUP_SQL),
+    "ta_freq_score": (ta_freq_score, TA_FREQ_SCORE_SQL),
 }

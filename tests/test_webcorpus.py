@@ -9,8 +9,8 @@ from pyspark.sql import functions as F
 
 from ocr_platform_spark.operators import webcorpus
 from ocr_platform_spark.operators.webcorpus import (
-    CAP_K, cx_decontaminate, cx_domain_cap, dd_span_dedup, ta_host_stats,
-    ta_quality_model)
+    CAP_K, canonicalize_url, cx_decontaminate, cx_domain_cap, dd_span_dedup,
+    dd_url_dedup, ta_freq_score, ta_host_stats, ta_quality_model)
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -128,7 +128,58 @@ def test_quality_model_monotone_in_diversity(spark, tmp_path):
     assert out[2]["ttr_x10k"] == 10000
 
 
+def test_canonicalize_url_vectors(spark):
+    cases = [
+        ("https://WWW.Example.COM/items/7?b=2&a=1",
+         "https://www.example.com/items/7?a=1&b=2"),
+        ("https://www.example.com:443/items/7?a=1&b=2#frag",
+         "https://www.example.com/items/7?a=1&b=2"),
+        ("https://www.example.com/items/7/?utm_source=x&b=2&a=1",
+         "https://www.example.com/items/7?a=1&b=2"),
+        ("https://www.example.com/items/7?a=1&fbclid=zz&b=2",
+         "https://www.example.com/items/7?a=1&b=2"),
+        ("HTTP://Host.TLD:80/", "http://host.tld"),
+        ("https://h.tld/p?gclid=1&utm_medium=m", "https://h.tld/p"),
+        ("https://h.tld/p", "https://h.tld/p"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "raw string")
+    got = [r[0] for r in
+           df.select(canonicalize_url(F.col("raw"))).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_collapses_recrawl_variants(spark):
+    out = dd_url_dedup(spark, SF_DIR).collect()
+    # every canonical group of 4 messy variants collapses to one row
+    assert all(r["n_captures"] == 4 for r in out if r["n_captures"] != 0)
+    assert len(out) == 500  # 2000 capped keys / 4 variants
+    # kept key is the newest capture of its group
+    for r in out[:5]:
+        assert r["kept_orderkey"] // 4 == int(
+            r["canon_url"].rsplit("/", 1)[1].split("?")[0])
+
+
+def test_freq_score_rare_tokens_score_low(spark, tmp_path):
+    rows = [(1, "common common common common", "h"),
+            (2, "common rare1 rare2 rare3", "h")]
+    _docs(spark, rows).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           ta_freq_score(spark, str(tmp_path)).collect()}
+    assert out[1]["freq_score_x10k"] > out[2]["freq_score_x10k"]
+    # doc 1: every token occurs 5x corpus-wide -> mean 5
+    assert out[1]["freq_score_x10k"] == 50000
+
+
 # --- plan shape at scale ----------------------------------------------------
+def test_url_dedup_keep_newest_is_aggregate_not_window(spark):
+    p = plan_of(dd_url_dedup(spark, SF_DIR))
+    assert "Window" not in p
+    # max(struct) of a timestamp key plans as SortAggregate — still the
+    # partial/final aggregate pair with map-side combine, never a window
+    assert "Aggregate" in p
+
+
+
 def test_domain_cap_windows_are_partitioned(spark):
     """Both ranking windows must be keyed (salted then per-host) — an
     unpartitioned window would move the corpus to ONE task."""
