@@ -453,6 +453,169 @@ GROUP BY t.doc_id
 """
 
 
+# --- corpus mixing with derived per-source rates (CCNet/Pile practice) ----
+def cx_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to a uniform per-source token budget: measure
+    each source's token mass, derive its sampling rate toward the uniform
+    share (capped at keep-all), apply the deterministic md5 hash-coin.
+    Unlike ta_sample_split's FIXED per-language rates, the rates here are
+    DERIVED from the corpus itself — the two-pass mixture computation a
+    data team runs when sources are wildly imbalanced.
+
+    Shape at scale: pass 1 is one tiny aggregate (rows = n_sources);
+    its result broadcasts back onto the corpus — the corpus itself never
+    shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select("doc_id", "source", F.size(_toks()).alias("n_tok"))
+    per_src = per_doc.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("src_tokens"))
+    totals = per_src.agg(
+        F.sum("src_tokens").alias("total"),
+        F.count("*").alias("n_src"))
+    rates = (per_src.crossJoin(F.broadcast(totals))
+             .select("source", F.least(
+                 F.lit(10000),
+                 F.floor(10000.0 * (F.col("total") / F.col("n_src"))
+                         / F.col("src_tokens")).cast("long"))
+                 .alias("rate_x10k")))
+    coin = F.conv(F.substring(F.md5(F.encode(
+        F.concat_ws(":", F.lit("cxmix"), F.col("doc_id").cast("string")),
+        "UTF-8")), 1, 15), 16, 10).cast("long") % 10000
+    return (per_doc.join(F.broadcast(rates), "source")
+            .withColumn("coin_x10k", coin)
+            .filter(F.col("coin_x10k") < F.col("rate_x10k"))
+            .select("doc_id", "source", "n_tok", "rate_x10k", "coin_x10k"))
+
+
+CX_MIX_SQL = r"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+  FROM documents),
+per_src AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tokens
+  FROM per_doc GROUP BY source),
+rates AS (
+  SELECT source,
+         least(10000, CAST(floor(
+             10000.0 * ((SELECT sum(src_tokens) FROM per_src)
+                        / (SELECT count(*) FROM per_src))
+             / src_tokens) AS BIGINT)) AS rate_x10k
+  FROM per_src)
+SELECT d.doc_id, d.source, d.n_tok, r.rate_x10k,
+       CAST(concat('0x', substr(md5('cxmix:' || CAST(d.doc_id AS VARCHAR)),
+                                1, 15)) AS BIGINT) % 10000 AS coin_x10k
+FROM per_doc d JOIN rates r USING (source)
+WHERE CAST(concat('0x', substr(md5('cxmix:' || CAST(d.doc_id AS VARCHAR)),
+                               1, 15)) AS BIGINT) % 10000 < r.rate_x10k
+"""
+
+
+# --- sequence packing for training (fixed-length token windows) -----------
+_SEQ_LEN = 256
+_PACK_BUCKETS = 32
+
+
+def cx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every doc its position in packed fixed-length training
+    sequences: docs are sharded into _PACK_BUCKETS independent streams
+    (doc_id hash), concatenated in doc_id order within a shard, and cut
+    every _SEQ_LEN tokens. Emits where each doc starts (shard, running
+    token offset, sequence id, offset inside the sequence) — the index a
+    packer needs to materialize training rows WITHOUT re-reading text.
+
+    The running offset is a window sum partitioned by shard — each shard
+    is an independent bounded stream, so no global ordering exists
+    anywhere; shard count scales with the cluster, not the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id"), F.lit(_PACK_BUCKETS))
+    per = docs.select("doc_id", bucket.alias("bucket"),
+                      F.size(_toks()).alias("n_tok"))
+    w = (Window.partitionBy("bucket").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return (per.withColumn("start_offset", start.cast("long"))
+            .select("doc_id", "bucket", "n_tok", "start_offset",
+                    (F.col("start_offset") / _SEQ_LEN).cast("long")
+                    .alias("seq_id"),
+                    F.pmod(F.col("start_offset"), F.lit(_SEQ_LEN))
+                    .cast("long").alias("offset_in_seq")))
+
+
+CX_PACK_SQL = r"""
+WITH per AS (
+  SELECT doc_id, doc_id % 32 AS bucket,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+  FROM documents)
+SELECT doc_id, bucket, n_tok,
+       CAST(coalesce(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start_offset,
+       CAST(coalesce(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 256 AS BIGINT) AS seq_id,
+       CAST(coalesce(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            % 256 AS BIGINT) AS offset_in_seq
+FROM per
+"""
+
+
+# --- URL blocklist filter (UT1-style domain + keyword rules) ---------------
+_BLOCKED_HOSTS = ("h3.example.net", "h7.example.net")
+_URL_KEYWORD_RE = "(casino|xxx)"
+
+
+def _filter_urls(df: DataFrame) -> DataFrame:
+    """Deterministic multi-host URL corpus from orders: 16 hosts, every
+    11th key carries a blocked path keyword."""
+    host = F.concat(F.lit("h"), F.pmod(F.col("o_orderkey"), F.lit(16)),
+                    F.lit(".example.net"))
+    kw = F.when(F.pmod(F.col("o_orderkey"), F.lit(11)) == 0,
+                F.lit("/casino")).otherwise(F.lit(""))
+    url = F.concat(F.lit("https://"), host, kw, F.lit("/p/"),
+                   F.col("o_orderkey").cast("string"))
+    return df.select("o_orderkey", host.alias("host"), url.alias("url"))
+
+
+def cx_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-blocklist-style URL filtering: hosts on the blocklist are
+    dropped via a BROADCAST anti-join (the list is tiny next to the
+    corpus — it must never become the shuffle key), URL keyword rules are
+    a per-row regex. Emits every URL with its verdict (never-drop: the
+    filter is a flag, the materializer downstream decides)."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    urls = _filter_urls(orders)
+    block = spark.createDataFrame(
+        [(h,) for h in _BLOCKED_HOSTS], "host string")
+    hits = (urls.join(F.broadcast(block), "host", "left_semi")
+            .select("o_orderkey"))
+    return (urls.join(hits.withColumn("bh", F.lit(True)), "o_orderkey", "left")
+            .select(
+                "o_orderkey", "url", "host",
+                F.coalesce("bh", F.lit(False)).alias("blocked_host"),
+                F.col("url").rlike(_URL_KEYWORD_RE).alias("blocked_keyword"),
+                (F.coalesce("bh", F.lit(False))
+                 | F.col("url").rlike(_URL_KEYWORD_RE)).alias("blocked")))
+
+
+CX_URL_FILTER_SQL = r"""
+WITH urls AS (
+  SELECT o_orderkey,
+         'h' || CAST(o_orderkey % 16 AS VARCHAR) || '.example.net' AS host,
+         'https://h' || CAST(o_orderkey % 16 AS VARCHAR) || '.example.net'
+             || CASE WHEN o_orderkey % 11 = 0 THEN '/casino' ELSE '' END
+             || '/p/' || CAST(o_orderkey AS VARCHAR) AS url
+  FROM orders WHERE o_orderkey < 3000)
+SELECT o_orderkey, url, host,
+       host IN ('h3.example.net', 'h7.example.net') AS blocked_host,
+       regexp_matches(url, '(casino|xxx)') AS blocked_keyword,
+       host IN ('h3.example.net', 'h7.example.net')
+           OR regexp_matches(url, '(casino|xxx)') AS blocked
+FROM urls
+"""
+
+
 QUERIES: dict = {
     "ta_host_stats": (ta_host_stats, TA_HOST_STATS_SQL),
     "cx_domain_cap": (cx_domain_cap, CX_DOMAIN_CAP_SQL),
@@ -461,4 +624,7 @@ QUERIES: dict = {
     "ta_quality_model": (ta_quality_model, TA_QUALITY_MODEL_SQL),
     "dd_url_dedup": (dd_url_dedup, DD_URL_DEDUP_SQL),
     "ta_freq_score": (ta_freq_score, TA_FREQ_SCORE_SQL),
+    "cx_mix": (cx_mix, CX_MIX_SQL),
+    "cx_pack_sequences": (cx_pack_sequences, CX_PACK_SQL),
+    "cx_url_filter": (cx_url_filter, CX_URL_FILTER_SQL),
 }

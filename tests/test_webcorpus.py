@@ -9,8 +9,9 @@ from pyspark.sql import functions as F
 
 from ocr_platform_spark.operators import webcorpus
 from ocr_platform_spark.operators.webcorpus import (
-    CAP_K, canonicalize_url, cx_decontaminate, cx_domain_cap, dd_span_dedup,
-    dd_url_dedup, ta_freq_score, ta_host_stats, ta_quality_model)
+    CAP_K, canonicalize_url, cx_decontaminate, cx_domain_cap, cx_mix,
+    cx_pack_sequences, cx_url_filter, dd_span_dedup, dd_url_dedup,
+    ta_freq_score, ta_host_stats, ta_quality_model)
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -170,7 +171,68 @@ def test_freq_score_rare_tokens_score_low(spark, tmp_path):
     assert out[1]["freq_score_x10k"] == 50000
 
 
+def test_mix_downsamples_the_oversized_source(spark, tmp_path):
+    # source "big" has ~10x the token mass of "small": its derived rate
+    # must be < 10000 while "small" keeps everything.
+    rows = ([(i, " ".join(f"w{j}" for j in range(100)), "big")
+             for i in range(20)]
+            + [(100 + i, "a b c d e f g h i j", "small")
+               for i in range(20)])
+    _docs(spark, rows).write.parquet(str(tmp_path / "documents.parquet"))
+    out = cx_mix(spark, str(tmp_path))
+    rates = {r["source"]: r["rate_x10k"]
+             for r in out.select("source", "rate_x10k").distinct().collect()}
+    assert rates["small"] == 10000
+    assert rates["big"] < 10000
+    kept = out.groupBy("source").count().collect()
+    kept = {r["source"]: r["count"] for r in kept}
+    assert kept["small"] == 20          # keep-all
+    assert kept.get("big", 0) < 20      # downsampled
+
+
+def test_pack_sequences_offsets_are_cumulative(spark):
+    out = cx_pack_sequences(spark, SF_DIR).collect()
+    by_bucket: dict = {}
+    for r in sorted(out, key=lambda r: (r["bucket"], r["doc_id"])):
+        expect = by_bucket.get(r["bucket"], 0)
+        assert r["start_offset"] == expect
+        assert r["seq_id"] == expect // 256
+        assert r["offset_in_seq"] == expect % 256
+        by_bucket[r["bucket"]] = expect + r["n_tok"]
+
+
+def test_url_filter_verdicts(spark):
+    out = {r["o_orderkey"]: r for r in cx_url_filter(spark, SF_DIR).collect()}
+    blocked_host_keys = [k for k, r in out.items() if r["blocked_host"]]
+    assert blocked_host_keys
+    assert all(k % 16 in (3, 7) for k in blocked_host_keys)
+    kw = [k for k, r in out.items() if r["blocked_keyword"]]
+    assert kw and all(k % 11 == 0 for k in kw)
+    ok = next(r for r in out.values() if not r["blocked"])
+    assert "casino" not in ok["url"]
+
+
 # --- plan shape at scale ----------------------------------------------------
+def test_mix_rates_broadcast_onto_corpus(spark):
+    """The per-source rate table (rows = n_sources) must broadcast; the
+    corpus side never shuffles on source."""
+    p = plan_of(cx_mix(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    p = plan_of(cx_pack_sequences(spark, SF_DIR))
+    assert "Window" in p
+    assert "No Partition Defined" not in p
+
+
+def test_url_filter_blocklist_broadcasts(spark):
+    p = plan_of(cx_url_filter(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
 def test_url_dedup_keep_newest_is_aggregate_not_window(spark):
     p = plan_of(dd_url_dedup(spark, SF_DIR))
     assert "Window" not in p
