@@ -48,11 +48,11 @@ def assert_fixture_scale(sf_dir: str, query: str,
 def _modules():
     from ocr_platform_spark.operators import (
         curation, dedup, incremental, pdf_extract, relational,
-        scalar_queries, similarity, text_analysis, webcorpus)
+        scalar_queries, similarity, text_analysis, webcorpus, webgraph)
     from ocr_platform_spark.streaming import sessions, windowed
     return (relational, scalar_queries, text_analysis, dedup, incremental,
             similarity, curation, pdf_extract, windowed, sessions,
-            webcorpus)
+            webcorpus, webgraph)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
