@@ -122,6 +122,15 @@ def _warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "http_status", "content_type", "parse_error")
 
 
+def _ml_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge fit: exact integer moments (distributed) +
+    driver-side rational solve; oracle = independent pure-Python pass
+    (tools/make_driver_fixtures.py:ml_linear_fit)."""
+    from ocr_platform_spark.operators.linfit import ml_linear_fit
+
+    return ml_linear_fit(spark, sf_dir)
+
+
 def all_entries() -> dict[str, tuple[Callable, str | None]]:
     out: dict[str, tuple[Callable, str | None]] = {}
     for mod in _modules():
@@ -133,6 +142,8 @@ def all_entries() -> dict[str, tuple[Callable, str | None]]:
     out["mm_audio"] = (_mm_audio, fixture_sql("mm_audio.parquet"))
     out["mm_video"] = (_mm_video, fixture_sql("mm_video.parquet"))
     out["warc_ingest"] = (_warc_ingest, fixture_sql("warc_ingest.parquet"))
+    out["ml_linear_fit"] = (
+        _ml_linear_fit, fixture_sql("ml_linear_fit.sf0.01.parquet"))
     return out
 
 

@@ -321,6 +321,27 @@ def warc_ingest() -> None:
     }))
 
 
+def ml_linear_fit() -> None:
+    """Sequential ground truth for the distributed moment aggregation:
+    pure-Python tokenization + integer sums over the sf0.01 documents
+    parquet, then the shared exact rational solver."""
+    import duckdb
+
+    from ocr_platform_spark.operators.linfit import (
+        python_moments, solve_rows)
+
+    rows = duckdb.connect().execute(
+        f"SELECT text, n_chars FROM read_parquet"
+        f"('{SF001}/documents.parquet')").fetchall()
+    out = solve_rows(python_moments(rows))
+    cols = list(zip(*out))
+    _write("ml_linear_fit.sf0.01.parquet", pa.table({
+        "term": pa.array(cols[0], pa.string()),
+        "num": pa.array(cols[1], pa.string()),
+        "den": pa.array(cols[2], pa.string()),
+    }))
+
+
 if __name__ == "__main__":
     flagship_pages()
     langid_pages()
@@ -333,3 +354,4 @@ if __name__ == "__main__":
     mm_audio()
     mm_video()
     warc_ingest()
+    ml_linear_fit()
