@@ -48,11 +48,12 @@ def assert_fixture_scale(sf_dir: str, query: str,
 def _modules():
     from ocr_platform_spark.operators import (
         curation, dedup, incremental, pdf_extract, relational,
-        scalar_queries, similarity, text_analysis, webcorpus, webgraph)
+        scalar_queries, similarity, text_analysis, webcorpus, webgraph,
+        weblinks)
     from ocr_platform_spark.streaming import sessions, windowed
     return (relational, scalar_queries, text_analysis, dedup, incremental,
             similarity, curation, pdf_extract, windowed, sessions,
-            webcorpus, webgraph)
+            webcorpus, webgraph, weblinks)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:

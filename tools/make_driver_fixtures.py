@@ -342,6 +342,29 @@ def ml_linear_fit() -> None:
     }))
 
 
+def extract_links_fixture() -> None:
+    """Sequential run of the anchor-extraction kernel over the same 300
+    synthetic pages the extract_links query maps."""
+    from ocr_platform_spark.extract.links import extract_links
+
+    rows = []
+    for i in range(300):   # == operators/weblinks.py:LINKS_DOCS
+        d = gen_document(i, seed=SEED)
+        for lk in extract_links(d["url"], d["html"]):
+            rows.append((d["url"], lk.link_no, lk.href_raw, lk.resolved,
+                         lk.anchor_text, lk.kind, lk.boilerplate))
+    cols = list(zip(*rows))
+    _write("extract_links.parquet", pa.table({
+        "url": pa.array(cols[0], pa.string()),
+        "link_no": pa.array(cols[1], pa.int32()),
+        "href_raw": pa.array(cols[2], pa.string()),
+        "resolved": pa.array(cols[3], pa.string()),
+        "anchor_text": pa.array(cols[4], pa.string()),
+        "kind": pa.array(cols[5], pa.string()),
+        "boilerplate": pa.array(cols[6], pa.bool_()),
+    }))
+
+
 if __name__ == "__main__":
     flagship_pages()
     langid_pages()
@@ -355,3 +378,4 @@ if __name__ == "__main__":
     mm_video()
     warc_ingest()
     ml_linear_fit()
+    extract_links_fixture()
