@@ -43,9 +43,12 @@ def _edges(orders: DataFrame) -> DataFrame:
             .distinct())
 
 
-def wg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
-    edges = _edges(orders)
+def pagerank_ranks(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """edges(src, dst) of any equi-joinable host type → (h, rank) after
+    ``iters`` exact-integer damped iterations. The generic kernel: the
+    driver query (wg_pagerank) feeds it the synthetic orders graph, the
+    linkgraph plan (plans/linkgraph_job.py) the crawl's extracted hosts."""
+    spark = edges.sparkSession
     hosts = (edges.select(F.col("src").alias("h"))
              .union(edges.select(F.col("dst").alias("h")))
              .distinct())
@@ -59,7 +62,7 @@ def wg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             else df.localCheckpoint(eager=True)
 
     rank = hosts.withColumn("rank", F.lit(_INIT_X1E6).cast("long"))
-    for _ in range(PR_ITERS):
+    for _ in range(iters):
         insum = (esrc.join(rank, esrc["src"] == rank["h"])
                  .select(F.col("dst"),
                          F.expr("rank DIV deg").alias("c"))
@@ -73,6 +76,12 @@ def wg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                           f" DIV {_DAMP_DEN}"))
                 .cast("long").alias("rank")))
     esrc.unpersist()
+    return rank
+
+
+def wg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    rank = pagerank_ranks(_edges(orders))
     return rank.select(
         F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
         F.col("rank").alias("rank_x1e6"))
