@@ -51,6 +51,29 @@ def test_kernel_never_raises_and_flushes_unclosed():
     assert len(out) == 1 and not out[0].boilerplate
 
 
+def test_kernel_fuzz_never_raises_and_is_deterministic():
+    import random
+
+    from ocr_platform_spark.datagen import gen_document
+
+    rng = random.Random(11)
+    base = gen_document(3, 42)["html"]
+    for _ in range(200):
+        # random byte mutations + truncations of a real page, plus noise
+        blob = bytearray(base[:rng.randrange(len(base))])
+        for _ in range(rng.randrange(8)):
+            if blob:
+                blob[rng.randrange(len(blob))] = rng.randrange(256)
+        out1 = extract_links("https://h.t/p", bytes(blob))
+        out2 = extract_links("https://h.t/p", bytes(blob))
+        assert out1 == out2
+        for lk in out1:
+            assert lk.kind in ("absolute", "relative", "fragment", "other")
+        assert [lk.link_no for lk in out1] == list(range(len(out1)))
+        noise = bytes(rng.randrange(256) for _ in range(rng.randrange(300)))
+        assert isinstance(extract_links("u", noise), list)
+
+
 def test_links_plan_has_no_exchange(spark):
     from ocr_platform_spark.sources.pages import pages_df
 
