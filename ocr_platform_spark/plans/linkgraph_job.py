@@ -53,3 +53,30 @@ def run_linkgraph_job(spark: SparkSession, warc_glob: str,
     return (rank.select(F.col("h").alias("host"),
                         F.col("rank").alias("rank_x1e6"))
             .orderBy(F.desc("rank_x1e6"), "host"))
+
+
+def run_links_stream(spark: SparkSession, warc_dir: str, output_dir: str,
+                     checkpoint_dir: str, available_now: bool = True,
+                     max_files_per_trigger: int | None = None):
+    """Incremental variant of the anchor pass: new crawl files → the SAME
+    parse + link kernels → checkpointed parquet append of anchor rows.
+    Exactly-once per file via the file-source log (the contract of
+    streaming/ingest.py); re-run after each crawl drop, then recompute
+    ranks batch-side over the accumulated links table — PageRank is a
+    whole-graph fixpoint, so the iterate stays batch (the standard
+    lambda-architecture split for graph metrics over a growing crawl)."""
+    from ocr_platform_spark.sources.warc import read_warc_stream
+
+    pages = read_warc_stream(spark, warc_dir + "/*.warc.gz",
+                             max_files_per_trigger)
+    clean = pages.filter(F.col("parse_error").isNull()
+                         & F.col("html").isNotNull())
+    links = links_df(clean.select("url", "html"))
+    writer = (links.writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -77,6 +77,38 @@ def test_host_edges_drop_self_and_non_absolute(spark, crawl_dir):
     assert ("a.com", "b.com") in edges
 
 
+def test_links_stream_matches_batch_and_is_exactly_once(spark, tmp_path):
+    """Two crawl drops drained by two availableNow runs: the accumulated
+    streamed links equal one batch pass over both files (same kernel),
+    and the first file is NOT reprocessed on the second drain."""
+    from ocr_platform_spark.operators.weblinks import links_df
+    from ocr_platform_spark.plans.linkgraph_job import run_links_stream
+    from ocr_platform_spark.sources.warc import read_warc
+
+    crawl = tmp_path / "crawl"
+    out = str(tmp_path / "links")
+    ckpt = str(tmp_path / "ckpt")
+    write_warc(crawl / "drop-1.warc.gz", [response_record(
+        "https://a.com/1", "2026-01-02T00:00:00Z", _page("a.com", ["b.com"]))])
+    run_links_stream(spark, str(crawl), out, ckpt).awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+
+    write_warc(crawl / "drop-2.warc.gz", [response_record(
+        "https://c.com/2", "2026-01-02T00:01:00Z", _page("c.com", ["a.com"]))])
+    run_links_stream(spark, str(crawl), out, ckpt).awaitTermination(120)
+
+    streamed = sorted(
+        tuple(r) for r in spark.read.parquet(out)
+        .select("url", "link_no", "href_raw", "kind").collect())
+    batch = sorted(
+        tuple(r) for r in
+        links_df(read_warc(spark, str(crawl) + "/*.warc.gz")
+                 .select("url", "html"))
+        .select("url", "link_no", "href_raw", "kind").collect())
+    assert streamed == batch          # same kernel, exactly-once per file
+
+
 def test_upstream_of_edge_distinct_is_shuffle_free(spark, crawl_dir):
     from ocr_platform_spark.operators.weblinks import links_df
     from ocr_platform_spark.sources.warc import read_warc
