@@ -212,6 +212,43 @@ def test_url_filter_verdicts(spark):
     assert "casino" not in ok["url"]
 
 
+def test_host_stats_single_source_all_dups(spark, tmp_path):
+    rows = [(i, "same text here", "only") for i in range(5)]
+    _docs(spark, rows).write.parquet(str(tmp_path / "documents.parquet"))
+    out = ta_host_stats(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 5 and r["n_exact_dup_docs"] == 4
+    assert r["n_langs"] == 1
+
+
+def test_mix_uniform_corpus_keeps_everything(spark, tmp_path):
+    # perfectly balanced sources: every rate caps at keep-all
+    rows = [(i, "a b c d e", f"s{i % 4}") for i in range(16)]
+    _docs(spark, rows).write.parquet(str(tmp_path / "documents.parquet"))
+    out = cx_mix(spark, str(tmp_path))
+    assert out.count() == 16
+    assert out.select("rate_x10k").distinct().collect()[0][0] == 10000
+
+
+def test_span_dedup_identical_docs_keep_only_first(spark, tmp_path):
+    rows = [(i, "w1 w2 w3 w4 w5 w6 w7 w8", "h") for i in range(3)]
+    _docs(spark, rows).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           dd_span_dedup(spark, str(tmp_path)).collect()}
+    assert out[0]["n_kept"] == 1 and out[0]["clean_text"].startswith("w1")
+    assert out[1]["n_kept"] == 0 and out[1]["clean_text"] == ""
+    assert out[2]["n_kept"] == 0
+    # every doc stays accounted for (never-drop)
+    assert len(out) == 3
+
+
+def test_domain_cap_under_k_sources_keep_all(spark, tmp_path):
+    rows = [(i, "t", "h1") for i in range(3)]   # 3 docs < CAP_K
+    _docs(spark, rows).write.parquet(str(tmp_path / "documents.parquet"))
+    assert cx_domain_cap(spark, str(tmp_path)).count() == 3
+
+
 # --- plan shape at scale ----------------------------------------------------
 def test_mix_rates_broadcast_onto_corpus(spark):
     """The per-source rate table (rows = n_sources) must broadcast; the
