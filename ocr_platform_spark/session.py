@@ -64,30 +64,49 @@ def _export_pythonpath() -> None:
 def build_spark(app_name: str = "ocr-platform-spark",
                 cores: int | None = None,
                 shuffle_partitions: int | None = None) -> SparkSession:
-    """Build (or reuse) the session. ``cores`` only matters for local mode."""
+    """Build (or reuse) the session. ``cores`` only matters for local mode.
+
+    Under ``spark-submit`` (detected via the gateway env var the launcher
+    exports before starting this interpreter) the submit-line master /
+    driver memory / scratch dir are authoritative — a hard-coded
+    ``.master("local[n]")`` here would silently demote a
+    ``--master local-cluster[...]``/YARN submit back to single-JVM local
+    mode, so those knobs are only applied for self-launched sessions."""
     _export_pythonpath()
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
     n = cores or default_parallelism()
     sp = shuffle_partitions or max(2 * n, 8)
+    builder = SparkSession.builder.appName(app_name)
+    if not under_submit:
+        builder = (builder
+                   .master(f"local[{n}]")
+                   .config("spark.local.dir", _local_dir())
+                   .config("spark.driver.memory",
+                           os.environ.get("SPARK_DRIVER_MEM", "8g"))
+                   # preload pandas/pyarrow in the worker daemon so forked
+                   # workers start warm — kills the N-simultaneous-cold-
+                   # imports cliff on wide executors (spark_daemon.py).
+                   # Self-launched sessions only: Spark spawns the daemon
+                   # BEFORE the --py-files includes reach a worker's
+                   # sys.path, so on a submit deploy the module resolves
+                   # only if it is executor-resident — opt in on the
+                   # submit line (see run_extract.py) with
+                   #   --conf spark.python.daemon.module=ocr_platform_spark.spark_daemon
+                   #   --conf spark.executorEnv.PYTHONPATH=<dir with the package>
+                   # a bare --py-files zip deploy runs with the stock
+                   # daemon and cold-imports once per worker instead.
+                   .config("spark.python.daemon.module",
+                           "ocr_platform_spark.spark_daemon"))
     return (
-        SparkSession.builder.appName(app_name)
-        .config("spark.local.dir", _local_dir())
-        .master(f"local[{n}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # preload pandas/pyarrow in the worker daemon so forked workers start
-        # warm — kills the N-simultaneous-cold-imports cliff on wide executors
-        # (see ocr_platform_spark/spark_daemon.py). The daemon is launched via
-        # a fresh `python -m`, so _export_pythonpath() above guarantees the
-        # package resolves in that bare subprocess even when the driver only
-        # added the repo to sys.path; cluster submits ship it via --py-files.
-        .config("spark.python.daemon.module", "ocr_platform_spark.spark_daemon")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(ARROW_MAX_RECORDS))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()

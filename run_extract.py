@@ -6,9 +6,17 @@ Cluster usage (the BASELINE.json north-rule invocation):
     python -c "import shutil; shutil.make_archive('ocr_platform_spark', \
 'zip', '.', 'ocr_platform_spark')"
     spark-submit --py-files ocr_platform_spark.zip \
-        --conf spark.python.daemon.module=ocr_platform_spark.spark_daemon \
         run_extract.py --input <pages table path> --output <extracted path> \
         [--buckets 65536] [--no-resume] [--run-id RUN]
+
+(proved end-to-end on local-cluster by tests/test_submit.py). When the
+package is also installed on the executor nodes (image/wheel/shared
+mount), add the warm-import worker daemon — worth ~200 ms x cores per
+executor at startup; it cannot ship via --py-files because Spark spawns
+it before the zip reaches a worker's sys.path:
+
+        --conf spark.python.daemon.module=ocr_platform_spark.spark_daemon \
+        --conf spark.executorEnv.PYTHONPATH=<dir containing the package>
 
 Sandbox usage (local mode, synthesizes input when --gen N is given):
 

@@ -4,9 +4,12 @@
 Cluster usage:
 
     spark-submit --py-files ocr_platform_spark.zip \
-        --conf spark.python.daemon.module=ocr_platform_spark.spark_daemon \
         run_linkgraph.py --warc 's3://crawl/segments/*/warc/*.warc.gz' \
         --output <ranked hosts path> [--iters 10]
+
+(add the warm-import daemon pair of confs from run_extract.py's docstring
+when the package is installed on executor nodes; a bare --py-files deploy
+cannot ship the daemon — Spark spawns it before the zip reaches workers.)
 
 Sandbox usage (runs on the committed fixture crawl when --warc is omitted):
 
