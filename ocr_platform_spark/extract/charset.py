@@ -1,0 +1,123 @@
+"""WHATWG-style charset sniffing for crawl payloads.
+
+Real Common-Crawl HTML is far from all-UTF-8: legacy pages declare (or
+silently use) windows-125x / ISO-8859-x / UTF-16 families. The reference
+pipeline never faces this (its inputs arrive transcoded through the OCR
+service, apps/queue/src/lib/ocr.ts), but a from-crawl extraction engine
+must sniff before decoding or non-UTF-8 pages silently mojibake through
+the boilerplate classifier.
+
+Deterministic subset of the WHATWG encoding sniffing algorithm
+(https://html.spec.whatwg.org/multipage/parsing.html#determining-the-character-encoding),
+stdlib-only, in priority order:
+
+1. byte-order mark (UTF-8 / UTF-16 / UTF-32, 32 checked first — a
+   UTF-32-LE BOM starts with the UTF-16-LE BOM bytes);
+2. ``<meta charset=...>`` / ``<meta http-equiv=content-type ...>`` label in
+   the first 1024 bytes (the spec's prescan window), with the spec's
+   compatibility mappings (latin-1/ascii family -> windows-1252; a
+   UTF-16/32 *label* is treated as UTF-8 — content whose prescan is
+   ASCII-readable cannot actually be UTF-16);
+3. strict UTF-8 (the happy path — bit-identical with the engine's
+   pre-sniffing behavior for the all-UTF-8 synthetic corpus);
+4. windows-1252 with replacement — the web's de-facto fallback.
+
+Pure function of the byte payload; never raises. Used by
+``extract/pipeline.py`` (stage CORRECT) and ``extract/links.py``.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+
+# order matters: UTF-32 BOMs embed UTF-16 BOMs as prefixes
+_BOMS: list[tuple[bytes, str]] = [
+    (codecs.BOM_UTF32_LE, "utf-32-le"),
+    (codecs.BOM_UTF32_BE, "utf-32-be"),
+    (codecs.BOM_UTF8, "utf-8"),
+    (codecs.BOM_UTF16_LE, "utf-16-le"),
+    (codecs.BOM_UTF16_BE, "utf-16-be"),
+]
+
+_PRESCAN_BYTES = 1024
+
+_META_TAG_RE = re.compile(rb"<meta\b[^>]{0,500}>", re.IGNORECASE | re.DOTALL)
+_CHARSET_RE = re.compile(
+    rb"charset\s*=\s*[\"']?\s*([a-zA-Z0-9][a-zA-Z0-9._:-]{0,39})",
+    re.IGNORECASE)
+
+# WHATWG compatibility aliases (the subset that changes stdlib behavior);
+# everything else resolves through codecs.lookup's own alias table.
+_LABEL_ALIASES = {
+    "iso-8859-1": "windows-1252",
+    "iso8859-1": "windows-1252",
+    "latin1": "windows-1252",
+    "latin-1": "windows-1252",
+    "us-ascii": "windows-1252",
+    "ascii": "windows-1252",
+    "iso-8859-9": "windows-1254",
+    "x-user-defined": "windows-1252",
+}
+
+_UTF8_NAMES = {"utf-8", "utf8", "utf-8-sig"}
+
+
+def _resolve_label(label: bytes) -> str | None:
+    name = label.decode("ascii", errors="replace").strip().lower()
+    name = _LABEL_ALIASES.get(name, name)
+    try:
+        info = codecs.lookup(name)
+    except LookupError:
+        return None
+    canonical = info.name
+    # a meta-declared UTF-16/32 is a lie if the prescan could read it;
+    # the spec maps these labels to UTF-8
+    if canonical.startswith(("utf-16", "utf-32")):
+        return "utf-8"
+    return canonical
+
+
+def sniff_charset(html: bytes) -> tuple[str | None, bool]:
+    """Return ``(encoding, had_bom)``; encoding is None when nothing is
+    declared (caller falls through to strict-UTF-8 then windows-1252)."""
+    for bom, enc in _BOMS:
+        if html.startswith(bom):
+            return enc, True
+    head = html[:_PRESCAN_BYTES]
+    for tag in _META_TAG_RE.finditer(head):
+        m = _CHARSET_RE.search(tag.group(0))
+        if m:
+            enc = _resolve_label(m.group(1))
+            if enc is not None:
+                return enc, False
+    return None, False
+
+
+def decode_html(html: bytes) -> tuple[str, str]:
+    """Decode a crawl payload to text. Never raises.
+
+    Returns ``(text, encoding_used)``; the BOM (when present) is consumed,
+    not emitted into the text.
+    """
+    enc, had_bom = sniff_charset(html)
+    if had_bom:
+        body = html[len({
+            "utf-8": codecs.BOM_UTF8,
+            "utf-16-le": codecs.BOM_UTF16_LE,
+            "utf-16-be": codecs.BOM_UTF16_BE,
+            "utf-32-le": codecs.BOM_UTF32_LE,
+            "utf-32-be": codecs.BOM_UTF32_BE,
+        }[enc]):]
+        return body.decode(enc, errors="replace"), enc
+    if enc is not None and enc not in _UTF8_NAMES:
+        return html.decode(enc, errors="replace"), enc
+    try:
+        return html.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        pass
+    if enc in _UTF8_NAMES:
+        # declared utf-8 but invalid: honor the declaration leniently
+        # (bit-identical with the engine's pre-sniffing fallback)
+        return html.decode("utf-8", errors="replace"), "utf-8"
+    return html.decode("windows-1252", errors="replace"), "cp1252"

@@ -30,6 +30,7 @@ from dataclasses import dataclass
 from html.parser import HTMLParser
 from urllib.parse import urljoin
 
+from ocr_platform_spark.extract.charset import decode_html
 from ocr_platform_spark.extract.classify import CHROME_CLASS_RE
 from ocr_platform_spark.extract.html_blocks import _collapse_ws
 
@@ -95,7 +96,7 @@ def extract_links(url: str, html: bytes | None) -> list[Link]:
     if not html:
         return []
     try:
-        text = html.decode("utf-8", errors="replace")
+        text, _enc = decode_html(html)   # WHATWG sniff, same as pipeline
         p = _LinkParser()
         p.feed(text)
         p.close()

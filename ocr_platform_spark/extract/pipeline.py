@@ -23,6 +23,7 @@ from __future__ import annotations
 import unicodedata
 from dataclasses import dataclass, field
 
+from ocr_platform_spark.extract.charset import decode_html
 from ocr_platform_spark.extract.classify import classify_blocks
 from ocr_platform_spark.extract.html_blocks import parse_blocks
 from ocr_platform_spark.extract.segment import Segmented, segment_blocks
@@ -101,12 +102,12 @@ def extract_document(url: str, html: bytes | None) -> ExtractionResult:
         return extract_pdf_payload(url, html)
     nbytes = len(html)
     try:
-        raw = html.decode("utf-8")           # strict first ...
-    except UnicodeDecodeError:
-        try:
-            raw = html.decode("utf-8", errors="replace")  # ... lenient fallback
-        except Exception as e:  # pragma: no cover - replace never raises
-            return _failure(url, STAGE_CORRECT, f"undecodable: {e}", nbytes=nbytes)
+        # WHATWG sniff: BOM > meta-declared label > strict utf-8 >
+        # windows-1252 fallback (extract/charset.py). Bit-identical with
+        # the previous strict-utf-8-then-replace behavior for UTF-8 pages.
+        raw, _enc = decode_html(html)
+    except Exception as e:  # pragma: no cover - decode_html never raises
+        return _failure(url, STAGE_CORRECT, f"undecodable: {e}", nbytes=nbytes)
     try:
         corrected = correct_text(raw)
     except Exception as e:

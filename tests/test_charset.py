@@ -1,0 +1,133 @@
+"""Charset sniffing (extract/charset.py): WHATWG subset, never raises.
+
+The synthetic corpus is all-UTF-8, so these vectors are the coverage for
+the legacy-web paths (BOMs, meta labels, windows-125x, UTF-16) — plus the
+bit-identity guarantee for UTF-8 inputs that keeps every golden stable.
+"""
+
+from __future__ import annotations
+
+import codecs
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_platform_spark.extract.charset import decode_html, sniff_charset
+from ocr_platform_spark.extract.pipeline import extract_document
+
+AR = "مرحبا بالعالم"          # cp1256-encodable Arabic
+FR = "héllo «monde» à côté"    # cp1252-encodable Latin-1-ish
+
+
+class TestBom:
+    def test_utf8_bom_consumed(self):
+        text, enc = decode_html(codecs.BOM_UTF8 + "hi".encode("utf-8"))
+        assert (text, enc) == ("hi", "utf-8")
+
+    def test_utf16_le(self):
+        text, enc = decode_html(codecs.BOM_UTF16_LE + AR.encode("utf-16-le"))
+        assert (text, enc) == (AR, "utf-16-le")
+
+    def test_utf16_be(self):
+        text, enc = decode_html(codecs.BOM_UTF16_BE + AR.encode("utf-16-be"))
+        assert (text, enc) == (AR, "utf-16-be")
+
+    def test_utf32_not_mistaken_for_utf16(self):
+        # UTF-32-LE BOM starts with the UTF-16-LE BOM bytes
+        text, enc = decode_html(codecs.BOM_UTF32_LE + "x".encode("utf-32-le"))
+        assert (text, enc) == ("x", "utf-32-le")
+
+    def test_bom_beats_meta(self):
+        payload = codecs.BOM_UTF16_LE + (
+            '<meta charset="windows-1256">ok'.encode("utf-16-le"))
+        text, enc = decode_html(payload)
+        assert enc == "utf-16-le"
+        assert "ok" in text
+
+
+class TestMetaLabel:
+    def test_meta_charset_cp1256(self):
+        raw = f'<html><head><meta charset="windows-1256"></head>{AR}'.encode("cp1256")
+        text, enc = decode_html(raw)
+        assert enc == "cp1256"
+        assert AR in text
+
+    def test_http_equiv_form(self):
+        raw = ('<meta http-equiv="Content-Type" '
+               'content="text/html; charset=windows-1252">' + FR).encode("cp1252")
+        text, enc = decode_html(raw)
+        assert enc == "cp1252"
+        assert FR in text
+
+    def test_latin1_label_maps_to_cp1252(self):
+        # WHATWG: iso-8859-1 means windows-1252 on the web; 0x92 is a
+        # cp1252 right-quote and an ISO-8859-1 control char
+        raw = b'<meta charset="iso-8859-1">it\x92s'
+        text, enc = decode_html(raw)
+        assert enc == "cp1252"
+        assert "it’s" in text
+
+    def test_meta_utf16_label_treated_as_utf8(self):
+        raw = '<meta charset="utf-16">plain'.encode("utf-8")
+        text, enc = decode_html(raw)
+        assert enc == "utf-8"
+        assert "plain" in text
+
+    def test_unknown_label_falls_through(self):
+        raw = b'<meta charset="klingon-8">ok'
+        text, enc = decode_html(raw)
+        assert (enc, "ok" in text) == ("utf-8", True)
+
+    def test_meta_outside_prescan_window_ignored(self):
+        raw = b"<p>" + b"x" * 1500 + b'<meta charset="windows-1256">'
+        _, enc = decode_html(raw)
+        assert enc == "utf-8"
+
+    def test_charset_word_in_body_text_not_a_label(self):
+        # 'charset=' outside a <meta> tag must not trigger
+        raw = b"<p>use charset=windows-1256 in your meta tag</p>"
+        _, enc = decode_html(raw)
+        assert enc == "utf-8"
+
+
+class TestFallbacks:
+    def test_valid_utf8_bit_identical(self):
+        raw = f"<p>{AR} {FR}</p>".encode("utf-8")
+        text, enc = decode_html(raw)
+        assert (text, enc) == (raw.decode("utf-8"), "utf-8")
+
+    def test_undeclared_cp1252_recovers(self):
+        # the pre-sniffing engine turned 0x92 into U+FFFD; now cp1252
+        text, enc = decode_html(b"it\x92s fine")
+        assert (text, enc) == ("it’s fine", "cp1252")
+
+    def test_declared_utf8_but_invalid_stays_utf8_replace(self):
+        raw = b'<meta charset="utf-8">ab\xff\xfe'
+        text, enc = decode_html(raw)
+        assert enc == "utf-8"
+        assert "�" in text and "ab" in text
+
+
+class TestPipelineIntegration:
+    def test_cp1256_page_extracts_real_text(self):
+        body = f"<html><head><meta charset=windows-1256></head><body><main><p>{AR} {AR} {AR}</p></main></body></html>"
+        res = extract_document("https://x.test/a", body.encode("cp1256"))
+        assert res.failed_stage is None
+        assert AR in res.extracted_text
+
+    def test_utf16_page_extracts(self):
+        body = f"<html><body><main><p>{FR} {FR}</p></main></body></html>"
+        res = extract_document(
+            "https://x.test/b", codecs.BOM_UTF16_LE + body.encode("utf-16-le"))
+        assert res.failed_stage is None
+        assert FR in res.extracted_text
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2048))
+def test_never_raises_and_deterministic(payload):
+    a = decode_html(payload)
+    b = decode_html(payload)
+    assert a == b
+    assert isinstance(a[0], str) and isinstance(a[1], str)
+    assert sniff_charset(payload) == sniff_charset(payload)

@@ -44,7 +44,9 @@ def test_kernel_never_raises_and_flushes_unclosed():
     assert extract_links("u", None) == []
     assert extract_links("u", b"") == []
     # truncated page: unclosed anchor still emitted
-    out = extract_links("https://h.t/", b"\xff\xfe<p><a href='/x'>tail")
+    # \xff\xff: invalid utf-8 but NOT a BOM (\xff\xfe would be a real
+    # UTF-16-LE mark, which the charset sniffer now rightly honors)
+    out = extract_links("https://h.t/", b"\xff\xff<p><a href='/x'>tail")
     assert len(out) == 1 and out[0].kind == "relative"
     # stray end tags must not underflow chrome depth
     out = extract_links("https://h.t/", b"</nav></nav><p><a href='/y'>y</a></p>")
