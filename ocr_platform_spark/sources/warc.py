@@ -483,4 +483,32 @@ def make_warc_fixture_files(out_dir: str | Path = FIXTURE_DIR,
                         b"<html>ok</html>"), mtime=0)
     bad_path.write_bytes(good + b"\x1f\x8b\x08NOT-REALLY-GZIP" + b"\x00" * 32)
     written.append(bad_path)
+
+    # legacy encodings: the charset-sniffer's integration surface
+    # (extract/charset.py) — real crawls carry windows-125x / UTF-16
+    # pages; the html BYTES round-trip untouched through ingest and the
+    # decoding happens in the extraction kernel
+    ar = ("مرحبا "
+          "بالعالم")   # Arabic hello
+    ar_para = " ".join([ar] * 6)
+    fr_para = b"it\x92s a caf\xe9 \x97 d\xe9j\xe0 vu " * 4   # cp1252 bytes
+    u16_body = ("<html><body><main><p>utf sixteen page body with enough "
+                "words to segment</p></main></body></html>")
+    legacy = [
+        warcinfo_record("legacy.warc.gz"),
+        response_record(
+            "https://legacy.example/cp1256", ts,
+            ('<html><head><meta charset="windows-1256"></head><body>'
+             f'<main><p>{ar_para}</p></main></body></html>'
+             ).encode("cp1256")),
+        response_record(
+            "https://legacy.example/utf16", ts,
+            b"\xff\xfe" + u16_body.encode("utf-16-le")),
+        response_record(
+            "https://legacy.example/cp1252-undeclared", ts,
+            b"<html><body><main><p>" + fr_para + b"</p></main></body></html>"),
+    ]
+    legacy_path = Path(out) / "legacy.warc.gz"
+    write_warc(legacy_path, legacy)
+    written.append(legacy_path)
     return written

@@ -210,3 +210,33 @@ def test_write_warc_files_distributed_roundtrip(spark, tmp_path):
     got = {r["url"]: (bytes(r["html"]), r["warc_ts"])
            for r in back.collect()}
     assert got == orig
+
+
+def test_legacy_encoded_captures_extract_correctly(spark):
+    """Crawl-container → pages projection → extraction kernel, over the
+    committed legacy.warc.gz: cp1256-declared, UTF-16-BOM and undeclared
+    cp1252 pages must come out as real text (extract/charset.py), with the
+    html BYTES untouched by ingest (decoding belongs to the kernel)."""
+    from ocr_platform_spark.extract.pipeline import extract_document
+
+    df = warc_pages(read_warc(spark, str(FIXTURE_DIR / "legacy.warc.gz")))
+    rows = {r["url"]: bytes(r["html"]) for r in df.collect()}
+    assert set(rows) == {
+        "https://legacy.example/cp1256",
+        "https://legacy.example/utf16",
+        "https://legacy.example/cp1252-undeclared",
+    }
+
+    ar = extract_document("u", rows["https://legacy.example/cp1256"])
+    assert ar.failed_stage is None
+    assert "مرحبا بالعالم" in ar.extracted_text
+    assert "�" not in ar.extracted_text
+
+    u16 = extract_document("u", rows["https://legacy.example/utf16"])
+    assert u16.failed_stage is None
+    assert "utf sixteen page body" in u16.extracted_text
+
+    fr = extract_document("u", rows["https://legacy.example/cp1252-undeclared"])
+    assert fr.failed_stage is None
+    assert "it’s a café — déjà vu" in fr.extracted_text
+    assert "�" not in fr.extracted_text
