@@ -24,6 +24,16 @@ stdlib-only, in priority order:
 
 Pure function of the byte payload; never raises. Used by
 ``extract/pipeline.py`` (stage CORRECT) and ``extract/links.py``.
+
+Deliberately NOT consulted: the transport-layer charset (the HTTP
+``Content-Type`` header a WARC capture carries). The spec ranks it above
+the meta tag, but the input-table contract (BASELINE.json input_hint)
+fixes the pages schema at (url, warc_ts, html, text, lang) and the
+north-rule invariant is byte-identical extracted text per (url, html) —
+so the kernel stays a pure function of the payload. Pages whose only
+charset signal is the HTTP header fall through to content sniffing,
+which resolves the common cases (BOM'd UTF-16, valid UTF-8, windows-125x
+via the cp1252-family fallback).
 """
 
 from __future__ import annotations
