@@ -80,6 +80,11 @@ def _resolve_label(label: bytes) -> str | None:
         info = codecs.lookup(name)
     except LookupError:
         return None
+    # codecs.lookup also resolves non-text codecs (hex, rot13, zlib, ...):
+    # a hostile <meta charset="hex"> must fall through to sniffing, not
+    # blow up bytes.decode with a LookupError
+    if not getattr(info, "_is_text_encoding", True):
+        return None
     canonical = info.name
     # a meta-declared UTF-16/32 is a lie if the prescan could read it;
     # the spec maps these labels to UTF-8
@@ -121,7 +126,13 @@ def decode_html(html: bytes) -> tuple[str, str]:
         }[enc]):]
         return body.decode(enc, errors="replace"), enc
     if enc is not None and enc not in _UTF8_NAMES:
-        return html.decode(enc, errors="replace"), enc
+        try:
+            # a few exotic-but-text codecs (e.g. punycode) don't honor
+            # errors="replace" on all inputs — never let a declared label
+            # break the never-raise contract
+            return html.decode(enc, errors="replace"), enc
+        except Exception:
+            pass
     try:
         return html.decode("utf-8"), "utf-8"
     except UnicodeDecodeError:

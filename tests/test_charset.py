@@ -131,3 +131,22 @@ def test_never_raises_and_deterministic(payload):
     assert a == b
     assert isinstance(a[0], str) and isinstance(a[1], str)
     assert sniff_charset(payload) == sniff_charset(payload)
+
+
+class TestHostileLabels:
+    """codecs.lookup resolves non-text codecs too — a hostile meta label
+    must fall through to content sniffing, never raise."""
+
+    def test_bytes_transform_codec_labels_ignored(self):
+        for label in ("hex", "rot13", "zlib", "base64", "uu", "bz2"):
+            raw = f'<meta charset="{label}">plain text'.encode()
+            text, enc = decode_html(raw)
+            assert enc == "utf-8", label
+            assert "plain text" in text
+
+    def test_punycode_label_never_raises(self):
+        # punycode IS a text encoding but its decoder can reject inputs
+        # despite errors="replace"; must degrade, not raise
+        raw = b'<meta charset="punycode">\xff\xff overflow \xff'
+        text, enc = decode_html(raw)
+        assert isinstance(text, str) and isinstance(enc, str)
