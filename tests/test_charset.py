@@ -150,3 +150,43 @@ class TestHostileLabels:
         raw = b'<meta charset="punycode">\xff\xff overflow \xff'
         text, enc = decode_html(raw)
         assert isinstance(text, str) and isinstance(enc, str)
+
+
+class TestWorldLabels:
+    """Non-Latin legacy families resolve through stdlib codecs with no
+    aliasing needed — pin the big ones a real crawl actually contains."""
+
+    def test_shift_jis(self):
+        jp = "こんにちは世界"
+        raw = f'<meta charset="shift_jis">{jp}'.encode("shift_jis")
+        text, enc = decode_html(raw)
+        assert jp in text and enc == "shift_jis"
+
+    def test_gb2312(self):
+        zh = "你好世界"
+        raw = f'<meta charset="gb2312">{zh}'.encode("gb2312")
+        text, enc = decode_html(raw)
+        assert zh in text
+
+    def test_big5(self):
+        zh = "世界你好"
+        raw = f'<meta charset="big5">{zh}'.encode("big5")
+        text, enc = decode_html(raw)
+        assert zh in text and enc == "big5"
+
+    def test_koi8_r(self):
+        ru = "привет мир"
+        raw = f'<meta charset="koi8-r">{ru}'.encode("koi8_r")
+        text, enc = decode_html(raw)
+        assert ru in text and enc == "koi8-r"
+
+    def test_euc_kr(self):
+        ko = "안녕하세요"
+        raw = f'<meta charset="euc-kr">{ko}'.encode("euc_kr")
+        text, enc = decode_html(raw)
+        assert ko in text
+
+    def test_iso_8859_6_arabic(self):
+        raw = f'<meta charset="iso-8859-6">{AR}'.encode("iso8859_6")
+        text, enc = decode_html(raw)
+        assert AR in text and enc == "iso8859-6"
