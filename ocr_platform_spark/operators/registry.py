@@ -132,19 +132,45 @@ def _ml_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ml_linear_fit(spark, sf_dir)
 
 
+# The driver's CORRECTNESS snapshot records only the FIRST 50 entries of
+# __spark_entry__.queries() in registration order. Rounds 1-3 registered in
+# module order, so the 28 queries after dd_embedding_near never got a
+# driver-green row of record (VERDICT.md round 3, item 1). This list front-
+# loads exactly those queries (plus any new this-round queries) right after
+# the two flagship entries; everything else keeps module order behind them.
+_DRIVER_PRIORITY = (
+    # never driver-checked through round 3 (CORRECTNESS_r03 cap)
+    "dd_embedding_lsh", "dd_clusters", "dd_incremental",
+    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "cx_curation_pipeline", "extract_pdf_pages",
+    "ev_windowed_agg", "ev_sessionize",
+    "ta_host_stats", "cx_domain_cap", "cx_decontaminate", "dd_span_dedup",
+    "ta_quality_model", "dd_url_dedup", "ta_freq_score", "cx_mix",
+    "cx_pack_sequences", "cx_url_filter",
+    "wg_pagerank", "wg_harmonic", "extract_links",
+    "mm_features", "mm_decode", "mm_audio", "mm_video",
+    "warc_ingest", "ml_linear_fit",
+)
+
+
 def all_entries() -> dict[str, tuple[Callable, str | None]]:
-    out: dict[str, tuple[Callable, str | None]] = {}
+    raw: dict[str, tuple[Callable, str | None]] = {}
     for mod in _modules():
         for name, (fn, sql) in mod.QUERIES.items():
-            assert name not in out, f"duplicate query name {name}"
-            out[name] = (fn, sql)
-    out["mm_features"] = (_mm_features, fixture_sql("mm_features.parquet"))
-    out["mm_decode"] = (_mm_decode, fixture_sql("mm_decode.parquet"))
-    out["mm_audio"] = (_mm_audio, fixture_sql("mm_audio.parquet"))
-    out["mm_video"] = (_mm_video, fixture_sql("mm_video.parquet"))
-    out["warc_ingest"] = (_warc_ingest, fixture_sql("warc_ingest.parquet"))
-    out["ml_linear_fit"] = (
+            assert name not in raw, f"duplicate query name {name}"
+            raw[name] = (fn, sql)
+    raw["mm_features"] = (_mm_features, fixture_sql("mm_features.parquet"))
+    raw["mm_decode"] = (_mm_decode, fixture_sql("mm_decode.parquet"))
+    raw["mm_audio"] = (_mm_audio, fixture_sql("mm_audio.parquet"))
+    raw["mm_video"] = (_mm_video, fixture_sql("mm_video.parquet"))
+    raw["warc_ingest"] = (_warc_ingest, fixture_sql("warc_ingest.parquet"))
+    raw["ml_linear_fit"] = (
         _ml_linear_fit, fixture_sql("ml_linear_fit.sf0.01.parquet"))
+    out: dict[str, tuple[Callable, str | None]] = {}
+    for name in _DRIVER_PRIORITY:
+        if name in raw:
+            out[name] = raw.pop(name)
+    out.update(raw)
     return out
 
 
