@@ -56,6 +56,33 @@ _META_TAG_RE = re.compile(rb"<meta\b[^>]{0,500}>", re.IGNORECASE | re.DOTALL)
 _CHARSET_RE = re.compile(
     rb"charset\s*=\s*[\"']?\s*([a-zA-Z0-9][a-zA-Z0-9._:-]{0,39})",
     re.IGNORECASE)
+# simplified WHATWG "get an attribute": name, optional ="..."/'...'/bare
+_ATTR_RE = re.compile(
+    rb"([a-zA-Z][a-zA-Z0-9-]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'/>]*))?")
+
+
+def _tag_charset_label(tag: bytes) -> bytes | None:
+    """Charset label of one <meta> tag per the WHATWG prescan rules: a bare
+    ``charset`` attribute, or ``charset=`` inside ``content=`` only when the
+    SAME tag carries ``http-equiv=content-type``. A ``charset=`` inside any
+    other attribute (e.g. a description mentioning one) must NOT label the
+    page (ADVICE round 3). First occurrence of a duplicate attribute wins,
+    as in the spec."""
+    attrs: dict[bytes, bytes] = {}
+    for m in _ATTR_RE.finditer(tag, 5):  # 5 = len(b"<meta")
+        val = m.group(2) or b""
+        attrs.setdefault(m.group(1).lower(), val.strip(b"\"'"))
+    label = attrs.get(b"charset")
+    if label:
+        m = _CHARSET_RE.match(b"charset=" + label)
+        return m.group(1) if m else None
+    if attrs.get(b"http-equiv", b"").strip().lower() == b"content-type":
+        content = attrs.get(b"content")
+        if content:
+            m = _CHARSET_RE.search(content)
+            if m:
+                return m.group(1)
+    return None
 
 # WHATWG compatibility aliases (the subset that changes stdlib behavior);
 # everything else resolves through codecs.lookup's own alias table.
@@ -101,9 +128,9 @@ def sniff_charset(html: bytes) -> tuple[str | None, bool]:
             return enc, True
     head = html[:_PRESCAN_BYTES]
     for tag in _META_TAG_RE.finditer(head):
-        m = _CHARSET_RE.search(tag.group(0))
-        if m:
-            enc = _resolve_label(m.group(1))
+        label = _tag_charset_label(tag.group(0))
+        if label:
+            enc = _resolve_label(label)
             if enc is not None:
                 return enc, False
     return None, False

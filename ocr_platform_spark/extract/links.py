@@ -109,12 +109,20 @@ def extract_links(url: str, html: bytes | None) -> list[Link]:
     out: list[Link] = []
     for i, (href, parts, chrome) in enumerate(p.anchors):
         anchor = _collapse_ws("".join(parts))
+        # schemes are case-insensitive (RFC 3986 §3.1) and protocol-relative
+        # //host/path hrefs are genuine cross-host links — both classify as
+        # absolute (resolved lowercases the scheme so host parsing downstream
+        # sees the canonical form)
+        lower = href.lower()
         if not href:
             kind, resolved = "other", None
         elif href.startswith("#"):
             kind, resolved = "fragment", None
-        elif href.startswith(("http://", "https://")):
-            kind, resolved = "absolute", href
+        elif lower.startswith(("http://", "https://")):
+            kind = "absolute"
+            resolved = href[:href.index(":")].lower() + href[href.index(":"):]
+        elif href.startswith("//"):
+            kind, resolved = "absolute", urljoin(url, href)
         elif _SCHEME_RE.match(href):
             kind, resolved = "other", None
         else:

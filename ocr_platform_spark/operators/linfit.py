@@ -42,13 +42,17 @@ MOMENT_KEYS = ("n", "s1", "s2", "s11", "s12", "s22",
 
 
 def python_moments(rows) -> dict:
-    """Sequential ground-truth moments over (text, n_chars) rows —
-    ASCII \\s+ tokenization, matching Java/RE2 split semantics."""
+    """Sequential ground-truth moments over (text, n_chars) rows,
+    replicating the Spark plan token-for-token: ``F.trim`` strips ASCII
+    spaces only (so strip(' '), not strip()), and ``F.split`` defaults to
+    Java split limit -1, whose leading/trailing empty tokens re.split
+    reproduces — a text starting or ending with non-space whitespace
+    (\\t, \\n) now tokenizes identically on both sides (ADVICE round 3)."""
     import re
 
     m = dict.fromkeys(MOMENT_KEYS, 0)
     for text, n_chars in rows:
-        toks = re.split(r"\s+", text.strip(), flags=re.ASCII)
+        toks = re.split(r"\s+", text.strip(" "), flags=re.ASCII)
         x1, x2, y = len(toks), len(set(toks)), int(n_chars)
         m["n"] += 1
         m["s1"] += x1

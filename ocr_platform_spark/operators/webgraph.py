@@ -79,6 +79,109 @@ def pagerank_ranks(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     return rank
 
 
+HC_ITERS = 6   # BFS radius; covers the synthetic graph's full diameter
+
+
+def harmonic_ranks(edges: DataFrame, iters: int = HC_ITERS) -> DataFrame:
+    """Harmonic centrality H(v) = Σ_{u→…→v} 1/d(u, v) — the second ranking
+    Common Crawl publishes per crawl beside PageRank.
+
+    Exact within BFS radius ``iters``: multi-source frontier expansion as
+    plain DataFrame ops (join frontier⋈edges → distinct → anti-join vs the
+    known-pair set), distances 1/d summed in x1e6 integer fixed-point so
+    any engine reproduces the bits. Per-round lineage cuts keep the plan
+    flat; the frontier is checked per round and the loop exits early once
+    the graph is exhausted (the oracle unrolls all rounds — an empty
+    frontier contributes nothing, so early exit is value-identical).
+
+    Scale: the exact pair set is the BFS ball — right for host-level
+    graphs up to ~10^6 hosts or any bounded radius. At the full CC scale
+    (10^8 hosts) the published numbers are themselves HyperBall
+    approximations; the swap is localized (frontier pair set → HLL
+    registers per node), the iteration/shuffle shape stays this one.
+    """
+    spark = edges.sparkSession
+    hosts = (edges.select(F.col("src").alias("h"))
+             .union(edges.select(F.col("dst").alias("h")))
+             .distinct())
+    has_ckpt_dir = spark.sparkContext.getCheckpointDir() is not None
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if has_ckpt_dir \
+            else df.localCheckpoint(eager=True)
+
+    frontier = _cut(edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"),
+        F.lit(1).cast("int").alias("d")))
+    known = frontier
+    for i in range(2, iters + 1):
+        nxt = _cut(
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.v") == F.col("e.src"))
+            .select(F.col("f.u").alias("u"), F.col("e.dst").alias("v"))
+            .filter(F.col("u") != F.col("v")).distinct()
+            .join(known.select("u", "v"), ["u", "v"], "left_anti")
+            .withColumn("d", F.lit(i).cast("int")))
+        if nxt.isEmpty():
+            break
+        # no cut on the union: both sides are already-materialized
+        # LogicalRDDs, so known's lineage is a flat union that grows only
+        # linearly with rounds (and Spark 4.1's localCheckpoint trips a
+        # stats-rewrite NoSuchElementException on union-of-LogicalRDD plans)
+        known = known.unionByName(nxt)
+        frontier = nxt
+    harm = (known.groupBy("v")
+            .agg(F.sum(F.expr("1000000 DIV d")).alias("harm")))
+    return (hosts.join(harm, hosts["h"] == harm["v"], "left")
+            .select("h", F.coalesce(F.col("harm"), F.lit(0))
+                    .cast("long").alias("harm")))
+
+
+def wg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    ranks = harmonic_ranks(_edges(orders))
+    return ranks.select(
+        F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
+        F.col("harm").alias("harm_x1e6"))
+
+
+def _harmonic_sql(iters: int = HC_ITERS) -> str:
+    """The identical bounded-radius BFS, one CTE pair (frontier, known)
+    per round — same unrolling discipline as the PageRank oracle."""
+    sql = f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey % {N_HOSTS} AS src,
+                  (o_orderkey * 7 + 3) % {N_HOSTS} AS dst
+  FROM orders
+  WHERE o_orderkey < 5000
+    AND o_custkey % {N_HOSTS} <> (o_orderkey * 7 + 3) % {N_HOSTS}),
+hosts AS (
+  SELECT DISTINCT h FROM (
+    SELECT src AS h FROM edges UNION SELECT dst FROM edges)),
+f1 AS (SELECT src AS u, dst AS v, 1 AS d FROM edges),
+known1 AS (SELECT u, v, d FROM f1)"""
+    for i in range(2, iters + 1):
+        sql += f""",
+f{i} AS (
+  SELECT DISTINCT f.u, e.dst AS v, {i} AS d
+  FROM f{i - 1} f JOIN edges e ON e.src = f.v
+  WHERE f.u <> e.dst
+    AND NOT EXISTS (SELECT 1 FROM known{i - 1} k
+                    WHERE k.u = f.u AND k.v = e.dst)),
+known{i} AS (
+  SELECT u, v, d FROM known{i - 1} UNION ALL SELECT u, v, d FROM f{i})"""
+    sql += f"""
+SELECT 'h' || CAST(h.h AS VARCHAR) AS host,
+       CAST(coalesce(s.harm, 0) AS BIGINT) AS harm_x1e6
+FROM hosts h LEFT JOIN (
+  SELECT v, SUM(1000000 // d) AS harm FROM known{iters} GROUP BY v
+) s ON s.v = h.h"""
+    return sql
+
+
+WG_HARMONIC_SQL = _harmonic_sql()
+
+
 def wg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     rank = pagerank_ranks(_edges(orders))
@@ -124,4 +227,5 @@ WG_PAGERANK_SQL = _pagerank_sql()
 
 QUERIES: dict = {
     "wg_pagerank": (wg_pagerank, WG_PAGERANK_SQL),
+    "wg_harmonic": (wg_harmonic, WG_HARMONIC_SQL),
 }

@@ -28,7 +28,9 @@ from ocr_platform_spark.operators.webgraph import PR_ITERS, pagerank_ranks
 
 
 def _host(col):
-    return F.regexp_extract(col, r"^[a-z]+://([^/]+)", 1)
+    # scheme match is case-insensitive (RFC 3986); host lowercased so the
+    # graph keys are canonical regardless of how the crawl spelled them
+    return F.lower(F.regexp_extract(col, r"^(?i)[a-z]+://([^/]+)", 1))
 
 
 def host_edges(links: DataFrame) -> DataFrame:
@@ -36,7 +38,8 @@ def host_edges(links: DataFrame) -> DataFrame:
     return (links.filter(F.col("kind") == "absolute")
             .select(_host(F.col("url")).alias("src"),
                     _host(F.col("resolved")).alias("dst"))
-            .filter((F.col("src") != F.col("dst")) & (F.col("dst") != ""))
+            .filter((F.col("src") != F.col("dst"))
+                    & (F.col("src") != "") & (F.col("dst") != ""))
             .distinct())
 
 

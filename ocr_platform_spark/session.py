@@ -75,8 +75,15 @@ def build_spark(app_name: str = "ocr-platform-spark",
     _export_pythonpath()
     under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
     n = cores or default_parallelism()
-    sp = shuffle_partitions or max(2 * n, 8)
     builder = SparkSession.builder.appName(app_name)
+    # Builder options override submit-line --conf, so under spark-submit the
+    # driver-core-derived shuffle-partitions default must NOT be applied:
+    # it would silently cap cluster shuffle parallelism at the driver box's
+    # core count. Submit deploys set it on the submit line (or inherit
+    # Spark's default + AQE coalescing); an explicit argument still wins.
+    sp = shuffle_partitions or (None if under_submit else max(2 * n, 8))
+    if sp is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(sp))
     if not under_submit:
         builder = (builder
                    .master(f"local[{n}]")
@@ -99,7 +106,6 @@ def build_spark(app_name: str = "ocr-platform-spark",
                            "ocr_platform_spark.spark_daemon"))
     return (
         builder
-        .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

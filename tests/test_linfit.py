@@ -46,6 +46,16 @@ def test_moments_tokenize_like_spark_split():
     assert m["n"] == 2 and m["s1"] == 2 + 1 and m["s2"] == 2 + 1
 
 
+def test_moments_tokenize_like_spark_split_hostile_ws():
+    # F.trim strips ASCII space ONLY: a leading \t/\n survives the trim and
+    # Java split (limit -1) then emits a leading/trailing empty token.
+    # "\ta b" -> ['', 'a', 'b']; "a b\n" -> ['a', 'b', '']; "\n\t\n" -> ['', '']
+    m = python_moments([("\ta b", 4), ("a b\n", 4), ("\n\t\n", 3)])
+    assert m["n"] == 3
+    assert m["s1"] == 3 + 3 + 2          # token counts incl. empties
+    assert m["s2"] == 3 + 3 + 1          # distinct: '' collapses in row 3
+
+
 def test_distributed_moments_match_sequential(spark):
     import duckdb
 

@@ -70,3 +70,48 @@ def test_pagerank_is_deterministic(spark):
     b = sorted((r["host"], r["rank_x1e6"])
                for r in wg_pagerank(spark, SF_DIR).collect())
     assert a == b
+
+
+def _python_harmonic(edges: set, iters: int) -> dict:
+    """Independent replica: per-source BFS over out-edges, H(v) summed as
+    floor(1e6/d) over sources u with d(u, v) <= iters."""
+    hosts = {h for e in edges for h in e}
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    harm = {h: 0 for h in hosts}
+    for u in hosts:
+        dist = {u: 0}
+        frontier = [u]
+        for d in range(1, iters + 1):
+            nxt = []
+            for x in frontier:
+                for y in adj.get(x, ()):
+                    if y not in dist:
+                        dist[y] = d
+                        nxt.append(y)
+            frontier = nxt
+        for v, d in dist.items():
+            if v != u:
+                harm[v] += 1_000_000 // d
+    return harm
+
+
+def test_harmonic_matches_python_replica(spark):
+    from ocr_platform_spark.operators.webgraph import HC_ITERS, wg_harmonic
+
+    got = {r["host"]: r["harm_x1e6"]
+           for r in wg_harmonic(spark, SF_DIR).collect()}
+    want = {f"h{h}": v
+            for h, v in _python_harmonic(_edges_from_parquet(),
+                                         HC_ITERS).items()}
+    assert got == want
+
+
+def test_harmonic_tiny_chain(spark):
+    # 1 -> 2 -> 3: H(2) = 1/1, H(3) = 1/1 + 1/2, H(1) = 0
+    from ocr_platform_spark.operators.webgraph import harmonic_ranks
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    got = {r["h"]: r["harm"] for r in harmonic_ranks(edges, 6).collect()}
+    assert got == {1: 0, 2: 1_000_000, 3: 1_500_000}
