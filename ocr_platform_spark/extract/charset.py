@@ -25,15 +25,15 @@ stdlib-only, in priority order:
 Pure function of the byte payload; never raises. Used by
 ``extract/pipeline.py`` (stage CORRECT) and ``extract/links.py``.
 
-Deliberately NOT consulted: the transport-layer charset (the HTTP
-``Content-Type`` header a WARC capture carries). The spec ranks it above
-the meta tag, but the input-table contract (BASELINE.json input_hint)
-fixes the pages schema at (url, warc_ts, html, text, lang) and the
-north-rule invariant is byte-identical extracted text per (url, html) —
-so the kernel stays a pure function of the payload. Pages whose only
-charset signal is the HTTP header fall through to content sniffing,
-which resolves the common cases (BOM'd UTF-16, valid UTF-8, windows-125x
-via the cp1252-family fallback).
+The transport-layer charset (the HTTP ``Content-Type`` header a WARC
+capture carries, ranked between BOM and meta by the spec) is an OPTIONAL
+argument: the pages-table contract (BASELINE.json input_hint fixes the
+schema at (url, warc_ts, html, text, lang); north-rule invariant is
+byte-identical extracted text per (url, html)) means the default call is
+a pure function of the payload, while the WARC ingest path — which has
+the header in hand (sources/warc.py parses the HTTP head) — passes the
+label through so header-only-labeled legacy pages decode correctly
+instead of falling through to the cp1252 guess.
 """
 
 from __future__ import annotations
@@ -100,8 +100,10 @@ _LABEL_ALIASES = {
 _UTF8_NAMES = {"utf-8", "utf8", "utf-8-sig"}
 
 
-def _resolve_label(label: bytes) -> str | None:
-    name = label.decode("ascii", errors="replace").strip().lower()
+def _resolve_label(label: bytes | str) -> str | None:
+    if isinstance(label, bytes):
+        label = label.decode("ascii", errors="replace")
+    name = label.strip().lower()
     name = _LABEL_ALIASES.get(name, name)
     try:
         info = codecs.lookup(name)
@@ -120,12 +122,32 @@ def _resolve_label(label: bytes) -> str | None:
     return canonical
 
 
-def sniff_charset(html: bytes) -> tuple[str | None, bool]:
+def transport_label_from_content_type(content_type: str | None) -> str | None:
+    """Extract the charset parameter from an HTTP ``Content-Type`` value
+    (the transport-layer label a WARC capture carries). Returns the raw
+    label or None; resolution/validation happens at decode time."""
+    if not content_type:
+        return None
+    m = _CHARSET_RE.search(content_type.encode("ascii", errors="replace"))
+    return m.group(1).decode("ascii") if m else None
+
+
+def sniff_charset(html: bytes,
+                  transport_label: str | None = None) -> tuple[str | None, bool]:
     """Return ``(encoding, had_bom)``; encoding is None when nothing is
-    declared (caller falls through to strict-UTF-8 then windows-1252)."""
+    declared (caller falls through to strict-UTF-8 then windows-1252).
+
+    ``transport_label`` is the HTTP Content-Type charset parameter when the
+    caller has one in hand (the WARC ingest path does); the WHATWG order is
+    BOM > transport > meta prescan. Without it the function stays a pure
+    function of the payload — the pages-table contract."""
     for bom, enc in _BOMS:
         if html.startswith(bom):
             return enc, True
+    if transport_label:
+        enc = _resolve_label(transport_label)
+        if enc is not None:
+            return enc, False
     head = html[:_PRESCAN_BYTES]
     for tag in _META_TAG_RE.finditer(head):
         label = _tag_charset_label(tag.group(0))
@@ -136,13 +158,15 @@ def sniff_charset(html: bytes) -> tuple[str | None, bool]:
     return None, False
 
 
-def decode_html(html: bytes) -> tuple[str, str]:
+def decode_html(html: bytes,
+                transport_label: str | None = None) -> tuple[str, str]:
     """Decode a crawl payload to text. Never raises.
 
     Returns ``(text, encoding_used)``; the BOM (when present) is consumed,
-    not emitted into the text.
+    not emitted into the text. ``transport_label`` (optional) is the HTTP
+    header charset — see ``sniff_charset`` for the priority order.
     """
-    enc, had_bom = sniff_charset(html)
+    enc, had_bom = sniff_charset(html, transport_label)
     if had_bom:
         body = html[len({
             "utf-8": codecs.BOM_UTF8,

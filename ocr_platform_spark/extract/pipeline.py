@@ -91,8 +91,13 @@ def correct_text(raw: str) -> str:
     return s
 
 
-def extract_document(url: str, html: bytes | None) -> ExtractionResult:
-    """Full pipeline for one document. Never raises."""
+def extract_document(url: str, html: bytes | None,
+                     transport_charset: str | None = None) -> ExtractionResult:
+    """Full pipeline for one document. Never raises.
+
+    ``transport_charset`` (optional) is the HTTP-header charset label a
+    WARC-ingested row carries; with the default None the function stays a
+    pure function of (url, html) — the pages-table/golden contract."""
     # ---- stage 1: CORRECT (decode + normalize) --------------------------
     if html is None or len(html) == 0:
         return _failure(url, STAGE_CORRECT, "empty html payload")
@@ -102,10 +107,11 @@ def extract_document(url: str, html: bytes | None) -> ExtractionResult:
         return extract_pdf_payload(url, html)
     nbytes = len(html)
     try:
-        # WHATWG sniff: BOM > meta-declared label > strict utf-8 >
-        # windows-1252 fallback (extract/charset.py). Bit-identical with
-        # the previous strict-utf-8-then-replace behavior for UTF-8 pages.
-        raw, _enc = decode_html(html)
+        # WHATWG sniff: BOM > transport header label (WARC path only) >
+        # meta-declared label > strict utf-8 > windows-1252 fallback
+        # (extract/charset.py). Bit-identical with the previous
+        # strict-utf-8-then-replace behavior for UTF-8 pages.
+        raw, _enc = decode_html(html, transport_charset)
     except Exception as e:  # pragma: no cover - decode_html never raises
         return _failure(url, STAGE_CORRECT, f"undecodable: {e}", nbytes=nbytes)
     try:

@@ -89,9 +89,16 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t0 = time.time()
         out = []
         langs = pdf["lang"] if "lang" in pdf else [None] * len(pdf)
-        for url, html, lang, bucket in zip(
-                pdf["url"], pdf["html"], langs, pdf["bucket"]):
-            r = extract_document(url, bytes(html) if html is not None else None)
+        # optional transport-layer charset (WARC ingest threads it through;
+        # the pages-table path never has the column, keeping the kernel a
+        # pure function of (url, html))
+        tcs = (pdf["transport_charset"] if "transport_charset" in pdf
+               else [None] * len(pdf))
+        for url, html, lang, bucket, tc in zip(
+                pdf["url"], pdf["html"], langs, pdf["bucket"], tcs):
+            r = extract_document(
+                url, bytes(html) if html is not None else None,
+                transport_charset=tc if isinstance(tc, str) and tc else None)
             out.append((
                 r.url, lang, r.extracted_text, r.header, r.body, r.footnotes,
                 r.page_number, r.total_words,
@@ -142,7 +149,10 @@ def extract_pages(pages: DataFrame,
             "salt", F.pmod(F.xxhash64("url", F.lit(1)), F.lit(salt)))
         df = df.repartition(n_partitions, F.col("bucket"), F.col("salt"))
         df = df.drop("salt")
-    return df.select("url", "html", "lang", "bucket").mapInPandas(
+    cols = ["url", "html", "lang", "bucket"]
+    if "transport_charset" in df.columns:
+        cols.append("transport_charset")
+    return df.select(*cols).mapInPandas(
         _extract_batches, schema=EXTRACTED_SCHEMA)
 
 

@@ -350,18 +350,31 @@ def read_warc_stream(spark, path_glob: str,
     return _warc_records(reader.load(path).select("path", "content"))
 
 
-def warc_pages(df):
+def warc_pages(df, with_transport_charset: bool = False):
     """Project parsed records into the pages-table shape (input_hint):
     clean 200/text-html captures only; ``text``/``lang`` are downstream
-    products (the pipeline recomputes text; langid fills lang)."""
+    products (the pipeline recomputes text; langid fills lang).
+
+    ``with_transport_charset=True`` appends a ``transport_charset`` column
+    — the charset parameter of the HTTP Content-Type header, parsed
+    JVM-side — which the extraction kernel ranks between BOM and meta per
+    WHATWG (extract/charset.py). Header-only-labeled legacy pages then
+    decode correctly; the default keeps the exact 5-column input_hint
+    contract."""
     from pyspark.sql import functions as F
 
-    return (df.filter(F.col("parse_error").isNull()
-                      & (F.col("http_status") == 200)
-                      & F.col("content_type").startswith("text/html"))
-            .select("url", "warc_ts", "html",
-                    F.lit(None).cast("string").alias("text"),
-                    F.lit(None).cast("string").alias("lang")))
+    base = df.filter(F.col("parse_error").isNull()
+                     & (F.col("http_status") == 200)
+                     & F.col("content_type").startswith("text/html"))
+    cols = ["url", "warc_ts", "html",
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang")]
+    if with_transport_charset:
+        cols.append(F.nullif(F.regexp_extract(
+            "content_type",
+            r"(?i)charset\s*=\s*[\"']?\s*([a-zA-Z0-9][a-zA-Z0-9._:-]{0,39})",
+            1), F.lit("")).alias("transport_charset"))
+    return base.select(*cols)
 
 
 def write_warc_files(df, out_dir: str):
@@ -494,19 +507,34 @@ def make_warc_fixture_files(out_dir: str | Path = FIXTURE_DIR,
     fr_para = b"it\x92s a caf\xe9 \x97 d\xe9j\xe0 vu " * 4   # cp1252 bytes
     u16_body = ("<html><body><main><p>utf sixteen page body with enough "
                 "words to segment</p></main></body></html>")
+    # legacy captures ship a bare text/html header (no charset param), as
+    # real servers serving meta-labeled/BOM'd/undeclared legacy pages do —
+    # a charset param would (correctly, per WHATWG) outrank the meta label
+    # on the transport-aware ingest path
     legacy = [
         warcinfo_record("legacy.warc.gz"),
         response_record(
             "https://legacy.example/cp1256", ts,
             ('<html><head><meta charset="windows-1256"></head><body>'
              f'<main><p>{ar_para}</p></main></body></html>'
-             ).encode("cp1256")),
+             ).encode("cp1256"), content_type="text/html"),
         response_record(
             "https://legacy.example/utf16", ts,
-            b"\xff\xfe" + u16_body.encode("utf-16-le")),
+            b"\xff\xfe" + u16_body.encode("utf-16-le"),
+            content_type="text/html"),
         response_record(
             "https://legacy.example/cp1252-undeclared", ts,
-            b"<html><body><main><p>" + fr_para + b"</p></main></body></html>"),
+            b"<html><body><main><p>" + fr_para + b"</p></main></body></html>",
+            content_type="text/html"),
+        # header-ONLY label: no BOM, no meta — only the HTTP Content-Type
+        # carries the charset; decodes correctly solely via the transport
+        # label (warc_pages(with_transport_charset=True)); the kernel's
+        # payload-only call falls back to the cp1252 guess and mojibakes
+        response_record(
+            "https://legacy.example/koi8-header-only", ts,
+            ("<html><body><main><p>" + " ".join(["привет мир"] * 8)
+             + "</p></main></body></html>").encode("koi8-r"),
+            content_type="text/html; charset=koi8-r"),
     ]
     legacy_path = Path(out) / "legacy.warc.gz"
     write_warc(legacy_path, legacy)

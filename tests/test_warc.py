@@ -225,6 +225,7 @@ def test_legacy_encoded_captures_extract_correctly(spark):
         "https://legacy.example/cp1256",
         "https://legacy.example/utf16",
         "https://legacy.example/cp1252-undeclared",
+        "https://legacy.example/koi8-header-only",
     }
 
     ar = extract_document("u", rows["https://legacy.example/cp1256"])
@@ -240,3 +241,37 @@ def test_legacy_encoded_captures_extract_correctly(spark):
     assert fr.failed_stage is None
     assert "it’s a café — déjà vu" in fr.extracted_text
     assert "�" not in fr.extracted_text
+
+
+def test_transport_charset_header_only_capture(spark):
+    """WHATWG ranks the HTTP Content-Type charset above the meta tag; the
+    WARC path has the header in hand. End-to-end: the koi8-r capture whose
+    ONLY charset signal is the header must extract real Russian text when
+    ingested with with_transport_charset=True — and the payload-only kernel
+    call (the pages-table contract, unchanged goldens) must NOT, proving
+    the transport label is doing the work."""
+    from ocr_platform_spark.extract.pipeline import extract_document
+    from ocr_platform_spark.plans.extract_job import extract_pages
+
+    url = "https://legacy.example/koi8-header-only"
+    parsed = read_warc(spark, str(FIXTURE_DIR / "legacy.warc.gz"))
+
+    pages = warc_pages(parsed, with_transport_charset=True)
+    labels = {r["url"]: r["transport_charset"] for r in pages.collect()}
+    assert labels[url] == "koi8-r"
+    # the other legacy captures ship bare text/html headers → no label,
+    # so BOM / meta / sniffing decide exactly as on the pages-table path
+    assert labels["https://legacy.example/cp1256"] is None
+
+    out = {r["url"]: r for r in
+           extract_pages(pages, n_buckets=4).collect()}
+    assert out[url]["failed_stage"] is None
+    assert "привет мир" in out[url]["extracted_text"]
+    # the meta-labeled cp1256 page must be untouched by the new column
+    assert "مرحبا بالعالم" in \
+        out["https://legacy.example/cp1256"]["extracted_text"]
+    # proof the header label did the work: the payload-only kernel call
+    # (the unchanged golden contract) has no signal and mojibakes
+    raw = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    payload_only = extract_document("u", raw[url])
+    assert "привет" not in payload_only.extracted_text  # cp1252 mojibake
