@@ -192,9 +192,11 @@ def gen_media(doc_index: int, seed: int = 42) -> dict:
         # video row: 2-5 small deterministic MJPEG frames in an AVI
         w, h = 16, 12
         n_frames = 2 + rng.randrange(4)
+        sub = ("444", "420")[(doc_index // 11) % 2]   # real MJPEG is 4:2:0
         frames = [encode_jpeg(w, h, 3, bytes(
             (17 * x + 13 * y + 71 * k + rng.randrange(4)) & 0xFF
-            for y in range(h) for x in range(w) for _ in range(3)))
+            for y in range(h) for x in range(w) for _ in range(3)),
+            subsampling=sub)
             for k in range(n_frames)]
         payload = encode_avi(frames, fps=10, w=w, h=h)
         url = f"https://img.example.org/m/{doc_index}.avi"
@@ -231,7 +233,14 @@ def gen_media(doc_index: int, seed: int = 42) -> dict:
     as_jpeg = doc_index % 3 == 1 and channels in (1, 3)
     as_gif = doc_index % 3 == 2
     if as_jpeg:
-        payload = encode_jpeg(w, h, channels, bytes(px))
+        # real web JPEGs are overwhelmingly 4:2:0 (and often carry restart
+        # markers): mix 444/420/422 and DRI deterministically so the
+        # mm_decode/mm_features oracles pin the subsampled decode path
+        sub = ("420", "444", "422")[(doc_index // 3) % 3] \
+            if channels == 3 else "444"
+        ri = 2 if doc_index % 5 == 0 else 0
+        payload = encode_jpeg(w, h, channels, bytes(px),
+                              subsampling=sub, restart_interval=ri)
         ext = "jpg"
     elif as_gif:
         payload = encode_gif(w, h, channels, bytes(px))

@@ -11,11 +11,14 @@ apps/queue/src/lib/ocr.ts:56-71), alongside the PNG codec
 the semantics — dims, channels, pixel buffer, hostile-payload errors —
 are what this module pins down.
 
-Supported: baseline sequential (SOF0), 8-bit, grayscale or 3-component
-YCbCr with no chroma subsampling (1x1 sampling for every component),
-standard or custom DQT/DHT, restart-marker-free scans. Progressive
-(SOF2), arithmetic coding, subsampled chroma and 12-bit depth raise
-JpegError — callers route it into the never-drop error envelope.
+Supported: baseline sequential (SOF0/1), 8-bit, grayscale or 3-component
+YCbCr with ARBITRARY sampling factors h,v ∈ {1,2,4} — including 4:2:0
+and 4:2:2, the dominant encodings of real web JPEGs — with standard or
+custom DQT/DHT and restart intervals (DRI + RSTn). Chroma upsampling is
+deterministic sample replication (libjpeg's "simple" / -nosmooth
+upsampler); chroma downsampling on encode is a box mean. Progressive
+(SOF2), arithmetic coding and 12-bit depth raise JpegError — callers
+route it into the never-drop error envelope.
 
 Determinism: encoder and decoder run the DCT as fixed-order numpy float64
 matrix products and quantize with explicit rounding; the same code runs
@@ -161,7 +164,9 @@ class _BitReader:
             if nxt == 0x00:
                 self.pos += 1          # stuffed byte
             elif 0xD0 <= nxt <= 0xD7:
-                raise JpegError("restart markers not supported")
+                # restart markers are consumed at MCU boundaries by
+                # sync_restart(); one inside entropy data is corruption
+                raise JpegError("unexpected restart marker")
             else:
                 raise JpegError("marker inside scan data")
         self.acc = (self.acc << 8) | byte
@@ -178,6 +183,28 @@ class _BitReader:
         for _ in range(k):
             v = (v << 1) | self.read_bit()
         return v
+
+    def sync_restart(self, expected: int) -> None:
+        """Byte-align, then consume the RSTn marker at this restart
+        boundary (T.81 §B.2.1.2: n cycles 0..7). The un-consumed pad byte
+        (and its stuffed 0x00 when the pad is 0xFF) may still sit before
+        the marker — skip at most those."""
+        self.acc = 0
+        self.n = 0                      # discard padding bits
+        skipped = 0
+        while True:
+            if self.pos + 2 > len(self.data):
+                raise JpegError("missing restart marker")
+            if (self.data[self.pos] == 0xFF
+                    and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+                break
+            self.pos += 1
+            skipped += 1
+            if skipped > 2:
+                raise JpegError("missing restart marker")
+        if self.data[self.pos + 1] != 0xD0 + expected:
+            raise JpegError("restart marker out of sequence")
+        self.pos += 2
 
 
 # --- huffman tables --------------------------------------------------------
@@ -248,18 +275,87 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 
 
 # --- encoder ---------------------------------------------------------------
+_SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, qtab: np.ndarray,
+                  dc_tab: dict, ac_tab: dict, prev_dc: int) -> int:
+    """DCT + quantize + huffman-encode one 8x8 block; returns its DC."""
+    coefs = _DCT @ (block - 128.0) @ _DCT.T
+    zz = np.floor(coefs / qtab.reshape(8, 8) + 0.5).astype(np.int64)
+    zz = zz.reshape(64)[ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    mag, cat = _encode_magnitude(diff)
+    code, ln = dc_tab[cat]
+    bw.write(code, ln)
+    if cat:
+        bw.write(mag, cat)
+    run = 0
+    last_nz = max(np.nonzero(zz)[0], default=0)
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]        # ZRL
+            bw.write(code, ln)
+            run -= 16
+        mag, cat = _encode_magnitude(v)
+        code, ln = ac_tab[(run << 4) | cat]
+        bw.write(code, ln)
+        bw.write(mag, cat)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_tab[0x00]            # EOB
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def _pad_to(plane: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    return np.pad(plane, ((0, rows - plane.shape[0]),
+                          (0, cols - plane.shape[1])), mode="edge")
+
+
 def encode_jpeg(width: int, height: int, channels: int, px: bytes,
-                quality: int = 85) -> bytes:
-    """Baseline sequential JFIF: grayscale (channels=1) or YCbCr 4:4:4
-    (channels=3). Deterministic pure function of its arguments."""
+                quality: int = 85, subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """Baseline sequential JFIF: grayscale (channels=1) or YCbCr
+    (channels=3) at 4:4:4 / 4:2:2 / 4:2:0 chroma sampling, optionally with
+    restart markers every ``restart_interval`` MCUs. Deterministic pure
+    function of its arguments (box-mean chroma downsample, fixed-order
+    float ops)."""
     if channels not in (1, 3):
         raise JpegError(f"encode supports 1 or 3 channels, got {channels}")
     if len(px) != width * height * channels:
         raise JpegError("pixel buffer size mismatch")
+    if subsampling not in _SUBSAMPLING:
+        raise JpegError(f"unsupported subsampling {subsampling!r}")
     img = np.frombuffer(px, dtype=np.uint8).reshape(
         height, width, channels).astype(np.float64)
-    planes = ([img[..., 0]] if channels == 1
-              else [_rgb_to_ycbcr(img)[..., c] for c in range(3)])
+
+    if channels == 1:
+        sampling = [(1, 1)]
+        full = [img[..., 0]]
+    else:
+        sampling = [_SUBSAMPLING[subsampling], (1, 1), (1, 1)]
+        ycc = _rgb_to_ycbcr(img)
+        full = [ycc[..., c] for c in range(3)]
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+
+    # per-component planes at their own resolution, padded to the MCU grid
+    planes: list[np.ndarray] = []
+    for (h, v), plane in zip(sampling, full):
+        fy, fx = vmax // v, hmax // h
+        if fy != 1 or fx != 1:
+            ph = (height + fy - 1) // fy * fy
+            pw = (width + fx - 1) // fx * fx
+            plane = _pad_to(plane, ph, pw)
+            plane = plane.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        planes.append(_pad_to(plane, mcuy * v * 8, mcux * h * 8))
 
     qluma = _quality_scale(QUANT_LUMA, quality)
     qchroma = _quality_scale(QUANT_CHROMA, quality)
@@ -274,55 +370,27 @@ def encode_jpeg(width: int, height: int, channels: int, px: bytes,
 
     bw = _BitWriter()
     prev_dc = [0] * channels
-    bh = (height + 7) // 8
-    bwid = (width + 7) // 8
-    for by in range(bh):
-        for bx in range(bwid):
-            for ci in range(channels):
-                plane = planes[ci]
-                block = np.full((8, 8), 0.0)
-                y0, x0 = by * 8, bx * 8
-                tile = plane[y0:min(y0 + 8, height), x0:min(x0 + 8, width)]
-                # edge replication padding
-                block[:tile.shape[0], :tile.shape[1]] = tile
-                if tile.shape[0] < 8:
-                    block[tile.shape[0]:, :] = block[tile.shape[0] - 1, :]
-                if tile.shape[1] < 8:
-                    block[:, tile.shape[1]:] = block[:, tile.shape[1] - 1,
-                                                     None].reshape(8, 1)
-                coefs = _DCT @ (block - 128.0) @ _DCT.T
-                q = qtables[comp_q[ci]].reshape(8, 8)
-                zz = np.floor(coefs / q + 0.5).astype(np.int64)  # round half-up
-                zz = zz.reshape(64)[ZIGZAG]
-                # DC
-                diff = int(zz[0]) - prev_dc[ci]
-                prev_dc[ci] = int(zz[0])
-                mag, cat = _encode_magnitude(diff)
-                code, ln = enc_dc[comp_h[ci]][cat]
-                bw.write(code, ln)
-                if cat:
-                    bw.write(mag, cat)
-                # AC
-                run = 0
-                ac = enc_ac[comp_h[ci]]
-                last_nz = max(np.nonzero(zz)[0], default=0)
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac[0xF0]    # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    mag, cat = _encode_magnitude(v)
-                    code, ln = ac[(run << 4) | cat]
-                    bw.write(code, ln)
-                    bw.write(mag, cat)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = ac[0x00]        # EOB
-                    bw.write(code, ln)
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.buf += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                prev_dc = [0] * channels
+            for ci, (h, v) in enumerate(sampling):
+                for bv in range(v):
+                    for bu in range(h):
+                        y0 = (my * v + bv) * 8
+                        x0 = (mx * h + bu) * 8
+                        block = planes[ci][y0:y0 + 8, x0:x0 + 8]
+                        prev_dc[ci] = _encode_block(
+                            bw, block, qtables[comp_q[ci]],
+                            enc_dc[comp_h[ci]], enc_ac[comp_h[ci]],
+                            prev_dc[ci])
+            mcu_count += 1
     bw.flush()
 
     out = bytearray(b"\xff\xd8")                       # SOI
@@ -333,14 +401,16 @@ def encode_jpeg(width: int, height: int, channels: int, px: bytes,
             + bytes(int(qt[i]) for i in ZIGZAG)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * channels, 8,
                                      height, width, channels)  # SOF0
-    for ci in range(channels):
-        out += struct.pack("BBB", ci + 1, 0x11, comp_q[ci])
+    for ci, (h, v) in enumerate(sampling):
+        out += struct.pack("BBB", ci + 1, (h << 4) | v, comp_q[ci])
     specs = ([(0x00, DC_LUMA_SPEC), (0x10, AC_LUMA_SPEC)] if channels == 1
              else [(0x00, DC_LUMA_SPEC), (0x10, AC_LUMA_SPEC),
                    (0x01, DC_CHROMA_SPEC), (0x11, AC_CHROMA_SPEC)])
     for tc_th, (bits, values) in specs:                # DHT
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), tc_th) \
             + bytes(bits) + bytes(values)
+    if restart_interval:                               # DRI
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * channels, channels)
     for ci in range(channels):                         # SOS
         out += struct.pack("BB", ci + 1, comp_h[ci] * 0x11)
@@ -351,10 +421,41 @@ def encode_jpeg(width: int, height: int, channels: int, px: bytes,
 
 
 # --- decoder ---------------------------------------------------------------
+def _decode_block(reader: _BitReader, dc_tab: dict, ac_tab: dict,
+                  qtab: np.ndarray, prev_dc: int) -> tuple[np.ndarray, int]:
+    """Huffman-decode + dequantize + IDCT one block; returns (pixels, dc)."""
+    zz = np.zeros(64, dtype=np.int64)
+    cat = _huff_decode(reader, dc_tab)
+    if cat > 11:
+        raise JpegError("invalid DC category")
+    dc = prev_dc + _decode_magnitude(reader.read_bits(cat), cat)
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_tab)
+        run, cat = rs >> 4, rs & 0x0F
+        if cat == 0:
+            if run == 15:       # ZRL
+                k += 16
+                continue
+            break               # EOB
+        k += run
+        if k > 63:
+            raise JpegError("AC index overflow")
+        zz[k] = _decode_magnitude(reader.read_bits(cat), cat)
+        k += 1
+    coefs = np.zeros(64, dtype=np.int64)
+    coefs[ZIGZAG] = zz
+    block = (coefs * qtab).reshape(8, 8).astype(np.float64)
+    return _DCT.T @ block @ _DCT + 128.0, dc
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """payload → (width, height, n_channels, raw pixel bytes row-major).
 
-    Baseline sequential only; 1x1 sampling for every component."""
+    Baseline sequential; arbitrary sampling factors h,v ∈ {1,2,4}
+    (4:2:0 / 4:2:2 / 4:4:4 and friends) and restart intervals. Subsampled
+    components upsample by deterministic sample replication."""
     if not payload.startswith(b"\xff\xd8"):
         raise JpegError("not a JPEG signature")
     pos = 2
@@ -362,9 +463,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     width = height = None
-    comps: list[tuple[int, int, int]] = []   # (comp_id, sampling, qid)
+    comps: list[tuple[int, int, int, int]] = []   # (comp_id, h, v, qid)
     scan_comps: list[tuple[int, int, int]] = []  # (comp_idx, dc_id, ac_id)
     scan_start = None
+    restart_interval = 0
 
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -401,9 +503,18 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise JpegError("zero dimension")
             for ci in range(nc):
                 cid, samp, qid = seg[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
-                    raise JpegError("chroma subsampling not supported")
-                comps.append((cid, samp, qid))
+                h, v = samp >> 4, samp & 0x0F
+                if nc == 1:
+                    # single-component scans are never interleaved: the
+                    # declared factors are irrelevant (libjpeg ignores them)
+                    h = v = 1
+                if h not in (1, 2, 4) or v not in (1, 2, 4):
+                    raise JpegError(f"unsupported sampling {h}x{v}")
+                comps.append((cid, h, v, qid))
+            hmax = max(h for _, h, _, _ in comps)
+            vmax = max(v for _, _, v, _ in comps)
+            if any(hmax % h or vmax % v for _, h, v, _ in comps):
+                raise JpegError("non-integral sampling ratio")
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise JpegError("only baseline sequential (SOF0) supported")
@@ -425,72 +536,77 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise JpegError("interleave mismatch")
             for si in range(ns):
                 cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
-                idx = next((i for i, (cid, _, _) in enumerate(comps)
+                idx = next((i for i, (cid, _, _, _) in enumerate(comps)
                             if cid == cs), None)
                 if idx is None:
                     raise JpegError("scan references unknown component")
                 scan_comps.append((idx, tt >> 4, tt & 0x0F))
             scan_start = pos + 2 + seglen
             break
-        elif marker == 0xDD:
-            raise JpegError("restart intervals not supported")
+        elif marker == 0xDD:                  # DRI
+            if len(seg) < 2:
+                raise JpegError("short DRI segment")
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         # APPn/COM/others: skip
         pos += 2 + seglen
 
     if width is None or scan_start is None:
         raise JpegError("missing SOF or SOS")
     nc = len(comps)
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
 
-    # locate EOI (scan data may contain stuffed FF00 and no restarts)
+    # locate EOI (scan data may contain stuffed FF00 and restart markers)
     end = payload.rfind(b"\xff\xd9")
     if end < scan_start:
         end = len(payload)
     reader = _BitReader(payload[scan_start:end])
 
-    bh, bwid = (height + 7) // 8, (width + 7) // 8
-    planes = [np.zeros((bh * 8, bwid * 8), dtype=np.float64)
-              for _ in range(nc)]
+    planes = [np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.float64)
+              for _, h, v, _ in comps]
+    for idx, dc_id, ac_id in scan_comps:
+        if dc_id not in dc_tables or ac_id not in ac_tables:
+            raise JpegError("scan references missing huffman table")
+        if comps[idx][3] not in qtables:
+            raise JpegError("scan references missing quant table")
     prev_dc = [0] * nc
-    for by in range(bh):
-        for bx in range(bwid):
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                reader.sync_restart(rst)
+                rst = (rst + 1) % 8
+                prev_dc = [0] * nc
             for idx, dc_id, ac_id in scan_comps:
-                if dc_id not in dc_tables or ac_id not in ac_tables:
-                    raise JpegError("scan references missing huffman table")
-                qid = comps[idx][2]
-                if qid not in qtables:
-                    raise JpegError("scan references missing quant table")
-                zz = np.zeros(64, dtype=np.int64)
-                cat = _huff_decode(reader, dc_tables[dc_id])
-                if cat > 11:
-                    raise JpegError("invalid DC category")
-                diff = _decode_magnitude(reader.read_bits(cat), cat)
-                prev_dc[idx] += diff
-                zz[0] = prev_dc[idx]
-                k = 1
-                while k < 64:
-                    rs = _huff_decode(reader, ac_tables[ac_id])
-                    run, cat = rs >> 4, rs & 0x0F
-                    if cat == 0:
-                        if run == 15:       # ZRL
-                            k += 16
-                            continue
-                        break               # EOB
-                    k += run
-                    if k > 63:
-                        raise JpegError("AC index overflow")
-                    zz[k] = _decode_magnitude(reader.read_bits(cat), cat)
-                    k += 1
-                coefs = np.zeros(64, dtype=np.int64)
-                coefs[ZIGZAG] = zz
-                block = (coefs * qtables[qid])[  # dequant in natural order
-                    :].reshape(8, 8).astype(np.float64)
-                spatial = _DCT.T @ block @ _DCT + 128.0
-                planes[idx][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = spatial
+                _, h, v, qid = comps[idx]
+                for bv in range(v):
+                    for bu in range(h):
+                        spatial, prev_dc[idx] = _decode_block(
+                            reader, dc_tables[dc_id], ac_tables[ac_id],
+                            qtables[qid], prev_dc[idx])
+                        y0 = (my * v + bv) * 8
+                        x0 = (mx * h + bu) * 8
+                        planes[idx][y0:y0 + 8, x0:x0 + 8] = spatial
+            mcu_count += 1
 
-    planes = [p[:height, :width] for p in planes]
+    # crop each component to its own resolution, then replicate up to full
+    out_planes: list[np.ndarray] = []
+    for (cid, h, v, qid), plane in zip(comps, planes):
+        cw = (width * h + hmax - 1) // hmax
+        ch = (height * v + vmax - 1) // vmax
+        plane = plane[:ch, :cw]
+        if h != hmax or v != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // v, axis=0),
+                              hmax // h, axis=1)
+        out_planes.append(plane[:height, :width])
+
     if nc == 1:
-        out = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        out = np.clip(np.floor(out_planes[0] + 0.5), 0, 255).astype(np.uint8)
         return width, height, 1, out.tobytes()
-    ycc = np.stack(planes, axis=-1)
+    ycc = np.stack(out_planes, axis=-1)
     rgb = np.clip(np.floor(_ycbcr_to_rgb(ycc) + 0.5), 0, 255).astype(np.uint8)
     return width, height, 3, rgb.tobytes()

@@ -91,12 +91,84 @@ class TestHostilePayloads:
         with pytest.raises(JpegError, match="baseline"):
             decode_jpeg(bytes(blob))
 
-    def test_subsampled_chroma_rejected(self):
+    def test_exotic_sampling_factor_rejected(self):
         blob = bytearray(encode_jpeg(8, 8, 3, bytes(192)))
         idx = blob.find(b"\xff\xc0")
-        blob[idx + 11] = 0x22           # luma sampling 1x1 → 2x2
-        with pytest.raises(JpegError, match="subsampling"):
+        blob[idx + 11] = 0x31           # luma 3x1: non-power-of-two h
+        with pytest.raises(JpegError, match="sampling"):
             decode_jpeg(bytes(blob))
+
+    def test_missing_restart_marker_raises(self):
+        blob = bytearray(encode_jpeg(32, 32, 1, bytes(1024), quality=90,
+                                     restart_interval=2))
+        # strip every RSTn byte-pair: the DRI still promises them
+        i = blob.find(b"\xff\xda")
+        scan = blob[i:]
+        for n in range(8):
+            scan = scan.replace(bytes((0xFF, 0xD0 + n)), b"")
+        with pytest.raises(JpegError):
+            decode_jpeg(bytes(blob[:i]) + bytes(scan))
+
+
+class TestChromaSubsampling:
+    """4:2:0 / 4:2:2 — the dominant encodings of real web JPEGs."""
+
+    @pytest.mark.parametrize("sub", ["444", "422", "420"])
+    @pytest.mark.parametrize("dims", [(16, 16), (17, 13), (33, 9), (1, 1)])
+    def test_round_trip_luma_close(self, sub, dims):
+        w, h = dims
+        # chroma-flat, wrap-free gradient: subsampling must cost ~nothing
+        px = bytes(v for y in range(h) for x in range(w)
+                   for v in [2 * x + 3 * y + 60] * 3)
+        gw, gh, gc, out = decode_jpeg(
+            encode_jpeg(w, h, 3, px, subsampling=sub))
+        assert (gw, gh, gc) == (w, h, 3)
+        err = np.abs(np.frombuffer(out, np.uint8).astype(int)
+                     - np.frombuffer(px, np.uint8).astype(int))
+        assert int(err.max()) <= 2
+
+    def test_declared_sampling_factors(self):
+        px = bytes(192)
+        for sub, want in (("444", 0x11), ("422", 0x21), ("420", 0x22)):
+            blob = encode_jpeg(8, 8, 3, px, subsampling=sub)
+            idx = blob.find(b"\xff\xc0")
+            assert blob[idx + 11] == want        # luma sampling byte
+            assert blob[idx + 14] == 0x11        # chroma stays 1x1
+
+    def test_replication_upsample_exact_on_constant_chroma(self):
+        # constant-color image: box downsample and replication upsample
+        # are both identities, so 4:2:0 decodes bit-identically to 4:4:4
+        px = bytes([90, 140, 60]) * (24 * 16)
+        a = decode_jpeg(encode_jpeg(24, 16, 3, px, subsampling="444"))
+        b = decode_jpeg(encode_jpeg(24, 16, 3, px, subsampling="420"))
+        assert a == b
+
+    @pytest.mark.parametrize("ri", [1, 2, 5])
+    def test_restart_intervals_decode_identically(self, ri):
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, size=(24, 31, 3), dtype=np.uint8)
+        plain = decode_jpeg(encode_jpeg(31, 24, 3, img.tobytes(),
+                                        subsampling="420"))
+        with_rst = decode_jpeg(encode_jpeg(31, 24, 3, img.tobytes(),
+                                           subsampling="420",
+                                           restart_interval=ri))
+        assert plain == with_rst
+
+    def test_subsampled_decode_deterministic(self):
+        rng = np.random.default_rng(17)
+        img = rng.integers(0, 256, size=(20, 28, 3), dtype=np.uint8)
+        blob = encode_jpeg(28, 20, 3, img.tobytes(), subsampling="420",
+                           restart_interval=3)
+        assert decode_jpeg(blob) == decode_jpeg(blob)
+        assert blob == encode_jpeg(28, 20, 3, img.tobytes(),
+                                   subsampling="420", restart_interval=3)
+
+    def test_truncated_subsampled_blob_raises(self):
+        px = bytes(16 * 16 * 3)
+        blob = encode_jpeg(16, 16, 3, px, subsampling="420")
+        for cut in (len(blob) // 2, len(blob) - 4):
+            with pytest.raises(JpegError):
+                decode_jpeg(blob[:cut])
 
 
 class TestGenMediaMix:
