@@ -52,17 +52,57 @@ def _sig_cols() -> list[str]:
     return [f"mh{k}" for k in range(MINHASH_PERMS)]
 
 
+# the store's bucket projection is PARTITIONED by pk = band * N_PFX +
+# hash(bucket) % N_PFX — bands × N_PFX directories. A new batch touches a
+# subset of pks; the band-join reads ONLY those partitions (proof:
+# tests/test_incremental.py pins PartitionFilters on the store scan). At
+# 10^12 store rows with a small daily batch this is the difference between
+# scanning the whole store and scanning the touched slice.
+N_BUCKET_PFX = 16
+
+
+def _with_pk(bucketed: DataFrame) -> DataFrame:
+    return bucketed.withColumn(
+        "pk", (F.col("band") * N_BUCKET_PFX
+               + F.pmod(F.xxhash64("bucket"), F.lit(N_BUCKET_PFX)))
+        .cast("int"))
+
+
+def _bucket_projection(sigs: DataFrame, id_alias: str) -> DataFrame:
+    return _with_pk(sigs.select(
+        F.col("doc_id").alias(id_alias),
+        F.posexplode(_band_bucket_array()).alias("band", "bucket")))
+
+
 def write_signature_store(sigs: DataFrame, store_dir: str) -> None:
     """Append a batch's signatures to the persisted store.
 
-    Parquet append here; the 10^12-row deployment writes the same columns
-    to an Iceberg table bucketed by a band-bucket prefix so the
-    incremental band-join prunes to matching buckets (see module doc)."""
-    sigs.write.mode("append").parquet(store_dir)
+    Two relations: ``sigs/`` (doc_id, mh0..mh{P-1}) for the estimator, and
+    ``buckets/`` (band, bucket, doc_id) PARTITIONED BY the band-bucket
+    prefix ``pk`` so the incremental band-join prunes to matching
+    partitions. Parquet here; the 10^12-row deployment writes the same
+    layout to Iceberg (partition transform = identity(pk))."""
+    sigs.write.mode("append").parquet(store_dir + "/sigs")
+    (_bucket_projection(sigs, "doc_id")
+     .write.mode("append").partitionBy("pk")
+     .parquet(store_dir + "/buckets"))
 
 
 def read_signature_store(spark: SparkSession, store_dir: str) -> DataFrame:
-    return spark.read.parquet(store_dir)
+    return spark.read.parquet(store_dir + "/sigs")
+
+
+def pruned_store_buckets(spark: SparkSession, store_dir: str,
+                         new_sigs: DataFrame) -> DataFrame:
+    """The store's bucket projection, pruned to the partitions the new
+    batch can collide with. The new batch's distinct pk set is bounded by
+    bands × N_BUCKET_PFX (= a few hundred ints — model state, not data),
+    so collecting it is driver-safe at any corpus size; the literal isin()
+    filter lands in the scan's PartitionFilters."""
+    pks = sorted({r["pk"] for r in _bucket_projection(new_sigs, "new_id")
+                 .select("pk").distinct().collect()})
+    return (spark.read.parquet(store_dir + "/buckets")
+            .filter(F.col("pk").isin(pks)))
 
 
 def incremental_dups(new_sigs: DataFrame, store_sigs: DataFrame,
@@ -92,6 +132,30 @@ def incremental_dups(new_sigs: DataFrame, store_sigs: DataFrame,
             .select("new_id", "prior_id", "sig_matches"))
 
 
+def incremental_dups_store(spark: SparkSession, new_sigs: DataFrame,
+                           store_dir: str) -> DataFrame:
+    """``incremental_dups`` against the PERSISTED store, reading only the
+    band-bucket partitions the new batch touches (partition pruning via
+    the pk literal filter) and only the candidate prior docs' signature
+    rows for the estimator."""
+    nb = _bucket_projection(new_sigs, "new_id")
+    sb = pruned_store_buckets(spark, store_dir, new_sigs).select(
+        F.col("doc_id").alias("prior_id"), "band", "bucket")
+    cand = (nb.join(sb, ["band", "bucket"])
+            .select("new_id", "prior_id").distinct())
+    a = new_sigs.select(F.col("doc_id").alias("new_id"),
+                        *[F.col(c).alias(f"a_{c}") for c in _sig_cols()])
+    b = read_signature_store(spark, store_dir).select(
+        F.col("doc_id").alias("prior_id"),
+        *[F.col(c).alias(f"b_{c}") for c in _sig_cols()])
+    matches = sum((F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int")
+                  for c in _sig_cols())
+    return (cand.join(a, "new_id").join(b, "prior_id")
+            .withColumn("sig_matches", matches.cast("long"))
+            .filter(F.col("sig_matches") * 2 >= _SIG_MATCH_MIN2)
+            .select("new_id", "prior_id", "sig_matches"))
+
+
 def incremental_ingest(spark: SparkSession, new_docs: DataFrame,
                        store_dir: str) -> DataFrame:
     """Dedup ``new_docs`` against the store, append survivors' signatures,
@@ -102,15 +166,19 @@ def incremental_ingest(spark: SparkSession, new_docs: DataFrame,
     batches dedup against them too."""
     sigs = minhash_signatures(new_docs)
     try:
-        store = read_signature_store(spark, store_dir)
+        read_signature_store(spark, store_dir)
     except Exception:   # first batch: nothing to dedup against
         write_signature_store(sigs, store_dir)
         return new_docs
-    dropped = incremental_dups(sigs, store).select(
+    # the bucket projection is consumed twice (pk set + band-join); the
+    # signature agg above it is the expensive part — persist it
+    sigs = sigs.persist()
+    dropped = incremental_dups_store(spark, sigs, store_dir).select(
         F.col("new_id").alias("doc_id")).distinct()
     survivors = new_docs.join(dropped, "doc_id", "left_anti")
     write_signature_store(sigs.join(dropped, "doc_id", "left_anti"),
                           store_dir)
+    sigs.unpersist()
     return survivors
 
 

@@ -7,6 +7,8 @@ batch. Verification is signature-only (no text retained between runs)."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -78,6 +80,37 @@ def test_near_miss_not_dropped(spark, store_dir):
                            "house while rain falls on the quiet meadow")])
     out = incremental_ingest(spark, b2, store_dir)
     assert out.count() == 1
+
+
+def test_store_band_join_prunes_partitions(spark, store_dir):
+    """The scale contract of the signature store: the band-join against a
+    small new batch must read ONLY the band-bucket partitions (pk) that
+    batch touches — pinned by the PartitionFilters of the store scan —
+    and the pruned path must return exactly what the in-memory
+    estimator path returns."""
+    from ocr_platform_spark.operators.incremental import (
+        N_BUCKET_PFX, MINHASH_BANDS, incremental_dups_store,
+        pruned_store_buckets)
+
+    incremental_ingest(spark, _docs(spark, list(enumerate(BASE))), store_dir)
+    new = minhash_signatures(_docs(spark, [(10, BASE[1])]))
+
+    pruned = pruned_store_buckets(spark, store_dir, new)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None, plan
+    assert "pk" in m.group(1) and ("IN" in m.group(1) or "in(" in m.group(1)), \
+        f"store scan not partition-pruned: {m.group(1)}"
+    # one new doc touches at most MINHASH_BANDS pk partitions
+    touched = {r["pk"] for r in pruned.select("pk").distinct().collect()}
+    assert 0 < len(touched) <= MINHASH_BANDS
+    assert MINHASH_BANDS < MINHASH_BANDS * N_BUCKET_PFX  # pruning is real
+
+    got = incremental_dups_store(spark, new, store_dir).collect()
+    want = incremental_dups(new, read_signature_store(spark, store_dir)
+                            ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert [r for r in got if r[0] == 10 and r[1] == 1]  # the dup is found
 
 
 def test_dd_incremental_is_anti_symmetric(spark):
