@@ -256,3 +256,156 @@ def gen_media(doc_index: int, seed: int = 42) -> dict:
         other = b"\x89PNG\r\n\x1a\n" if ext != "png" else b"\xff\xd8\xff"
         payload = other + payload[len(other):]
     return {"url": url, "media": payload}
+
+
+# --------------------------------------------------------------------------
+# adversarial corpus: hand-crafted real-world-shaped pages (no RNG — pure
+# literals) that lock the classifier before any future tuning. Shapes per
+# VERDICT r3 item 8: deeply nested tables, RTL-heavy pages, the reference's
+# three footnote-marker styles (ref apps/queue/src/pipeline/
+# convert-to-html.ts:3-18), multi-script pages — plus tag soup, entity
+# stress, script/style leakage traps, chrome-classed decoys and
+# whitespace/inline-span splits. Goldens: tests/fixtures/
+# adversarial_goldens.json (tools/make_goldens.py).
+# --------------------------------------------------------------------------
+
+def adversarial_pages() -> list[dict]:
+    """Deterministic adversarial page corpus: list of pages-table rows."""
+    pages: list[tuple[str, str]] = []
+
+    deep = ("The innermost cell carries the real paragraph text that the "
+            "extractor must surface despite ten levels of layout tables "
+            "wrapped around it by a legacy page builder.")
+    inner = f"<p>{deep}</p>"
+    for lvl in range(10, 0, -1):
+        inner = (f'<table id="t{lvl}"><tr><td>{inner}</td>'
+                 f"<td>cell {lvl}</td></tr></table>")
+    pages.append((
+        "https://adversarial.example/deep-tables",
+        "<html><body><nav><a href='/a'>Home</a> <a href='/b'>Shop</a></nav>"
+        f"<main>{inner}<p>A sibling paragraph after the table pyramid "
+        "keeps enough prose to anchor the content region.</p></main>"
+        "<footer>© legacy builder</footer></body></html>"))
+
+    ar = ("النص العربي الطويل يمتد عبر الفقرة كاملة ويحتوي على كلمات كثيرة "
+          "تكفي لتصنيف الكتلة كمحتوى أصلي وليس زخرفة")
+    pages.append((
+        "https://adversarial.example/rtl-heavy",
+        '<html dir="rtl" lang="ar"><body>'
+        "<nav><a href='/ar'>الرئيسية</a> <a href='/x'>اتصل</a></nav>"
+        f"<header>عنوان الصفحة</header><main><p>{ar}‏ ويستمر النص "
+        f"بعد علامة الاتجاه.</p><p>{ar} مع أرقام عربية ١٢٣ و٤٥٦ داخل "
+        "السطر.</p><p>فقرة ثالثة فيها اقتباس «محفوظ» وتنوين فتحاً "
+        "ومدّة آ وهمزات أإؤئ.</p></main>"
+        '<div class="footnotes"><p class="footnote">(١) حاشية أولى '
+        'بالأرقام العربية المشرقية.</p><p class="footnote">(٢) حاشية '
+        "ثانية قصيرة.</p></div>"
+        "<center>- ٧٤٢ -</center>"
+        "<footer>حقوق النشر محفوظة</footer></body></html>"))
+
+    pages.append((
+        "https://adversarial.example/footnote-styles",
+        "<html><body><main>"
+        "<p>Primary prose referencing the first note <sup>1</sup> and the "
+        "second <sup>2</sup> and the third <sup>3</sup> in running text "
+        "long enough to be content.</p></main>"
+        '<div class="footnotes">'
+        "<p>(1) Parenthesized style note, the reference's first marker "
+        "shape.</p>"
+        "<p>2. Dotted style note, the second marker shape.</p>"
+        "<p>3) Half-paren style note, the third marker shape.</p>"
+        "</div><center>- 12 -</center></body></html>"))
+
+    pages.append((
+        "https://adversarial.example/multi-script",
+        "<html><body><main>"
+        "<p>Latin prose opens the page with enough words to count as real "
+        "content for the density classifier.</p>"
+        f"<p>{ar}</p>"
+        "<p>Русский текст продолжает страницу и тоже достаточно длинный "
+        "чтобы считаться содержанием а не навигацией.</p>"
+        "<p>Ελληνικό κείμενο με αρκετές λέξεις ώστε να περάσει το κατώφλι "
+        "περιεχομένου χωρίς δυσκολία εδώ.</p>"
+        "<p>中文段落也足够长以通过内容分类器的词数阈值并保留在正文里。"
+        "这里再加一些汉字。</p>"
+        "<p>טקסט עברי ארוך דיו כדי להיחשב תוכן אמיתי ולא ניווט בעמוד "
+        "הזה בכלל.</p>"
+        "</main></body></html>"))
+
+    pages.append((
+        "https://adversarial.example/tag-soup",
+        "<html><body><main>"
+        "<p>First paragraph never closed"
+        "<p>Second paragraph with <b>bold <i>mis-nested</b> italics</i> "
+        "that browsers repair silently and parsers must survive."
+        "</div></div></span>"   # stray closers for elements never opened
+        "<ul><li>item one with enough words to be a real list entry"
+        "<li>item two also unclosed and wordy enough to stay content"
+        "</ul><br/><hr/>"
+        "<p>Tail paragraph after a truncated table: <table><tr><td>lonely "
+        "cell text that still belongs to the page body"
+        "</main></body>"))      # no </table>, no </html>
+
+    pages.append((
+        "https://adversarial.example/entity-stress",
+        "<html><body><main>"
+        "<p>Ampersands &amp; angle brackets &lt;tag&gt; &quot;quoted&quot; "
+        "plus named spaces&nbsp;&nbsp;between&nbsp;words survive "
+        "decoding.</p>"
+        "<p>Numeric entities: &#77;&#105;&#109; spells Mim and hex "
+        "&#x645;&#x62D;&#x645;&#x62F; spells Arabic letters in a row.</p>"
+        "<p>Bare & ampersand and a fake &notanentity; stay literal while "
+        "&copy; decodes, all inside one long enough paragraph.</p>"
+        "</main></body></html>"))
+
+    pages.append((
+        "https://adversarial.example/script-style-leak",
+        "<html><head><style>p.fake::before{content:'leaked style text'}"
+        "</style><script>var leak = '<p>script paragraph must not "
+        "appear</p>';</script></head><body>"
+        "<!-- <p>commented paragraph must not appear either</p> -->"
+        "<main><p>The only real paragraph of the page carries the visible "
+        "prose that the extractor should keep verbatim.</p>"
+        "<script type=\"application/ld+json\">{\"@type\":\"Article\","
+        "\"text\":\"json-ld body must not leak\"}</script>"
+        "<textarea>textarea payload is form state, not prose</textarea>"
+        "<template><p>template content is inert by spec</p></template>"
+        "</main></body></html>"))
+
+    decoys = "".join(
+        f'<div class="{cls}"><a href="/{cls}">{cls} link one</a> '
+        f'<a href="/{cls}2">{cls} link two</a></div>'
+        for cls in ("nav", "menu", "sidebar", "breadcrumb", "banner",
+                    "advert", "social", "share", "related", "widget",
+                    "cookie"))
+    pages.append((
+        "https://adversarial.example/chrome-decoys",
+        f"<html><body>{decoys}<main><p>Buried among eleven chrome decoy "
+        "containers sits this single content paragraph that the "
+        "link-density and class heuristics must keep.</p></main>"
+        f"{decoys}</body></html>"))
+
+    pages.append((
+        "https://adversarial.example/whitespace-runs",
+        "<html><body><main><p>Words\n\n\n   separated\t\t by "
+        "enormous&nbsp;&nbsp;&nbsp;white space   runs \n collapse to "
+        "single spaces in the extracted text.</p>"
+        "<p><span>In</span><span>line</span> <span>spans</span> split "
+        "<em>wo</em><em>rds</em> but the text reads through them "
+        "without inserting breaks.</p></main></body></html>"))
+
+    pages.append((
+        "https://adversarial.example/rtl-table-footnotes",
+        '<html dir="rtl"><body><main><table><tr>'
+        f"<td><p>{ar}</p></td><td><p>{ar} عمود ثانٍ.</p></td>"
+        "</tr></table></main>"
+        '<div class="hamish"><p>١. تعليق بالنمط المنقوط.</p>'
+        "<p>٢) تعليق بنمط نصف القوس.</p></div>"
+        "<center>٨٣</center></body></html>"))
+
+    return [{"url": url,
+             "warc_ts": EPOCH + _dt.timedelta(seconds=3600 + i),
+             "html": html.encode("utf-8"),
+             "text": "",
+             "lang": "ar" if "rtl" in url or "multi" in url else "en"}
+            for i, (url, html) in enumerate(pages)]

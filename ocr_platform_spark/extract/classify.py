@@ -19,6 +19,24 @@ from ocr_platform_spark.extract.html_blocks import Block
 # 0.33 as its primary cut; short low-density blocks are chrome).
 MAX_LINK_DENSITY = 0.33
 MIN_CONTENT_WORDS = 3
+# CJK scripts have no word delimiters, so a whole paragraph counts as ONE
+# whitespace word and would fail the gate above; trafilatura-style
+# adaptation: enough ideographs also qualifies a block as content
+# (~2 chars per word → 6 chars ≈ the 3-word gate).
+MIN_CONTENT_CJK_CHARS = 6
+_CJK_RANGES = (
+    (0x3040, 0x30FF),    # hiragana + katakana
+    (0x3400, 0x4DBF),    # CJK ext A
+    (0x4E00, 0x9FFF),    # CJK unified
+    (0xAC00, 0xD7AF),    # hangul syllables
+    (0xF900, 0xFAFF),    # CJK compat
+    (0x20000, 0x2FA1F),  # CJK ext B+ (astral)
+)
+
+
+def _cjk_chars(text: str) -> int:
+    return sum(1 for ch in text
+               if any(lo <= ord(ch) <= hi for lo, hi in _CJK_RANGES))
 
 # Path components that mark navigation / chrome subtrees.
 CHROME_PATH_TAGS = ("nav", "aside", "form")
@@ -108,8 +126,10 @@ def _classify_one(b: Block) -> str:
         return "boilerplate"
     if b.headline:
         return "heading"
-    if b.n_words < MIN_CONTENT_WORDS:
+    if b.n_words < MIN_CONTENT_WORDS \
+            and _cjk_chars(b.text) < MIN_CONTENT_CJK_CHARS:
         # short stray fragments are chrome unless they look like a header
-        # line (the segmenter may still promote the first heading)
+        # line (the segmenter may still promote the first heading); CJK
+        # text is delimiter-free, so ideograph count substitutes for words
         return "boilerplate"
     return "content"

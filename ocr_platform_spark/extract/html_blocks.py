@@ -29,7 +29,11 @@ BLOCK_TAGS = frozenset(
 )
 
 # Content inside these is never text (dropped at parse time).
-IGNORED_CONTENT_TAGS = frozenset({"script", "style", "noscript", "template", "svg", "iframe"})
+# textarea is RCDATA form STATE, not prose (real pages prefill them with
+# arbitrary text); select/option and canvas fallbacks are widget chrome too
+IGNORED_CONTENT_TAGS = frozenset({
+    "script", "style", "noscript", "template", "svg", "iframe",
+    "textarea", "select", "option", "canvas"})
 
 # Self-closing / void tags that force a block break without opening one.
 BREAK_TAGS = frozenset({"br", "hr"})

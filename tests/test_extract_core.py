@@ -57,6 +57,92 @@ class TestGoldens:
         assert any(g["failed_stage"] is not None for g in GOLDENS)
 
 
+ADV_GOLDENS = json.loads((FIXTURES / "adversarial_goldens.json").read_text())
+
+
+class TestAdversarialGoldens:
+    """Hand-crafted real-world-shaped pages (datagen.adversarial_pages):
+    deep table nests, RTL-heavy text, the reference's three footnote
+    marker styles (ref convert-to-html.ts:3-18), multi-script pages, tag
+    soup, entity stress, script/style leakage traps, chrome decoys."""
+
+    def _by_url(self):
+        from ocr_platform_spark.datagen import adversarial_pages
+        return {d["url"]: d for d in adversarial_pages()}
+
+    def test_byte_identical(self):
+        docs = self._by_url()
+        assert len(ADV_GOLDENS) == len(docs) == 10
+        for gold in ADV_GOLDENS:
+            d = docs[gold["url"]]
+            got = _as_record(extract_document(d["url"], d["html"]))
+            assert got == gold, f"{gold['url']} drifted"
+
+    def _golden(self, leaf: str) -> dict:
+        return next(g for g in ADV_GOLDENS if g["url"].endswith(leaf))
+
+    def test_deep_tables_surface_content(self):
+        g = self._golden("deep-tables")
+        assert g["failed_stage"] is None
+        assert "innermost cell carries the real paragraph" in g["body"]
+
+    def test_all_three_footnote_marker_styles(self):
+        g = self._golden("footnote-styles")
+        assert g["footnotes"] is not None
+        for mark in ("(1) Parenthesized", "2. Dotted", "3) Half-paren"):
+            assert mark in g["footnotes"], mark
+        assert g["page_number"] == 12
+
+    def test_rtl_pages_keep_arabic_and_eastern_digits(self):
+        g = self._golden("rtl-heavy")
+        assert "النص العربي الطويل" in g["body"]
+        assert "١٢٣" in g["body"]          # Eastern-Arabic digits intact
+        assert g["footnotes"] and "(١)" in g["footnotes"]
+        assert g["page_number"] == 742      # parsed from ٧٤٢
+        g2 = self._golden("rtl-table-footnotes")
+        assert g2["footnotes"] and "١." in g2["footnotes"]
+        assert g2["page_number"] == 83
+
+    def test_multi_script_page_keeps_every_script(self):
+        body = self._golden("multi-script")["body"]
+        for probe in ("Latin prose", "العربي", "Русский", "Ελληνικό",
+                      "中文段落", "עברי"):
+            assert probe in body, probe
+
+    def test_script_style_comment_never_leak(self):
+        g = self._golden("script-style-leak")
+        text = g["extracted_text"]
+        assert "visible prose" in text
+        for leak in ("script paragraph", "leaked style text",
+                     "commented paragraph", "json-ld body",
+                     "textarea payload"):
+            assert leak not in text, leak
+
+    def test_entities_decode(self):
+        body = self._golden("entity-stress")["body"]
+        assert "Ampersands & angle brackets <tag>" in body
+        assert "Mim" in body and "محمد" in body
+        assert "©" in body
+
+    def test_chrome_decoys_dropped_content_kept(self):
+        g = self._golden("chrome-decoys")
+        assert "Buried among eleven chrome decoy" in g["body"]
+        assert "cookie link" not in g["extracted_text"]
+        assert "advert link" not in g["extracted_text"]
+
+    def test_tag_soup_never_fails(self):
+        g = self._golden("tag-soup")
+        assert g["failed_stage"] is None
+        assert "browsers repair silently" in g["extracted_text"]
+        assert "Tail paragraph" in g["extracted_text"]
+
+    def test_whitespace_collapses_and_spans_join(self):
+        body = self._golden("whitespace-runs")["body"]
+        assert ("Words separated by enormous white space runs collapse "
+                "to single spaces") in body
+        assert "Inline spans split words but the text reads through" in body
+
+
 class TestPipelineInvariants:
     def test_never_drop(self):
         """Failed docs still produce a row, flagged NEEDS_ADDITIONAL_REVIEW

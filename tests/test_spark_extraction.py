@@ -56,6 +56,34 @@ def test_parallelism_invariance(spark, extracted_rows):
         assert r["extracted_text"] == extracted_rows[r["url"]]["extracted_text"]
 
 
+def test_adversarial_corpus_matches_goldens_at_1_and_n_cores(spark):
+    """The committed adversarial goldens (deep tables / RTL / footnote
+    marker styles / multi-script / tag soup, tests/fixtures/
+    adversarial_goldens.json) must come out of the Spark plan
+    byte-identically at 1 partition and at N partitions."""
+    import json
+    import pathlib
+
+    from ocr_platform_spark.datagen import adversarial_pages
+
+    goldens = {g["url"]: g for g in json.loads(
+        (pathlib.Path(__file__).parent / "fixtures" /
+         "adversarial_goldens.json").read_text())}
+    rows = [(d["url"], d["html"], d["lang"]) for d in adversarial_pages()]
+    df = spark.createDataFrame(rows, "url string, html binary, lang string")
+    for n_parts in (1, 8):
+        got = {r["url"]: r for r in extract_pages(
+            df.repartition(n_parts), n_buckets=8, shuffle=False).collect()}
+        assert set(got) == set(goldens)
+        for url, g in goldens.items():
+            r = got[url]
+            assert r["extracted_text"].encode() == \
+                g["extracted_text"].encode(), (n_parts, url)
+            assert r["failed_stage"] == g["failed_stage"]
+            assert r["total_words"] == g["total_words"]
+            assert r["page_number"] == g["page_number"]
+
+
 def test_error_envelope(extracted_rows):
     """Malformed docs are flagged NEEDS_ADDITIONAL_REVIEW, never dropped."""
     failed = [r for r in extracted_rows.values() if r["failed_stage"]]
