@@ -234,13 +234,16 @@ def gen_media(doc_index: int, seed: int = 42) -> dict:
     as_gif = doc_index % 3 == 2
     if as_jpeg:
         # real web JPEGs are overwhelmingly 4:2:0 (and often carry restart
-        # markers): mix 444/420/422 and DRI deterministically so the
-        # mm_decode/mm_features oracles pin the subsampled decode path
+        # markers), and a sizable share is progressive (SOF2): mix
+        # 444/420/422, DRI, and progressive deterministically so the
+        # mm_decode/mm_features oracles pin every decode path
         sub = ("420", "444", "422")[(doc_index // 3) % 3] \
             if channels == 3 else "444"
         ri = 2 if doc_index % 5 == 0 else 0
+        prog = ri == 0 and doc_index % 7 == 1
         payload = encode_jpeg(w, h, channels, bytes(px),
-                              subsampling=sub, restart_interval=ri)
+                              subsampling=sub, restart_interval=ri,
+                              progressive=prog)
         ext = "jpg"
     elif as_gif:
         payload = encode_gif(w, h, channels, bytes(px))

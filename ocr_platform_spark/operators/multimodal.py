@@ -2,7 +2,7 @@
 
 Images/audio/video ride through the engine as BinaryType columns with a
 struct of metadata; decode / feature-extraction runs in Arrow-batched
-``mapInPandas`` kernels. ``decode_image`` is REAL for PNG, baseline
+``mapInPandas`` kernels. ``decode_image`` is REAL for PNG, baseline+progressive
 JPEG and GIF (pure stdlib+numpy codecs: functions/png.py, functions/
 jpeg.py, functions/gif.py); ``media_audio`` decodes RIFF/WAVE PCM for
 real (functions/wav.py); ``media_video`` walks MJPEG-in-AVI containers
@@ -59,8 +59,9 @@ def sniff_format(payload: bytes) -> str | None:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Real decode for PNG (functions/png.py), baseline-sequential JPEG
-    (functions/jpeg.py) and GIF (functions/gif.py) payloads — pure
+    """Real decode for PNG (functions/png.py), JPEG — baseline AND
+    progressive SOF2 — (functions/jpeg.py) and GIF (functions/gif.py)
+    payloads — pure
     stdlib+numpy codecs → (width, height, channels, raw pixels).
     Audio/video remain declared stubs: their codecs are not installed in
     this container; on a cluster with codec libraries, extend the
@@ -80,7 +81,7 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         return decode_gif(payload)
     raise NotImplementedError(
         f"no codec for format {fmt!r} in this environment "
-        "(only the pure-stdlib PNG, baseline-JPEG and GIF decoders are "
+        "(only the pure-stdlib PNG, JPEG and GIF decoders are "
         "available)")
 
 

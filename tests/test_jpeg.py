@@ -84,10 +84,19 @@ class TestHostilePayloads:
         with pytest.raises(JpegError, match="MAX_PIXELS"):
             decode_jpeg(payload)
 
-    def test_progressive_rejected(self):
+    def test_sof2_mislabel_on_baseline_stream_rejected(self):
+        # SOF0 flipped to SOF2 leaves a baseline full-band SOS (Ss=0,
+        # Se=63) that is malformed under progressive scan rules
         blob = bytearray(encode_jpeg(8, 8, 1, bytes(64)))
         idx = blob.find(b"\xff\xc0")
         blob[idx + 1] = 0xC2            # SOF0 → SOF2 (progressive)
+        with pytest.raises(JpegError, match="progressive"):
+            decode_jpeg(bytes(blob))
+
+    def test_hierarchical_sof_rejected(self):
+        blob = bytearray(encode_jpeg(8, 8, 1, bytes(64)))
+        idx = blob.find(b"\xff\xc0")
+        blob[idx + 1] = 0xC5            # SOF5: hierarchical
         with pytest.raises(JpegError, match="baseline"):
             decode_jpeg(bytes(blob))
 
@@ -191,3 +200,96 @@ class TestGenMediaMix:
             except Exception:
                 err += 1
         assert jpeg_ok > 0 and err > 0
+
+
+class TestProgressive:
+    """SOF2 spectral selection + successive approximation. The internal
+    conformance oracle: progressive transmission is a LOSSLESS
+    re-ordering of the same quantized coefficients, so progressive and
+    baseline encodes of the same pixels must decode bit-identically."""
+
+    @staticmethod
+    def _assert_equal(w, h, ch, px, sub="444", q=85):
+        base = encode_jpeg(w, h, ch, px, quality=q, subsampling=sub)
+        prog = encode_jpeg(w, h, ch, px, quality=q, subsampling=sub,
+                           progressive=True)
+        assert prog != base
+        assert b"\xff\xc2" in prog          # really SOF2
+        assert decode_jpeg(prog) == decode_jpeg(base)
+
+    def test_equals_baseline_gray(self):
+        rng = np.random.default_rng(21)
+        px = rng.integers(0, 256, size=24 * 31, dtype=np.uint8).tobytes()
+        self._assert_equal(31, 24, 1, px)
+
+    @pytest.mark.parametrize("sub", ["444", "422", "420"])
+    def test_equals_baseline_rgb_subsampled(self, sub):
+        rng = np.random.default_rng(22)
+        px = rng.integers(0, 256, size=40 * 33 * 3, dtype=np.uint8).tobytes()
+        self._assert_equal(33, 40, 3, px, sub=sub)
+
+    def test_equals_baseline_smooth_eobrun_heavy(self):
+        # smooth gradients leave long runs of all-zero AC bands: the
+        # cross-block EOBRUN + buffered-correction-bit paths
+        px = bytes(((x + y) // 2) & 0xFF
+                   for y in range(96) for x in range(120) for _ in range(3))
+        self._assert_equal(120, 96, 3, px, sub="420")
+        self._assert_equal(120, 96, 3, px, sub="444", q=95)
+
+    def test_equals_baseline_constant(self):
+        self._assert_equal(64, 48, 3, bytes([10, 200, 60]) * 64 * 48, "420")
+
+    @pytest.mark.parametrize("dims", [(9, 9), (17, 23), (8, 8), (33, 33)])
+    def test_equals_baseline_odd_dims(self, dims):
+        w, h = dims
+        rng = np.random.default_rng(w * 100 + h)
+        px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        self._assert_equal(w, h, 3, px, sub="420")
+
+    @pytest.mark.parametrize("q", [5, 50, 100])
+    def test_equals_baseline_quality_sweep(self, q):
+        rng = np.random.default_rng(q)
+        px = rng.integers(0, 256, size=40 * 40 * 3, dtype=np.uint8).tobytes()
+        self._assert_equal(40, 40, 3, px, sub="422", q=q)
+
+    def test_deterministic(self):
+        rng = np.random.default_rng(5)
+        px = rng.integers(0, 256, size=24 * 24 * 3, dtype=np.uint8).tobytes()
+        a = encode_jpeg(24, 24, 3, px, progressive=True)
+        b = encode_jpeg(24, 24, 3, px, progressive=True)
+        assert a == b
+
+    def test_truncated_mid_scan_raises(self):
+        rng = np.random.default_rng(6)
+        px = rng.integers(0, 256, size=32 * 32 * 3, dtype=np.uint8).tobytes()
+        blob = encode_jpeg(32, 32, 3, px, subsampling="420",
+                           progressive=True)
+        with pytest.raises(JpegError):
+            decode_jpeg(blob[: len(blob) * 2 // 3])
+
+    def test_scan_prefix_decodes_partial(self):
+        # ending cleanly after the first scans yields a coarse but valid
+        # image (what a browser paints mid-download) — same dims/channels
+        rng = np.random.default_rng(8)
+        px = rng.integers(0, 256, size=16 * 16 * 3, dtype=np.uint8).tobytes()
+        blob = encode_jpeg(16, 16, 3, px, progressive=True)
+        # cut at the 3rd SOS, then append EOI
+        third_sos = -1
+        count = 0
+        i = 0
+        while True:
+            i = blob.find(b"\xff\xda", i + 1)
+            if i < 0:
+                break
+            count += 1
+            if count == 3:
+                third_sos = i
+                break
+        assert third_sos > 0
+        w, h, c, _px = decode_jpeg(blob[:third_sos] + b"\xff\xd9")
+        assert (w, h, c) == (16, 16, 3)
+
+    def test_progressive_restart_encode_rejected(self):
+        with pytest.raises(JpegError, match="restart"):
+            encode_jpeg(8, 8, 1, bytes(64), restart_interval=2,
+                        progressive=True)
