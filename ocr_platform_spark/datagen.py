@@ -249,7 +249,9 @@ def gen_media(doc_index: int, seed: int = 42) -> dict:
         payload = encode_gif(w, h, channels, bytes(px))
         ext = "gif"
     else:
-        payload = encode_png(w, h, channels, bytes(px))
+        # a share of real web PNGs is Adam7-interlaced: mix deterministically
+        payload = encode_png(w, h, channels, bytes(px),
+                             interlace=doc_index % 8 == 2)
         ext = "png"
     url = f"https://img.example.org/m/{doc_index}.{ext}"
     if doc_index % 13 == 5:

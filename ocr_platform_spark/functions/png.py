@@ -7,8 +7,11 @@ apps/queue/src/lib/ocr.ts:56-71); JPEG/audio/video remain declared stubs
 (their codecs genuinely are not installable here).
 
 Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA),
-non-interlaced. Everything else raises PngError — callers route it into
-the never-drop error envelope.
+non-interlaced AND Adam7-interlaced (each of the 7 passes is an
+independently-filtered sub-image scattered back on its lattice; PNG is
+lossless, so interlaced decode is pinned bit-identical to sequential).
+Everything else raises PngError — callers route it into the never-drop
+error envelope.
 """
 
 from __future__ import annotations
@@ -62,8 +65,9 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise PngError(f"unsupported bit depth {depth}")
             if color not in _CHANNELS:
                 raise PngError(f"unsupported color type {color}")
-            if interlace != 0:
-                raise PngError("interlaced PNG unsupported")
+            if interlace not in (0, 1):
+                raise PngError(f"unknown interlace method {interlace}")
+            adam7 = interlace == 1
             channels = _CHANNELS[color]
         elif ctype == b"IDAT":
             idat.extend(data)
@@ -76,7 +80,12 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     if width * height > MAX_PIXELS:
         raise PngError(f"image exceeds {MAX_PIXELS} pixel cap")
     stride = width * channels
-    expected = (stride + 1) * height
+    if adam7:
+        sub_dims = [(pw, ph) for pw, ph in _adam7_pass_dims(width, height)]
+        expected = sum((pw * channels + 1) * ph
+                       for pw, ph in sub_dims if pw and ph)
+    else:
+        expected = (stride + 1) * height
     try:
         # cap decompression at the size IHDR promises — a bomb that
         # inflates past it errors instead of allocating unboundedly
@@ -90,6 +99,46 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         raise PngError("bad IDAT stream") from None
     if len(raw) != expected:
         raise PngError("IDAT length does not match dimensions")
+
+    if not adam7:
+        out = _defilter(raw, height, stride, channels)
+        return width, height, channels, bytes(out)
+
+    # Adam7: seven independently-filtered sub-images, scattered back on
+    # their (x0, y0, dx, dy) lattices (PNG spec 4.5.2 / 13.8)
+    out = bytearray(stride * height)
+    pos2 = 0
+    for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, sub_dims):
+        if pw == 0 or ph == 0:
+            continue
+        pstride = pw * channels
+        size = (pstride + 1) * ph
+        sub = _defilter(raw[pos2:pos2 + size], ph, pstride, channels)
+        pos2 += size
+        for i in range(ph):
+            yy = y0 + i * dy
+            srow = sub[i * pstride:(i + 1) * pstride]
+            for j in range(pw):
+                xx = (x0 + j * dx) * channels
+                out[yy * stride + xx:yy * stride + xx + channels] = \
+                    srow[j * channels:(j + 1) * channels]
+    return width, height, channels, bytes(out)
+
+
+# Adam7 pass lattices: (x_start, y_start, x_step, y_step)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _adam7_pass_dims(width: int, height: int) -> list:
+    return [((width - x0 + dx - 1) // dx, (height - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in _ADAM7]
+
+
+def _defilter(raw: bytes, height: int, stride: int,
+              channels: int) -> bytearray:
+    """Undo per-scanline filters over one (sub-)image of ``height`` rows
+    of ``stride`` bytes each (raw rows are prefixed by the filter byte)."""
     import numpy as np
 
     out = bytearray(stride * height)
@@ -117,12 +166,13 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             raise PngError(f"unknown filter type {ftype}")
         out[y * stride:(y + 1) * stride] = row
         prev = bytes(row)
-    return width, height, channels, bytes(out)
+    return out
 
 
-def encode_png(width: int, height: int, channels: int,
-               pixels: bytes) -> bytes:
-    """Minimal encoder (filter 0 rows, one IDAT) — the test/datagen side."""
+def encode_png(width: int, height: int, channels: int, pixels: bytes,
+               interlace: bool = False) -> bytes:
+    """Minimal encoder (filter 0 rows, one IDAT), optionally
+    Adam7-interlaced — the test/datagen side."""
     color = {1: 0, 3: 2, 4: 6}.get(channels)
     if color is None:
         raise PngError(f"unsupported channel count {channels}")
@@ -135,9 +185,24 @@ def encode_png(width: int, height: int, channels: int,
         return struct.pack(">I", len(data)) + ctype + data + \
             struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
-    raw = b"".join(b"\x00" + pixels[y * stride:(y + 1) * stride]
-                   for y in range(height))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0,
+                       1 if interlace else 0)
+    if interlace:
+        parts = []
+        for (x0, y0, dx, dy), (pw, ph) in zip(
+                _ADAM7, _adam7_pass_dims(width, height)):
+            if pw == 0 or ph == 0:
+                continue
+            for i in range(ph):
+                yy = y0 + i * dy
+                parts.append(b"\x00" + b"".join(
+                    pixels[(yy * width + x0 + j * dx) * channels:
+                           (yy * width + x0 + j * dx) * channels + channels]
+                    for j in range(pw)))
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + pixels[y * stride:(y + 1) * stride]
+                       for y in range(height))
     return (_SIGNATURE + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw, 6))
             + chunk(b"IEND", b""))

@@ -163,3 +163,41 @@ class TestGenMedia:
             except Exception:
                 err += 1
         assert ok > 0 and err > 0   # both decode and error paths exercised
+
+
+class TestAdam7:
+    """Interlaced PNG: lossless, so interlaced decode is pinned
+    bit-identical to the sequential encode of the same pixels."""
+
+    @pytest.mark.parametrize("dims", [(1, 1), (7, 7), (8, 8), (9, 23),
+                                      (33, 17), (40, 40)])
+    @pytest.mark.parametrize("ch", [1, 3, 4])
+    def test_roundtrip_exact(self, dims, ch):
+        w, h = dims
+        px = bytes((w * 31 + h * 7 + i * 13) & 0xFF
+                   for i in range(w * h * ch))
+        blob = encode_png(w, h, ch, px, interlace=True)
+        assert decode_png(blob) == (w, h, ch, px)
+        assert decode_png(blob) == decode_png(encode_png(w, h, ch, px))
+
+    def test_interlace_flag_in_ihdr(self):
+        blob = encode_png(8, 8, 3, bytes(192), interlace=True)
+        ihdr = blob.index(b"IHDR")
+        assert blob[ihdr + 4 + 12] == 1    # interlace byte
+
+    def test_truncated_interlaced_raises(self):
+        blob = encode_png(20, 20, 3, bytes(1200), interlace=True)
+        with pytest.raises(PngError):
+            decode_png(blob[: len(blob) // 2])
+
+    def test_unknown_interlace_method_rejected(self):
+        blob = bytearray(encode_png(8, 8, 1, bytes(64)))
+        ihdr = blob.index(b"IHDR")
+        blob[ihdr + 4 + 12] = 2            # invalid method
+        # fix the CRC so only the method byte is at fault
+        import zlib as _z
+        data = bytes(blob[ihdr:ihdr + 4 + 13])
+        crc = _z.crc32(data) & 0xFFFFFFFF
+        blob[ihdr + 17:ihdr + 21] = struct.pack(">I", crc)
+        with pytest.raises(PngError, match="interlace"):
+            decode_png(bytes(blob))
