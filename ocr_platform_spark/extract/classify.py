@@ -68,8 +68,12 @@ CONTENT_TAGS = frozenset(
 
 
 def _in_chrome(block: Block) -> bool:
-    parts = block.path.split("/")
-    if any(t in parts for t in CHROME_PATH_TAGS):
+    # path is a '/'-join of BLOCK_TAGS (html_blocks pushes only those), and
+    # no block tag contains "nav"/"aside"/"form" as a proper substring, so a
+    # C-speed substring probe is exactly equivalent to split-and-member —
+    # this runs per block and the split allocation showed up in profiles
+    path = block.path
+    if "nav" in path or "aside" in path or "form" in path:
         return True
     if block.tag in ("nav", "aside", "form"):
         return True
@@ -79,7 +83,8 @@ def _in_chrome(block: Block) -> bool:
 
 
 def _in_footer(block: Block) -> bool:
-    return block.tag == "footer" or "footer" in block.path.split("/")
+    # same substring-probe equivalence: no BLOCK_TAG contains "footer"
+    return block.tag == "footer" or "footer" in block.path
 
 
 def is_footnote_text(text: str) -> bool:

@@ -38,6 +38,9 @@ IGNORED_CONTENT_TAGS = frozenset({
 # Self-closing / void tags that force a block break without opening one.
 BREAK_TAGS = frozenset({"br", "hr"})
 
+_HEADLINE_TAGS = frozenset(
+    {"h1", "h2", "h3", "h4", "h5", "h6", "title", "header"})
+
 # Path/classes features only look this many ancestors up. Bounds per-block
 # feature construction to O(1) — unbounded, a poison-pill document of 100k
 # nested divs turns the parse quadratic (measured 4s at depth 20k).
@@ -85,8 +88,16 @@ class _BlockParser(HTMLParser):
         self._ignore_depth = 0
         self._anchor_depth = 0
         self._parts: list[str] = []       # raw text fragments of open block
-        self._link_flags: list[bool] = [] # parallel: fragment was inside <a>
+        self._link_parts: list[str] = []  # the subset appended inside <a>
         self._open: Block | None = None
+        # Incrementally-maintained joins of the stacks, valid only while
+        # depth <= MAX_PATH_DEPTH (deeper, the strings would grow unbounded
+        # and re-introduce the poison-pill quadratic the cap exists to stop).
+        # None = stale; _begin recomputes and re-seeds when depth is back in
+        # range. Blocks open far more often than the stacks change shape, so
+        # this turns two O(depth) joins per block into O(1) amortized.
+        self._path_cache: str | None = ""
+        self._classes_cache: str | None = ""
 
     # -- block lifecycle -------------------------------------------------
     def _flush(self) -> None:
@@ -97,7 +108,7 @@ class _BlockParser(HTMLParser):
             self._open = None
             if self._parts:
                 self._parts.clear()
-                self._link_flags.clear()
+                self._link_parts.clear()
             return
         raw = "".join(self._parts)
         text = _collapse_ws(raw)
@@ -106,29 +117,36 @@ class _BlockParser(HTMLParser):
             blk.total_chars = len(text)
             # link chars: canonicalize the linked fragments the same way,
             # then cap at total (joining can only shrink whitespace).
-            linked = _collapse_ws(
-                "".join(p for p, is_link in zip(self._parts, self._link_flags) if is_link)
-            )
-            blk.link_chars = min(len(linked), blk.total_chars)
+            if self._link_parts:
+                linked = _collapse_ws("".join(self._link_parts))
+                blk.link_chars = min(len(linked), blk.total_chars)
             blk.n_words = text.count(" ") + 1
             self.blocks.append(blk)
         self._open = None
         self._parts.clear()
-        self._link_flags.clear()
+        self._link_parts.clear()
 
     def _begin(self, tag: str) -> None:
         self._flush()
         stack = self._stack
-        classes = self._class_stack
         if len(stack) > MAX_PATH_DEPTH:
-            stack = stack[-MAX_PATH_DEPTH:]
-            classes = classes[-MAX_PATH_DEPTH:]
+            path = "/".join(stack[-MAX_PATH_DEPTH:])
+            classes = " ".join(
+                c for c in self._class_stack[-MAX_PATH_DEPTH:] if c)
+        else:
+            path = self._path_cache
+            if path is None:
+                path = self._path_cache = "/".join(stack)
+            classes = self._classes_cache
+            if classes is None:
+                classes = self._classes_cache = " ".join(
+                    c for c in self._class_stack if c)
         self._open = Block(
             block_id=len(self.blocks),
             tag=tag,
-            path="/".join(stack),
-            classes=" ".join(c for c in classes if c),
-            headline=tag in ("h1", "h2", "h3", "h4", "h5", "h6", "title", "header"),
+            path=path,
+            classes=classes,
+            headline=tag in _HEADLINE_TAGS,
         )
 
     # -- parser callbacks -------------------------------------------------
@@ -142,7 +160,8 @@ class _BlockParser(HTMLParser):
         if tag in BREAK_TAGS:
             # <br>/<hr> are whitespace inside the block, not a new block
             self._parts.append(" ")
-            self._link_flags.append(self._anchor_depth > 0)
+            if self._anchor_depth:
+                self._link_parts.append(" ")
             return
         cls = ""
         for k, v in attrs:
@@ -153,6 +172,17 @@ class _BlockParser(HTMLParser):
         if tag in BLOCK_TAGS:
             self._stack.append(tag)
             self._class_stack.append(cls)
+            if len(self._stack) <= MAX_PATH_DEPTH:
+                pc = self._path_cache
+                if pc is not None:
+                    self._path_cache = pc + "/" + tag if pc else tag
+                if cls:
+                    cc = self._classes_cache
+                    if cc is not None:
+                        self._classes_cache = cc + " " + cls if cc else cls
+            else:
+                self._path_cache = None
+                self._classes_cache = None
             self._open_counts[tag] = self._open_counts.get(tag, 0) + 1
             self._begin(tag)
         # inline tags: nothing to track beyond <a>/<sup>
@@ -176,15 +206,26 @@ class _BlockParser(HTMLParser):
             if self._open_counts.get(tag, 0) > 0:
                 while self._stack:
                     popped = self._stack.pop()
-                    self._class_stack.pop()
+                    popped_cls = self._class_stack.pop()
                     self._open_counts[popped] -= 1
+                    pc = self._path_cache
+                    if pc is not None:
+                        i = pc.rfind("/")
+                        self._path_cache = pc[:i] if i >= 0 else ""
+                    if popped_cls:
+                        cc = self._classes_cache
+                        if cc is not None:
+                            self._classes_cache = (
+                                cc[:-(len(popped_cls) + 1)]
+                                if len(cc) > len(popped_cls) else "")
                     if popped == tag:
                         break
 
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         if tag in BREAK_TAGS:
             self._parts.append(" ")
-            self._link_flags.append(self._anchor_depth > 0)
+            if self._anchor_depth:
+                self._link_parts.append(" ")
 
     def handle_data(self, data: str) -> None:
         if self._ignore_depth or not data:
@@ -193,7 +234,8 @@ class _BlockParser(HTMLParser):
             # text outside any block tag (common in fragment/malformed HTML)
             self._begin("body")
         self._parts.append(data)
-        self._link_flags.append(self._anchor_depth > 0)
+        if self._anchor_depth:
+            self._link_parts.append(data)
 
     def close(self) -> None:  # flush trailing open block
         super().close()
