@@ -201,6 +201,11 @@ def test_count_words_fast_path_equivalence():
         "hello, world!", "a—b", "étude", "१२३ ٤٥٦", "a_b c.d",
         " nbsp sep", "tab\tand\nnewline", "🙂 emoji only 🙂",
         "mixed مرحبا world 42", "... --- ...", "", "   ",
+        # tag/entity inputs: count_words inlines strip_html minus its final
+        # whitespace-canonicalizing join — these pin that the inlined path
+        # matches the reference (which calls strip_html verbatim)
+        "<p>one two</p> three", "a&amp;b &lt;c&gt;", "<script>x y</script>z",
+        "<b>bold</b>&nbsp;words", "un<closed tag", "&#1605;&#1585;حبا",
     ]
     for v in vectors:
         assert count_words(v) == reference(v), v
@@ -214,3 +219,13 @@ def test_count_words_fast_path_equivalence():
         assert count_words(s) == reference(s)
 
     check()
+
+    # same property with tag/entity trigger chars forced into the alphabet,
+    # so the HTML-strip branches of the inlined path get fuzzed too
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=st.sampled_from(
+        list("<>&;/ab12 \tépsc")), max_size=60))
+    def check_html(s):
+        assert count_words(s) == reference(s)
+
+    check_html()
