@@ -56,9 +56,13 @@ _META_TAG_RE = re.compile(rb"<meta\b[^>]{0,500}>", re.IGNORECASE | re.DOTALL)
 _CHARSET_RE = re.compile(
     rb"charset\s*=\s*[\"']?\s*([a-zA-Z0-9][a-zA-Z0-9._:-]{0,39})",
     re.IGNORECASE)
-# simplified WHATWG "get an attribute": name, optional ="..."/'...'/bare
+# simplified WHATWG "get an attribute": name, optional ="..."/'...'/bare.
+# An unquoted value runs to whitespace or '>' per the prescan — '/' and ';'
+# are ordinary value bytes, so content=text/html;charset=x tokenizes as ONE
+# content value (a '/'-terminated class here would strand ';charset=x' as a
+# fake bare charset attribute and label pages that carry no http-equiv).
 _ATTR_RE = re.compile(
-    rb"([a-zA-Z][a-zA-Z0-9-]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'/>]*))?")
+    rb"([a-zA-Z][a-zA-Z0-9-]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?")
 
 
 def _tag_charset_label(tag: bytes) -> bytes | None:
@@ -100,7 +104,7 @@ _LABEL_ALIASES = {
 _UTF8_NAMES = {"utf-8", "utf8", "utf-8-sig"}
 
 
-def _resolve_label(label: bytes | str) -> str | None:
+def _resolve_label(label: bytes | str, transport: bool = False) -> str | None:
     if isinstance(label, bytes):
         label = label.decode("ascii", errors="replace")
     name = label.strip().lower()
@@ -115,9 +119,16 @@ def _resolve_label(label: bytes | str) -> str | None:
     if not getattr(info, "_is_text_encoding", True):
         return None
     canonical = info.name
-    # a meta-declared UTF-16/32 is a lie if the prescan could read it;
-    # the spec maps these labels to UTF-8
     if canonical.startswith(("utf-16", "utf-32")):
+        if transport:
+            # the HTTP header is authoritative as-is (WHATWG returns the
+            # transport encoding with confidence "certain"); pin the
+            # endianness the encoding spec assigns to the bare labels so
+            # BOM-less payloads decode deterministically
+            return canonical + ("-le" if canonical in ("utf-16", "utf-32")
+                                else "")
+        # a meta-declared UTF-16/32 is a lie if the prescan could read it;
+        # the spec maps these IN-DOCUMENT labels to UTF-8
         return "utf-8"
     return canonical
 
@@ -145,7 +156,7 @@ def sniff_charset(html: bytes,
         if html.startswith(bom):
             return enc, True
     if transport_label:
-        enc = _resolve_label(transport_label)
+        enc = _resolve_label(transport_label, transport=True)
         if enc is not None:
             return enc, False
     head = html[:_PRESCAN_BYTES]

@@ -28,12 +28,25 @@ BLOCK_TAGS = frozenset(
     }
 )
 
-# Content inside these is never text (dropped at parse time).
-# textarea is RCDATA form STATE, not prose (real pages prefill them with
-# arbitrary text); select/option and canvas fallbacks are widget chrome too
+# Content inside these is never text (dropped at parse time). All of them
+# REQUIRE their end tag, so a depth counter is safe. textarea is RCDATA
+# form STATE, not prose (real pages prefill them with arbitrary text);
+# canvas fallbacks are widget chrome too.
 IGNORED_CONTENT_TAGS = frozenset({
     "script", "style", "noscript", "template", "svg", "iframe",
-    "textarea", "select", "option", "canvas"})
+    "textarea", "canvas"})
+
+# Form-widget chrome whose end tags are OMISSIBLE per the spec
+# (</option>/</optgroup> before a sibling or the parent's end; real pages
+# overwhelmingly write <option>A<option>B). Depth-counting these like the
+# set above would let ONE unclosed <option> raise the ignore depth
+# permanently and silently drop the entire rest of the document. Instead:
+# <select> is a counter RECOVERED by any block-level tag (block content is
+# invalid inside a select, so its appearance proves the widget is over),
+# and option/optgroup suppress TEXT only, until the next tag event (their
+# content model is text-only).
+_SELECT_TAG = "select"
+_OPTION_TAGS = frozenset({"option", "optgroup"})
 
 # Self-closing / void tags that force a block break without opening one.
 BREAK_TAGS = frozenset({"br", "hr"})
@@ -86,6 +99,8 @@ class _BlockParser(HTMLParser):
         self._class_stack: list[str] = []
         self._open_counts: dict[str, int] = {}  # O(1) membership for endtag
         self._ignore_depth = 0
+        self._select_depth = 0        # open <select> widgets (recoverable)
+        self._option_ignore = False   # inside an <option>'s text-only span
         self._anchor_depth = 0
         self._parts: list[str] = []       # raw text fragments of open block
         self._link_parts: list[str] = []  # the subset appended inside <a>
@@ -157,6 +172,25 @@ class _BlockParser(HTMLParser):
             return
         if self._ignore_depth:
             return
+        if tag == _SELECT_TAG:
+            self._flush()
+            self._select_depth += 1
+            self._option_ignore = False
+            return
+        if tag in _OPTION_TAGS:
+            self._flush()
+            self._option_ignore = True
+            return
+        # any other tag ends an option's text-only content (its end tag is
+        # omissible; the next tag event is the implicit close)
+        self._option_ignore = False
+        if self._select_depth:
+            if tag in BLOCK_TAGS:
+                # block content is invalid inside <select>: browser-style
+                # recovery for an unclosed widget — close it, keep the tag
+                self._select_depth = 0
+            else:
+                return  # inline junk inside the widget stays chrome
         if tag in BREAK_TAGS:
             # <br>/<hr> are whitespace inside the block, not a new block
             self._parts.append(" ")
@@ -196,6 +230,22 @@ class _BlockParser(HTMLParser):
             return
         if self._ignore_depth:
             return
+        if tag == _SELECT_TAG:
+            if self._select_depth:
+                self._select_depth -= 1
+            self._option_ignore = False
+            return
+        if tag in _OPTION_TAGS:
+            self._option_ignore = False
+            return
+        self._option_ignore = False
+        if self._select_depth:
+            if tag in BLOCK_TAGS:
+                # an enclosing block closing while the select is open
+                # proves the select was unclosed: recover, process the tag
+                self._select_depth = 0
+            else:
+                return
         if tag == "a":
             self._anchor_depth = max(0, self._anchor_depth - 1)
             return
@@ -222,13 +272,19 @@ class _BlockParser(HTMLParser):
                         break
 
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if self._ignore_depth:
+            return
+        self._option_ignore = False
+        if self._select_depth:
+            return
         if tag in BREAK_TAGS:
             self._parts.append(" ")
             if self._anchor_depth:
                 self._link_parts.append(" ")
 
     def handle_data(self, data: str) -> None:
-        if self._ignore_depth or not data:
+        if (self._ignore_depth or self._select_depth or self._option_ignore
+                or not data):
             return
         if self._open is None:
             # text outside any block tag (common in fragment/malformed HTML)

@@ -113,20 +113,25 @@ def _drop_raw_elements(text: str) -> str:
 import html as _html
 
 
-def strip_html(text: str) -> str:
-    """Strip HTML tags, replacing them with a space, then collapse whitespace.
-
-    Fast paths skip the regex passes when their trigger characters are
-    absent (tag-free and entity-free inputs are common); outputs are
-    identical to the unconditional pipeline.
-    """
+def _strip_tags_entities(text: str) -> str:
+    """strip_html minus its final whitespace canonicalization — shared by
+    strip_html and count_words so the tag/entity pipeline can never
+    silently diverge between them. Fast paths skip the regex passes when
+    their trigger characters are absent (tag-free and entity-free inputs
+    are common); outputs are identical to the unconditional pipeline."""
     if "<" in text:
         text = _drop_raw_elements(text)
         text = _TAG_RE.sub(" ", text)
     if "&" in text:
         text = _html.unescape(text)
+    return text
+
+
+def strip_html(text: str) -> str:
+    """Strip HTML tags, replacing them with a space, then collapse
+    whitespace."""
     # " ".join(split()) ≡ collapse-whitespace-runs + strip, at C speed
-    return " ".join(text.split())
+    return " ".join(_strip_tags_entities(text).split())
 
 
 def count_words(text: str | None) -> int:
@@ -146,18 +151,13 @@ def count_words(text: str | None) -> int:
     """
     if not text:
         return 0
-    # strip_html inlined minus its final " ".join(split()): the token loop
-    # splits anyway, and " ".join(x.split()).split() == x.split(), so the
+    # strip_html minus its final " ".join(split()): the token loop splits
+    # anyway, and " ".join(x.split()).split() == x.split(), so the
     # canonicalizing join is two wasted passes + one allocation per document
     # in the hot path. Token stream (hence count) is identical.
-    if "<" in text:
-        text = _drop_raw_elements(text)
-        text = _TAG_RE.sub(" ", text)
-    if "&" in text:
-        text = _html.unescape(text)
     n = 0
     findall = WORD_RE.findall
-    for tok in text.split():
+    for tok in _strip_tags_entities(text).split():
         if tok.isalnum():
             n += 1
         else:

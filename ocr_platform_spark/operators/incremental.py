@@ -105,6 +105,24 @@ def pruned_store_buckets(spark: SparkSession, store_dir: str,
             .filter(F.col("pk").isin(pks)))
 
 
+def _estimate_dups(cand: DataFrame, new_sigs: DataFrame,
+                   store_sigs: DataFrame) -> DataFrame:
+    """Shared estimator tail: join both signature vectors onto the
+    candidate pairs, count matching minhash slots, keep estimated
+    Jaccard >= 0.5. One definition so the in-memory and persisted-store
+    paths can never drift on threshold/columns/cast."""
+    a = new_sigs.select(F.col("doc_id").alias("new_id"),
+                        *[F.col(c).alias(f"a_{c}") for c in _sig_cols()])
+    b = store_sigs.select(F.col("doc_id").alias("prior_id"),
+                          *[F.col(c).alias(f"b_{c}") for c in _sig_cols()])
+    matches = sum((F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int")
+                  for c in _sig_cols())
+    return (cand.join(a, "new_id").join(b, "prior_id")
+            .withColumn("sig_matches", matches.cast("long"))
+            .filter(F.col("sig_matches") * 2 >= _SIG_MATCH_MIN2)
+            .select("new_id", "prior_id", "sig_matches"))
+
+
 def incremental_dups(new_sigs: DataFrame, store_sigs: DataFrame,
                      ) -> DataFrame:
     """(new_id, prior_id, sig_matches) for every new doc whose estimated
@@ -120,16 +138,7 @@ def incremental_dups(new_sigs: DataFrame, store_sigs: DataFrame,
         F.posexplode(_band_bucket_array()).alias("band", "bucket"))
     cand = (nb.join(sb, ["band", "bucket"])
             .select("new_id", "prior_id").distinct())
-    a = new_sigs.select(F.col("doc_id").alias("new_id"),
-                        *[F.col(c).alias(f"a_{c}") for c in _sig_cols()])
-    b = store_sigs.select(F.col("doc_id").alias("prior_id"),
-                          *[F.col(c).alias(f"b_{c}") for c in _sig_cols()])
-    matches = sum((F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int")
-                  for c in _sig_cols())
-    return (cand.join(a, "new_id").join(b, "prior_id")
-            .withColumn("sig_matches", matches.cast("long"))
-            .filter(F.col("sig_matches") * 2 >= _SIG_MATCH_MIN2)
-            .select("new_id", "prior_id", "sig_matches"))
+    return _estimate_dups(cand, new_sigs, store_sigs)
 
 
 def incremental_dups_store(spark: SparkSession, new_sigs: DataFrame,
@@ -143,17 +152,8 @@ def incremental_dups_store(spark: SparkSession, new_sigs: DataFrame,
         F.col("doc_id").alias("prior_id"), "band", "bucket")
     cand = (nb.join(sb, ["band", "bucket"])
             .select("new_id", "prior_id").distinct())
-    a = new_sigs.select(F.col("doc_id").alias("new_id"),
-                        *[F.col(c).alias(f"a_{c}") for c in _sig_cols()])
-    b = read_signature_store(spark, store_dir).select(
-        F.col("doc_id").alias("prior_id"),
-        *[F.col(c).alias(f"b_{c}") for c in _sig_cols()])
-    matches = sum((F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int")
-                  for c in _sig_cols())
-    return (cand.join(a, "new_id").join(b, "prior_id")
-            .withColumn("sig_matches", matches.cast("long"))
-            .filter(F.col("sig_matches") * 2 >= _SIG_MATCH_MIN2)
-            .select("new_id", "prior_id", "sig_matches"))
+    return _estimate_dups(cand, new_sigs,
+                          read_signature_store(spark, store_dir))
 
 
 def incremental_ingest(spark: SparkSession, new_docs: DataFrame,

@@ -64,8 +64,12 @@ def warc_extract_stream(spark: SparkSession, warc_dir: str,
     from ocr_platform_spark.sources.warc import read_warc_stream, warc_pages
 
     records = read_warc_stream(spark, warc_dir, max_files_per_trigger)
-    return extract_pages(warc_pages(records), n_buckets=n_buckets,
-                         shuffle=False)
+    # the ingest path HAS the HTTP head in hand — thread the Content-Type
+    # charset through so header-only-labeled legacy captures decode
+    # correctly (extract/charset.py ranks it BOM > transport > meta); the
+    # pages-TABLE path stays a pure function of (url, html) by contract
+    return extract_pages(warc_pages(records, with_transport_charset=True),
+                         n_buckets=n_buckets, shuffle=False)
 
 
 def run_warc_ingest_stream(spark: SparkSession, warc_dir: str,

@@ -133,6 +133,63 @@ def test_never_raises_and_deterministic(payload):
     assert sniff_charset(payload) == sniff_charset(payload)
 
 
+class TestUnquotedContentValue:
+    """WHATWG prescan: an unquoted attribute value runs to whitespace or
+    '>' — '/' and ';' are ordinary value bytes. A '/'-terminated tokenizer
+    strands ';charset=x' as a fake bare charset attribute and labels pages
+    that carry no http-equiv pragma."""
+
+    def test_unquoted_content_without_pragma_does_not_label(self):
+        raw = b'<meta content=text/html;charset=gb2312><p>plain utf-8</p>'
+        text, enc = decode_html(raw)
+        assert enc == "utf-8"
+        assert "plain utf-8" in text
+
+    def test_unquoted_content_with_pragma_labels(self):
+        raw = (b'<meta http-equiv=content-type '
+               b'content=text/html;charset=windows-1252>it\x92s')
+        text, enc = decode_html(raw)
+        assert enc == "cp1252"
+        assert "it’s" in text
+
+    def test_self_closing_bare_charset_still_labels(self):
+        raw = '<meta charset=windows-1256/>'.encode() + AR.encode("cp1256")
+        text, enc = decode_html(raw)
+        assert enc == "cp1256"
+        assert AR in text
+
+
+class TestTransportLabel:
+    """The HTTP-header charset is authoritative AS-IS (WHATWG returns the
+    transport encoding with confidence certain) — the 'utf-16 label is a
+    lie' remap applies only to in-document meta declarations."""
+
+    def test_transport_utf16le_decodes_bomless_payload(self):
+        body = "<html><p>hello transport</p></html>".encode("utf-16-le")
+        text, enc = decode_html(body, transport_label="utf-16le")
+        assert enc == "utf-16-le"
+        assert "hello transport" in text
+
+    def test_bare_utf16_transport_label_pins_le(self):
+        body = "<p>le pinned</p>".encode("utf-16-le")
+        text, enc = decode_html(body, transport_label="utf-16")
+        assert enc == "utf-16-le"
+        assert "le pinned" in text
+
+    def test_meta_utf16_still_remapped_to_utf8(self):
+        raw = '<meta charset="utf-16">still utf-8'.encode()
+        text, enc = decode_html(raw)
+        assert enc == "utf-8"
+        assert "still utf-8" in text
+
+    def test_bom_outranks_transport(self):
+        import codecs as _c
+        body = _c.BOM_UTF8 + "<p>bom wins</p>".encode("utf-8")
+        text, enc = decode_html(body, transport_label="koi8-r")
+        assert enc == "utf-8"
+        assert "bom wins" in text
+
+
 class TestHostileLabels:
     """codecs.lookup resolves non-text codecs too — a hostile meta label
     must fall through to content sniffing, never raise."""

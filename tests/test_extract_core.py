@@ -200,6 +200,58 @@ class TestPipelineInvariants:
         assert strip_html(once) == strip_html(once)
 
 
+class TestWidgetChrome:
+    """select/option are widget chrome with OMISSIBLE end tags: real pages
+    write <option>A<option>B, so depth-counting them would raise the
+    ignore depth permanently and silently drop the entire rest of the
+    document (the round-4 review's top finding)."""
+
+    CASES = [
+        # (html, must_contain, must_not_contain)
+        ('<select><option>OptA<option>OptB</select>'
+         '<main><p>Real paragraph with several words here</p></main>',
+         "Real paragraph", ("OptA", "OptB")),
+        # unclosed select recovered by block content
+        ('<div><select><option>OptX'
+         '<p>After the widget text continues normally</p></div>',
+         "After the widget", ("OptX",)),
+        # well-formed widget: options stay chrome, flow resumes
+        ('<p>before words here</p>'
+         '<select><option>OptA</option><option>OptB</option></select>'
+         '<p>after words here</p>', "after words here", ("OptA", "OptB")),
+        # optgroup end tags omitted
+        ('<select><optgroup label=g><option>OptA'
+         '<optgroup label=h><option>OptB</select>'
+         '<p>tail content words here</p>',
+         "tail content", ("OptA", "OptB")),
+        # stray text directly inside select is chrome
+        ('<select>naked widget text<option>OptA</select>'
+         '<p>real tail content here</p>',
+         "real tail", ("naked widget", "OptA")),
+    ]
+
+    def test_widget_text_is_chrome_and_never_swallows(self):
+        from ocr_platform_spark.extract.html_blocks import parse_blocks
+
+        for html, keep, drop in self.CASES:
+            fast = [b.text for b in parse_blocks(html, engine="fast")]
+            std = [b.text for b in parse_blocks(html, engine="stdlib")]
+            assert fast == std, html
+            joined = " ".join(fast)
+            assert keep in joined, html
+            for d in drop:
+                assert d not in joined, (html, d)
+
+    def test_extraction_end_to_end(self):
+        html = ('<html><body><select><option>First<option>Second</select>'
+                '<main><p>The document body keeps flowing after an '
+                'unclosed dropdown widget element</p></main>'
+                '</body></html>').encode()
+        r = extract_document("u", html)
+        assert "keeps flowing" in r.extracted_text
+        assert "First" not in r.extracted_text
+
+
 class TestDatagen:
     def test_deterministic(self):
         a = [gen_document(i) for i in range(50)]

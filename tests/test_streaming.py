@@ -88,3 +88,30 @@ def test_warc_stream_matches_batch_and_resumes(spark, tmp_path):
         assert r["extracted_text"] == b["extracted_text"]
         assert r["total_words"] == b["total_words"]
         assert r["bucket"] == b["bucket"]
+
+
+def test_warc_stream_honors_transport_charset(spark, tmp_path):
+    """The streaming ingest path has the HTTP head in hand, so a capture
+    whose charset lives ONLY in the Content-Type header (no BOM, no meta)
+    must decode via the transport label — not mojibake through the cp1252
+    guess. Pins that warc_extract_stream actually enables
+    with_transport_charset (the round-4 review found it defaulted off on
+    the exact path the feature was built for)."""
+    from ocr_platform_spark.sources.warc import response_record, write_warc
+    from ocr_platform_spark.streaming.ingest import run_warc_ingest_stream
+
+    warc_dir = tmp_path / "crawl"
+    ru = " ".join(["привет мир"] * 8)
+    body = (f"<html><body><main><p>{ru}</p></main></body></html>"
+            ).encode("koi8-r")
+    write_warc(warc_dir / "legacy.warc.gz", [response_record(
+        "https://legacy.example/koi8-header-only",
+        "2024-01-01T00:00:00Z", body,
+        content_type="text/html; charset=koi8-r")])
+    q = run_warc_ingest_stream(spark, str(warc_dir),
+                               str(tmp_path / "out"), str(tmp_path / "ck"),
+                               n_buckets=4)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert len(rows) == 1
+    assert "привет мир" in rows[0]["extracted_text"]
