@@ -47,6 +47,7 @@ IGNORED_CONTENT_TAGS = frozenset({
 # content model is text-only).
 _SELECT_TAG = "select"
 _OPTION_TAGS = frozenset({"option", "optgroup"})
+_WIDGET_TAGS = frozenset({"select", "option", "optgroup"})
 
 # Self-closing / void tags that force a block break without opening one.
 BREAK_TAGS = frozenset({"br", "hr"})
@@ -172,18 +173,18 @@ class _BlockParser(HTMLParser):
             return
         if self._ignore_depth:
             return
-        if tag == _SELECT_TAG:
+        if tag in _WIDGET_TAGS:
             self._flush()
-            self._select_depth += 1
-            self._option_ignore = False
-            return
-        if tag in _OPTION_TAGS:
-            self._flush()
-            self._option_ignore = True
+            if tag == _SELECT_TAG:
+                self._select_depth += 1
+                self._option_ignore = False
+            else:
+                self._option_ignore = True
             return
         # any other tag ends an option's text-only content (its end tag is
         # omissible; the next tag event is the implicit close)
-        self._option_ignore = False
+        if self._option_ignore:
+            self._option_ignore = False
         if self._select_depth:
             if tag in BLOCK_TAGS:
                 # block content is invalid inside <select>: browser-style
@@ -230,15 +231,13 @@ class _BlockParser(HTMLParser):
             return
         if self._ignore_depth:
             return
-        if tag == _SELECT_TAG:
-            if self._select_depth:
+        if tag in _WIDGET_TAGS:
+            if tag == _SELECT_TAG and self._select_depth:
                 self._select_depth -= 1
             self._option_ignore = False
             return
-        if tag in _OPTION_TAGS:
+        if self._option_ignore:
             self._option_ignore = False
-            return
-        self._option_ignore = False
         if self._select_depth:
             if tag in BLOCK_TAGS:
                 # an enclosing block closing while the select is open
@@ -274,7 +273,8 @@ class _BlockParser(HTMLParser):
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         if self._ignore_depth:
             return
-        self._option_ignore = False
+        if self._option_ignore:
+            self._option_ignore = False
         if self._select_depth:
             return
         if tag in BREAK_TAGS:
