@@ -211,8 +211,12 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return _hashed_shingles(docs).groupBy("doc_id").agg(*_minhash_aggs())
 
 
-def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate pairs via LSH banding, then exact-Jaccard verification of
+def minhash_pairs(docs: DataFrame) -> DataFrame:
+    """Verified near-duplicate pairs over an arbitrary ``(doc_id, text)``
+    relation — the df-level core of ``dd_minhash_lsh``, reused by
+    ``plans/corpus_job`` with extracted crawl text (url as doc_id).
+
+    Candidate pairs via LSH banding, then exact-Jaccard verification of
     ONLY the candidates (bucket-join → verify; never all-pairs).
 
     Physical shape: the shingle explosion (~10x the corpus) is NEVER
@@ -229,7 +233,6 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     MINHASH_BANDS unioned scans)."""
     from pyspark import StorageLevel
 
-    docs = load(spark, sf_dir, "documents")
     sigs = (minhash_signatures(docs)
             .persist(StorageLevel.MEMORY_AND_DISK))
     banded = sigs.select(
@@ -265,6 +268,12 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
             .filter(F.col("inter") * 2 >= F.col("uni"))
             .select("a_id", "b_id", "inter", "uni"))
+
+
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs over the documents table (see
+    ``minhash_pairs`` for the plan shape and scale notes)."""
+    return minhash_pairs(load(spark, sf_dir, "documents"))
 
 
 # --- DuckDB oracles for the MinHash/cluster path --------------------------

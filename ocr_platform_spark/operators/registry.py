@@ -50,10 +50,14 @@ def _modules():
         curation, dedup, incremental, pdf_extract, relational,
         scalar_queries, similarity, text_analysis, webcorpus, webgraph,
         weblinks)
+    from ocr_platform_spark.plans import corpus_job
     from ocr_platform_spark.streaming import sessions, windowed
+    # corpus_job last: a round-4 late addition — it must NOT displace any
+    # of the front-loaded queries out of the driver's 50-row CORRECTNESS
+    # window this round; round 5 front-loads it for a driver row.
     return (relational, scalar_queries, text_analysis, dedup, incremental,
             similarity, curation, pdf_extract, windowed, sessions,
-            webcorpus, webgraph, weblinks)
+            webcorpus, webgraph, weblinks, corpus_job)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -93,6 +93,52 @@ GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in",
 _BULLETS = ("•", "-", "*", "●")
 
 
+def gopher_checks(text: F.Column) -> tuple[dict[str, F.Column],
+                                           F.Column, F.Column]:
+    """The Gopher rule set as column expressions over an arbitrary text
+    column: returns ({check_name: bool_col}, n_tok, mean_word_len_x10k).
+    Shared by ``ta_gopher_quality`` (documents table) and
+    ``plans/corpus_job`` (extracted crawl text) so the filter thresholds
+    stay single-sourced."""
+    toks = F.split(F.trim(text), r"\s+")
+    n_tok = F.size(toks)
+    n_chars_in_toks = F.length(F.regexp_replace(text, r"\s+", ""))
+    mean_wl_x10k = F.floor(10000.0 * n_chars_in_toks / n_tok)
+    n_sym = (F.length(text)
+             - F.length(F.regexp_replace(text, r"[#…]", "")))
+    sym_ratio_x10k = F.floor(10000.0 * n_sym / n_tok)
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z؀-ۿ]")))
+    alpha_ratio_x10k = F.floor(10000.0 * n_alpha_words / n_tok)
+    stop_distinct = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+    bullet_set = F.array(*[F.lit(b) for b in _BULLETS])
+    n_bullet = F.size(F.filter(
+        lines, lambda l: F.array_contains(
+            bullet_set, F.substring(F.trim(l), 1, 1))))
+    n_ellipsis = F.size(F.filter(
+        lines, lambda l: F.trim(l).endswith("…") | F.trim(l).endswith("...")))
+    checks = {
+        "wc_ok": (n_tok >= 50) & (n_tok <= 100000),
+        "mwl_ok": (mean_wl_x10k >= 30000) & (mean_wl_x10k <= 100000),
+        "sym_ok": sym_ratio_x10k <= 1000,
+        "alpha_ok": alpha_ratio_x10k >= 8000,
+        "stop_ok": stop_distinct >= 2,
+        "bullet_ok": F.floor(10000.0 * n_bullet / n_lines) <= 9000,
+        "ellipsis_ok": F.floor(10000.0 * n_ellipsis / n_lines) <= 3000,
+    }
+    return checks, n_tok, mean_wl_x10k
+
+
+def gopher_pass(checks: dict[str, F.Column]) -> F.Column:
+    passed = None
+    for c in checks.values():
+        passed = c if passed is None else (passed & c)
+    return passed
+
+
 def ta_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The published Gopher quality rules (Rae et al. 2021, §A1.1) as pure
     JVM column math — the standard pretraining-corpus document filter:
@@ -111,38 +157,8 @@ def ta_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer math so the DuckDB value-hash is bit-stable.
     """
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n_tok = F.size(toks)
-    n_chars_in_toks = F.length(F.regexp_replace("text", r"\s+", ""))
-    mean_wl_x10k = F.floor(10000.0 * n_chars_in_toks / n_tok)
-    n_sym = (F.length("text")
-             - F.length(F.regexp_replace("text", r"[#…]", "")))
-    sym_ratio_x10k = F.floor(10000.0 * n_sym / n_tok)
-    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z؀-ۿ]")))
-    alpha_ratio_x10k = F.floor(10000.0 * n_alpha_words / n_tok)
-    stop_distinct = F.size(F.array_intersect(
-        F.array_distinct(toks),
-        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
-    lines = F.split(F.col("text"), r"\n")
-    n_lines = F.size(lines)
-    bullet_set = F.array(*[F.lit(b) for b in _BULLETS])
-    n_bullet = F.size(F.filter(
-        lines, lambda l: F.array_contains(
-            bullet_set, F.substring(F.trim(l), 1, 1))))
-    n_ellipsis = F.size(F.filter(
-        lines, lambda l: F.trim(l).endswith("…") | F.trim(l).endswith("...")))
-    checks = {
-        "wc_ok": (n_tok >= 50) & (n_tok <= 100000),
-        "mwl_ok": (mean_wl_x10k >= 30000) & (mean_wl_x10k <= 100000),
-        "sym_ok": sym_ratio_x10k <= 1000,
-        "alpha_ok": alpha_ratio_x10k >= 8000,
-        "stop_ok": stop_distinct >= 2,
-        "bullet_ok": F.floor(10000.0 * n_bullet / n_lines) <= 9000,
-        "ellipsis_ok": F.floor(10000.0 * n_ellipsis / n_lines) <= 3000,
-    }
-    passed = None
-    for c in checks.values():
-        passed = c if passed is None else (passed & c)
+    checks, n_tok, mean_wl_x10k = gopher_checks(F.col("text"))
+    passed = gopher_pass(checks)
     return docs.select(
         "doc_id", n_tok.alias("n_words"),
         mean_wl_x10k.cast("long").alias("mean_word_len_x10k"),
@@ -153,18 +169,22 @@ def ta_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_STOPLIST = "[" + ",".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
 _SQL_BULLETS = "[" + ",".join(f"'{b}'" for b in _BULLETS) + "]"
 
-TA_GOPHER_SQL = rf"""
-WITH t AS (
-  SELECT doc_id,
+def gopher_sql_ctes(src: str, key: str = "doc_id") -> str:
+    """DuckDB CTE chain ``g_t, g_m`` computing the Gopher metrics over
+    relation ``src`` keyed by ``key`` — shared by TA_GOPHER_SQL and the
+    corpus-pipeline oracle so the SQL side of the rule set stays
+    single-sourced exactly like the Spark side (``gopher_checks``)."""
+    return rf"""g_t AS (
+  SELECT {key},
          regexp_split_to_array(trim(text), '\s+') AS toks,
          len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
          length(regexp_replace(text, '\s+', '', 'g')) AS n_chars,
          length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS n_sym,
          regexp_split_to_array(text, '\n') AS lines,
          text
-  FROM documents),
-m AS (
-  SELECT doc_id, n_tok,
+  FROM {src}),
+g_m AS (
+  SELECT {key}, n_tok,
          floor(10000.0 * n_chars / n_tok) AS mwl,
          floor(10000.0 * n_sym / n_tok) AS symr,
          floor(10000.0 * len(list_filter(toks,
@@ -177,7 +197,17 @@ m AS (
          floor(10000.0 * len(list_filter(lines,
                l -> ends_with(trim(l), '…') OR ends_with(trim(l), '...')))
                / len(lines)) AS ellipsisr
-  FROM t)
+  FROM g_t)"""
+
+
+GOPHER_SQL_PASS = (
+    "(n_tok >= 50 AND n_tok <= 100000) AND (mwl >= 30000 AND mwl <= 100000) "
+    "AND symr <= 1000 AND alphar >= 8000 AND stopd >= 2 "
+    "AND bulletr <= 9000 AND ellipsisr <= 3000")
+
+
+TA_GOPHER_SQL = rf"""
+WITH {gopher_sql_ctes('documents', 'doc_id')}
 SELECT doc_id, n_tok AS n_words,
        CAST(mwl AS BIGINT) AS mean_word_len_x10k,
        n_tok >= 50 AND n_tok <= 100000 AS wc_ok,
@@ -187,10 +217,8 @@ SELECT doc_id, n_tok AS n_words,
        stopd >= 2 AS stop_ok,
        bulletr <= 9000 AS bullet_ok,
        ellipsisr <= 3000 AS ellipsis_ok,
-       (n_tok >= 50 AND n_tok <= 100000) AND (mwl >= 30000 AND mwl <= 100000)
-       AND symr <= 1000 AND alphar >= 8000 AND stopd >= 2
-       AND bulletr <= 9000 AND ellipsisr <= 3000 AS gopher_pass
-FROM m
+       {GOPHER_SQL_PASS} AS gopher_pass
+FROM g_m
 """
 
 

@@ -11,6 +11,8 @@ query — so the comparison stays an independent check:
 
 - flagship_pages.parquet   gen_document(i, 42) → extract_document, i<500
 - langid_pages.parquet     extraction + detect_language, i<300
+- corpus_pages.parquet     crawl_pages replay (base + mirrors) →
+                           extract_document + detect_language, i<600
 - mm_features.parquet      sha256/magic-sniff/fake_features, i<200
 - command_score_topk.parquet pure-Python command_score over sf0.01 part
 
@@ -82,6 +84,49 @@ def langid_pages() -> None:
         "url": pa.array(cols[0], pa.string()),
         "lang": pa.array(cols[1], pa.string()),
         "lang_detected": pa.array(cols[2], pa.string()),
+    }))
+
+
+def corpus_pages() -> None:
+    """Pure-Python replay of plans/corpus_job.crawl_pages + extraction +
+    langid: every crawl row (base pages AND both mirror kinds) with its
+    extracted text. The oracle SQL recomputes the whole curation chain
+    (URL gate, Gopher, exact + MinHash dedup, packing) from this table, so
+    the fixture only pins what SQL cannot express: the kernel and langid."""
+    import re
+
+    from ocr_platform_spark.operators.text_analysis import detect_language
+    from ocr_platform_spark.plans.corpus_job import (
+        CORPUS_DOCS, EXACT_HOST, EXACT_SEL, MIRROR_MOD, MIRROR_SUFFIX,
+        NEAR_HOST, NEAR_SEL)
+
+    crawl: list[tuple[str, str, bytes]] = []
+    for i in range(CORPUS_DOCS):
+        d = gen_document(i, seed=SEED)
+        crawl.append((d["url"], d["lang"], d["html"]))
+        sel = int(hashlib.md5(d["url"].encode()).hexdigest()[:15], 16) \
+            % MIRROR_MOD
+        if sel == NEAR_SEL:
+            crawl.append((re.sub("^https://[^/]+",
+                                 "https://" + NEAR_HOST, d["url"]),
+                          d["lang"], d["html"] + MIRROR_SUFFIX))
+        elif sel == EXACT_SEL:
+            crawl.append((re.sub("^https://[^/]+",
+                                 "https://" + EXACT_HOST, d["url"]),
+                          d["lang"], d["html"]))
+    rows = []
+    for url, lang, html in crawl:
+        r = extract_document(url, html)
+        lang_det = (detect_language(r.extracted_text)
+                    if r.failed_stage is None else None)
+        rows.append((url, lang, r.extracted_text, r.failed_stage, lang_det))
+    cols = list(zip(*rows))
+    _write("corpus_pages.parquet", pa.table({
+        "url": pa.array(cols[0], pa.string()),
+        "lang": pa.array(cols[1], pa.string()),
+        "text": pa.array(cols[2], pa.string()),
+        "failed_stage": pa.array(cols[3], pa.string()),
+        "lang_det": pa.array(cols[4], pa.string()),
     }))
 
 
@@ -368,6 +413,7 @@ def extract_links_fixture() -> None:
 if __name__ == "__main__":
     flagship_pages()
     langid_pages()
+    corpus_pages()
     mm_features()
     mm_decode()
     command_score_topk()
