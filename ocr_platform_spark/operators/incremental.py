@@ -74,26 +74,58 @@ def _bucket_projection(sigs: DataFrame, id_alias: str) -> DataFrame:
         F.posexplode(_band_bucket_array()).alias("band", "bucket")))
 
 
-def write_signature_store(sigs: DataFrame, store_dir: str) -> None:
+def _dynamic_overwrite(df: DataFrame, path: str, *cols: str) -> None:
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*cols).parquet(path)
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_signature_store(sigs: DataFrame, store_dir: str,
+                          epoch: str | None = None) -> None:
     """Append a batch's signatures to the persisted store.
 
     Two relations: ``sigs/`` (doc_id, mh0..mh{P-1}) for the estimator, and
     ``buckets/`` (band, bucket, doc_id) PARTITIONED BY the band-bucket
     prefix ``pk`` so the incremental band-join prunes to matching
     partitions. Parquet here; the 10^12-row deployment writes the same
-    layout to Iceberg (partition transform = identity(pk))."""
-    sigs.write.mode("append").parquet(store_dir + "/sigs")
-    (_bucket_projection(sigs, "doc_id")
-     .write.mode("append").partitionBy("pk")
-     .parquet(store_dir + "/buckets"))
+    layout to Iceberg (partition transform = identity(pk)).
+
+    With ``epoch`` (the streaming top-up path) both relations gain an
+    epoch partition written via DYNAMIC partition overwrite: a replayed
+    micro-batch replaces exactly its own rows, making the store append
+    idempotent under foreachBatch's at-least-once contract. A store is
+    either always-epoch or never-epoch — don't mix layouts."""
+    if epoch is None:
+        sigs.write.mode("append").parquet(store_dir + "/sigs")
+        (_bucket_projection(sigs, "doc_id")
+         .write.mode("append").partitionBy("pk")
+         .parquet(store_dir + "/buckets"))
+        return
+    _dynamic_overwrite(sigs.withColumn("epoch", F.lit(epoch)),
+                       store_dir + "/sigs", "epoch")
+    _dynamic_overwrite(
+        _bucket_projection(sigs, "doc_id").withColumn("epoch",
+                                                      F.lit(epoch)),
+        store_dir + "/buckets", "pk", "epoch")
 
 
-def read_signature_store(spark: SparkSession, store_dir: str) -> DataFrame:
-    return spark.read.parquet(store_dir + "/sigs")
+def read_signature_store(spark: SparkSession, store_dir: str,
+                         exclude_epoch: str | None = None) -> DataFrame:
+    df = spark.read.parquet(store_dir + "/sigs")
+    if exclude_epoch is not None and "epoch" in df.columns:
+        df = df.filter(F.col("epoch") != exclude_epoch)
+    return df
 
 
 def pruned_store_buckets(spark: SparkSession, store_dir: str,
-                         new_sigs: DataFrame) -> DataFrame:
+                         new_sigs: DataFrame,
+                         exclude_epoch: str | None = None) -> DataFrame:
     """The store's bucket projection, pruned to the partitions the new
     batch can collide with. The new batch's distinct pk set is bounded by
     bands × N_BUCKET_PFX (= a few hundred ints — model state, not data),
@@ -101,8 +133,11 @@ def pruned_store_buckets(spark: SparkSession, store_dir: str,
     filter lands in the scan's PartitionFilters."""
     pks = sorted({r["pk"] for r in _bucket_projection(new_sigs, "new_id")
                  .select("pk").distinct().collect()})
-    return (spark.read.parquet(store_dir + "/buckets")
-            .filter(F.col("pk").isin(pks)))
+    df = (spark.read.parquet(store_dir + "/buckets")
+          .filter(F.col("pk").isin(pks)))
+    if exclude_epoch is not None and "epoch" in df.columns:
+        df = df.filter(F.col("epoch") != exclude_epoch)
+    return df
 
 
 def _estimate_dups(cand: DataFrame, new_sigs: DataFrame,
@@ -117,7 +152,12 @@ def _estimate_dups(cand: DataFrame, new_sigs: DataFrame,
                           *[F.col(c).alias(f"b_{c}") for c in _sig_cols()])
     matches = sum((F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int")
                   for c in _sig_cols())
-    return (cand.join(a, "new_id").join(b, "prior_id")
+    return (cand
+            # never compare a doc with itself: a re-arriving url whose
+            # signatures already landed (replayed epoch after a partial
+            # failure) is the same document, not a duplicate of it
+            .filter(F.col("new_id") != F.col("prior_id"))
+            .join(a, "new_id").join(b, "prior_id")
             .withColumn("sig_matches", matches.cast("long"))
             .filter(F.col("sig_matches") * 2 >= _SIG_MATCH_MIN2)
             .select("new_id", "prior_id", "sig_matches"))
@@ -142,42 +182,52 @@ def incremental_dups(new_sigs: DataFrame, store_sigs: DataFrame,
 
 
 def incremental_dups_store(spark: SparkSession, new_sigs: DataFrame,
-                           store_dir: str) -> DataFrame:
+                           store_dir: str,
+                           exclude_epoch: str | None = None) -> DataFrame:
     """``incremental_dups`` against the PERSISTED store, reading only the
     band-bucket partitions the new batch touches (partition pruning via
     the pk literal filter) and only the candidate prior docs' signature
     rows for the estimator."""
     nb = _bucket_projection(new_sigs, "new_id")
-    sb = pruned_store_buckets(spark, store_dir, new_sigs).select(
+    sb = pruned_store_buckets(spark, store_dir, new_sigs,
+                              exclude_epoch).select(
         F.col("doc_id").alias("prior_id"), "band", "bucket")
     cand = (nb.join(sb, ["band", "bucket"])
             .select("new_id", "prior_id").distinct())
     return _estimate_dups(cand, new_sigs,
-                          read_signature_store(spark, store_dir))
+                          read_signature_store(spark, store_dir,
+                                               exclude_epoch))
 
 
 def incremental_ingest(spark: SparkSession, new_docs: DataFrame,
-                       store_dir: str) -> DataFrame:
+                       store_dir: str,
+                       epoch: str | None = None) -> DataFrame:
     """Dedup ``new_docs`` against the store, append survivors' signatures,
     return the surviving docs. First run (no store yet) ingests everything.
 
     The anti-join drops every new doc with at least one stored
     near-duplicate; survivors' signatures are appended so subsequent
-    batches dedup against them too."""
+    batches dedup against them too.
+
+    ``epoch`` (streaming top-up): store rows from the SAME epoch are
+    excluded from the dedup check and the append overwrites that epoch's
+    partition — a replayed micro-batch reaches the identical decision it
+    would have reached the first time, with no self-matches against its
+    own failed attempt (see write_signature_store)."""
     sigs = minhash_signatures(new_docs)
     try:
         read_signature_store(spark, store_dir)
     except Exception:   # first batch: nothing to dedup against
-        write_signature_store(sigs, store_dir)
+        write_signature_store(sigs, store_dir, epoch)
         return new_docs
     # the bucket projection is consumed twice (pk set + band-join); the
     # signature agg above it is the expensive part — persist it
     sigs = sigs.persist()
-    dropped = incremental_dups_store(spark, sigs, store_dir).select(
+    dropped = incremental_dups_store(spark, sigs, store_dir, epoch).select(
         F.col("new_id").alias("doc_id")).distinct()
     survivors = new_docs.join(dropped, "doc_id", "left_anti")
     write_signature_store(sigs.join(dropped, "doc_id", "left_anti"),
-                          store_dir)
+                          store_dir, epoch)
     sigs.unpersist()
     return survivors
 
