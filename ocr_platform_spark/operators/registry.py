@@ -48,8 +48,8 @@ def assert_fixture_scale(sf_dir: str, query: str,
 def _modules():
     from ocr_platform_spark.operators import (
         curation, dedup, incremental, pdf_extract, relational,
-        scalar_queries, similarity, text_analysis, webcorpus, webgraph,
-        weblinks)
+        scalar_queries, search, similarity, text_analysis, webcorpus,
+        webgraph, weblinks)
     from ocr_platform_spark.plans import corpus_job
     from ocr_platform_spark.streaming import sessions, windowed
     # corpus_job last: a round-4 late addition — it must NOT displace any
@@ -57,7 +57,7 @@ def _modules():
     # window this round; round 5 front-loads it for a driver row.
     return (relational, scalar_queries, text_analysis, dedup, incremental,
             similarity, curation, pdf_extract, windowed, sessions,
-            webcorpus, webgraph, weblinks, corpus_job)
+            webcorpus, webgraph, weblinks, corpus_job, search)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,6 +154,10 @@ _DRIVER_PRIORITY = (
     "wg_pagerank", "wg_harmonic", "extract_links",
     "mm_features", "mm_decode", "mm_audio", "mm_video",
     "warc_ingest", "ml_linear_fit",
+    # round-4 addition: takes the 50-row window slot of r19_pivot, which
+    # carries driver-green rows from rounds 1-3 — nothing loses its only
+    # row of record
+    "cx_crawl_corpus",
 )
 
 

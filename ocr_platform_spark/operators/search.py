@@ -1,0 +1,114 @@
+"""Corpus retrieval: BM25 top-k search over the documents table.
+
+The reference's search surface is the client-side command-score ranking
+over catalog titles (functions/command_score.py, query f07). A
+training-corpus engine needs the corpus-side analogue — rank DOCUMENTS
+for a term query — which is BM25 (Robertson/Okapi), the standard
+inverted-index scorer.
+
+Exact-integer variant: every quantity here is int64 arithmetic —
+``idf`` is the Robertson odds-ratio WITHOUT the log
+(``(N - df + ½)/(df + ½)``, scaled ×1000 as an integer division), and
+the per-term score is the BM25 fraction multiplied through by
+``20·L`` (L = corpus token count) so that with k1 = 1.2 = 6/5 and
+b = 0.75 = 3/4:
+
+    term_score = (idf_x1000 · tf · 44·L) div (20·L·tf + 6·L + 18·dl·N)
+
+The log is the single transcendental in BM25 and the only part IEEE 754
+does not pin down across engines; dropping it preserves per-term
+monotonicity in df while letting the DuckDB oracle reproduce every score
+bit-for-bit (the same trade wg_pagerank makes with fixed-point rank).
+int64-safe bound: idf·tf·44·L < 2^63 — holds through ~10^5 docs per
+corpus shard; larger corpora rescale the ×1000.
+
+Plan shape at scale: doc lengths and term frequencies are one explode +
+two map-side-combined aggregates over the corpus; ``df`` (per query
+term) and the 1-row corpus stats are BROADCAST; the final top-k is
+TakeOrderedAndProject — no global sort, no corpus-sized shuffle beyond
+the tf groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_platform_spark.operators.tables import load
+
+# Fixed query so the registry entry is a pure function of the tables;
+# terms span the corpus df range (dup is rare, hash/join are common).
+BM25_QUERY = ("dup", "hash", "join")
+BM25_K = 10
+
+
+def bm25_topk(docs: DataFrame, terms: tuple[str, ...] = BM25_QUERY,
+              k: int = BM25_K) -> DataFrame:
+    """(doc_id, bm25_x) for the k best-scoring docs, exact-integer BM25."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stats = (docs.select(F.size(toks).cast("long").alias("dl"))
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum("dl").alias("corpus_len")))
+    # dl rides along through the explode (functionally dependent on
+    # doc_id), so no corpus-sized tf⋈dl join ever exists in the plan
+    from pyspark import StorageLevel
+
+    tf = (docs.select("doc_id", F.size(toks).cast("long").alias("dl"),
+                      F.explode(toks).alias("t"))
+          .filter(F.col("t").isin(*terms))
+          .groupBy("doc_id", "t")
+          .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+          # two consumers (df aggregation + the scoring join) — persist
+          # the postings (docs-containing-terms × |terms|, tiny next to
+          # the corpus) so the corpus is scanned once for tf, not twice
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    scored = (tf.join(F.broadcast(dfreq), "t")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("idf_x1000", F.expr(
+                  "(1000 * (2*n_docs - 2*df + 1)) div (2*df + 1)"))
+              .withColumn("term_score", F.expr(
+                  "(idf_x1000 * tf * 44 * corpus_len) div "
+                  "(20*corpus_len*tf + 6*corpus_len + 18*dl*n_docs)")))
+    return (scored.groupBy("doc_id")
+            .agg(F.sum("term_score").cast("long").alias("bm25_x"))
+            .orderBy(F.desc("bm25_x"), "doc_id").limit(k))
+
+
+def ta_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(load(spark, sf_dir, "documents"))
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+TA_BM25_SQL = rf"""
+WITH dl AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS dl
+  FROM documents),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS corpus_len FROM dl),
+tf AS (
+  SELECT doc_id, t, count(*) AS tf, max(dl) AS dl FROM (
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS dl,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+    FROM documents)
+  WHERE t IN ({_TERMS_SQL}) GROUP BY doc_id, t),
+dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+scored AS (
+  SELECT f.doc_id,
+         (((1000 * (2*s.n_docs - 2*d.df + 1)) // (2*d.df + 1))
+          * f.tf * 44 * s.corpus_len)
+         // (20*s.corpus_len*f.tf + 6*s.corpus_len + 18*f.dl*s.n_docs)
+         AS term_score
+  FROM tf f
+  JOIN dfq d USING (t)
+  CROSS JOIN stats s)
+SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS bm25_x
+FROM scored GROUP BY doc_id
+ORDER BY bm25_x DESC, doc_id LIMIT {BM25_K}
+"""
+
+QUERIES: dict = {
+    "ta_bm25_search": (ta_bm25_search, TA_BM25_SQL),
+}

@@ -180,3 +180,22 @@ def test_sessionize_single_shuffle_reused_across_windows(spark):
     p = formatted(ev_sessionize(spark, SF_DIR))
     assert p.count(") Exchange") == 1
     assert "hashpartitioning(user_id" in p
+
+
+def test_bm25_broadcasts_small_sides_and_takes_ordered(spark):
+    """ta_bm25_search: per-term df and the 1-row corpus stats broadcast
+    (BroadcastHashJoin + BroadcastNestedLoopJoin), no corpus-sized
+    doc-length join exists (dl rides through the explode), and the final
+    top-k is TakeOrderedAndProject — never a global sort."""
+    from ocr_platform_spark.operators.search import ta_bm25_search
+
+    p = formatted(ta_bm25_search(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p          # df per query term
+    assert "BroadcastNestedLoopJoin" in p    # 1-row stats cross join
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    # corpus scanned exactly twice (tf postings pass + stats pass):
+    # count DISTINCT scan nodes via their formatted-detail headers
+    import re
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
+    assert "InMemoryTableScan" in p          # persisted postings reused
