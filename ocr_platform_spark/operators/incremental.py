@@ -76,14 +76,18 @@ def _bucket_projection(sigs: DataFrame, id_alias: str) -> DataFrame:
 
 def _dynamic_overwrite(df: DataFrame, path: str, *cols: str) -> None:
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
     try:
         df.write.mode("overwrite").partitionBy(*cols).parquet(path)
     finally:
+        # restore EXACTLY the prior state: an unset conf must go back to
+        # unset (static default), not stay dynamic for later writers
         if prev is not None:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev)
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
 
 
 def write_signature_store(sigs: DataFrame, store_dir: str,
@@ -141,11 +145,20 @@ def pruned_store_buckets(spark: SparkSession, store_dir: str,
 
 
 def _estimate_dups(cand: DataFrame, new_sigs: DataFrame,
-                   store_sigs: DataFrame) -> DataFrame:
+                   store_sigs: DataFrame,
+                   exclude_self: bool = False) -> DataFrame:
     """Shared estimator tail: join both signature vectors onto the
     candidate pairs, count matching minhash slots, keep estimated
     Jaccard >= 0.5. One definition so the in-memory and persisted-store
-    paths can never drift on threshold/columns/cast."""
+    paths can never drift on threshold/columns/cast.
+
+    ``exclude_self`` (epoch-replay mode only): skip new_id == prior_id
+    pairs — a replayed micro-batch's own signatures are the same
+    document, not a duplicate of it. The legacy append path keeps the
+    self-match: there, a re-arriving doc_id IS a duplicate arrival and
+    must be dropped, not re-appended."""
+    if exclude_self:
+        cand = cand.filter(F.col("new_id") != F.col("prior_id"))
     a = new_sigs.select(F.col("doc_id").alias("new_id"),
                         *[F.col(c).alias(f"a_{c}") for c in _sig_cols()])
     b = store_sigs.select(F.col("doc_id").alias("prior_id"),
@@ -153,10 +166,6 @@ def _estimate_dups(cand: DataFrame, new_sigs: DataFrame,
     matches = sum((F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int")
                   for c in _sig_cols())
     return (cand
-            # never compare a doc with itself: a re-arriving url whose
-            # signatures already landed (replayed epoch after a partial
-            # failure) is the same document, not a duplicate of it
-            .filter(F.col("new_id") != F.col("prior_id"))
             .join(a, "new_id").join(b, "prior_id")
             .withColumn("sig_matches", matches.cast("long"))
             .filter(F.col("sig_matches") * 2 >= _SIG_MATCH_MIN2)
@@ -196,7 +205,8 @@ def incremental_dups_store(spark: SparkSession, new_sigs: DataFrame,
             .select("new_id", "prior_id").distinct())
     return _estimate_dups(cand, new_sigs,
                           read_signature_store(spark, store_dir,
-                                               exclude_epoch))
+                                               exclude_epoch),
+                          exclude_self=exclude_epoch is not None)
 
 
 def incremental_ingest(spark: SparkSession, new_docs: DataFrame,

@@ -13,14 +13,19 @@ the per-term score is the BM25 fraction multiplied through by
 ``20·L`` (L = corpus token count) so that with k1 = 1.2 = 6/5 and
 b = 0.75 = 3/4:
 
-    term_score = (idf_x1000 · tf · 44·L) div (20·L·tf + 6·L + 18·dl·N)
+    term_score = (idf_x1000 · 44·L div (20·L·tf + 6·L + 18·dl·N)) · tf
 
 The log is the single transcendental in BM25 and the only part IEEE 754
 does not pin down across engines; dropping it preserves per-term
 monotonicity in df while letting the DuckDB oracle reproduce every score
 bit-for-bit (the same trade wg_pagerank makes with fixed-point rank).
-int64-safe bound: idf·tf·44·L < 2^63 — holds through ~10^5 docs per
-corpus shard; larger corpora rescale the ×1000.
+The division happens BEFORE the tf multiply so the largest intermediate
+is idf_x1000·44·L — tf never enters the product. With df ≥ 1 that is
+≤ 667·N·44·L, so int64 holds whenever N·L < 3·10^14 — e.g. 7×10^5 docs
+at 500 tokens average per scored shard; larger corpora drop the ×1000
+idf scale or score per-partition shards. The quotient keeps ≥6
+significant digits before the multiply at any realistic scale, so the
+extra truncation is noise.
 
 Plan shape at scale: doc lengths and term frequencies are one explode +
 two map-side-combined aggregates over the corpus; ``df`` (per query
@@ -68,8 +73,9 @@ def bm25_topk(docs: DataFrame, terms: tuple[str, ...] = BM25_QUERY,
               .withColumn("idf_x1000", F.expr(
                   "(1000 * (2*n_docs - 2*df + 1)) div (2*df + 1)"))
               .withColumn("term_score", F.expr(
-                  "(idf_x1000 * tf * 44 * corpus_len) div "
-                  "(20*corpus_len*tf + 6*corpus_len + 18*dl*n_docs)")))
+                  "((idf_x1000 * 44 * corpus_len) div "
+                  "(20*corpus_len*tf + 6*corpus_len + 18*dl*n_docs))"
+                  " * tf")))
     return (scored.groupBy("doc_id")
             .agg(F.sum("term_score").cast("long").alias("bm25_x"))
             .orderBy(F.desc("bm25_x"), "doc_id").limit(k))
@@ -97,10 +103,10 @@ tf AS (
 dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
 scored AS (
   SELECT f.doc_id,
-         (((1000 * (2*s.n_docs - 2*d.df + 1)) // (2*d.df + 1))
-          * f.tf * 44 * s.corpus_len)
-         // (20*s.corpus_len*f.tf + 6*s.corpus_len + 18*f.dl*s.n_docs)
-         AS term_score
+         ((((1000 * (2*s.n_docs - 2*d.df + 1)) // (2*d.df + 1))
+           * 44 * s.corpus_len)
+          // (20*s.corpus_len*f.tf + 6*s.corpus_len + 18*f.dl*s.n_docs))
+         * f.tf AS term_score
   FROM tf f
   JOIN dfq d USING (t)
   CROSS JOIN stats s)

@@ -116,53 +116,65 @@ def crawl_pages(spark: SparkSession, n_docs: int = CORPUS_DOCS,
     return base.unionByName(near).unionByName(exact)
 
 
-def _derived(spark: SparkSession, crawl: DataFrame) -> DataFrame:
-    """URL gate → kernel → per-row derivations, persisted once.
+def url_gate(df: DataFrame) -> DataFrame:
+    """Blocklist/keyword pruning on the bare url — applied BEFORE the
+    kernel so blocked rows never pay Python extraction."""
+    host = F.regexp_extract(F.col("url"), "^https://([^/]+)", 1)
+    return (df.filter(~host.isin(*BLOCKED_HOSTS))
+            .filter(~F.col("url").rlike(URL_BLOCK_RE)))
 
-    Everything after the kernel here is map-side JVM column math except
-    langid (one Arrow-batched pandas UDF). The persist stands in for the
-    materialized `extracted` table a 100 TB run writes
-    (run_extraction_job) before curation reads it back."""
+
+def canonical_fp(text: F.Column) -> F.Column:
+    """The exact-dedup fingerprint — ONE definition shared by the batch
+    plan, the streaming top-up, and (textually) the DuckDB oracle."""
+    return F.md5(F.encode(
+        F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")), "UTF-8"))
+
+
+def derive_curation_cols(ext: DataFrame) -> DataFrame:
+    """Per-row curation columns over an extracted relation
+    (url, lang, text, failed_stage): all map-side JVM column math except
+    langid (one Arrow-batched pandas UDF). Shared by the batch plan and
+    the streaming top-up so batch/stream can never drift on gates or
+    fingerprints."""
     from ocr_platform_spark.operators.text_analysis import (
         detect_language_udf)
 
-    host = F.regexp_extract(F.col("url"), "^https://([^/]+)", 1)
-    gated = (crawl
-             .withColumn("host", host)
-             .filter(~F.col("host").isin(*BLOCKED_HOSTS))
-             .filter(~F.col("url").rlike(URL_BLOCK_RE)))
-    ext = (extract_pages(gated.drop("host"), n_buckets=16, salt=2)
-           .select("url", "lang",
-                   F.col("extracted_text").alias("text"), "failed_stage"))
     checks, n_tok, _ = gopher_checks(F.col("text"))
     return (ext
-            .withColumn("host", host)
+            .withColumn("host",
+                        F.regexp_extract(F.col("url"),
+                                         "^https://([^/]+)", 1))
             .withColumn("lang_det", detect_language_udf(F.col("text")))
             .withColumn("quality_pass", gopher_pass(checks))
             .withColumn("n_tok", n_tok.cast("long"))
-            .withColumn("fp", F.md5(F.encode(
-                F.lower(F.regexp_replace(F.trim(F.col("text")),
-                                         r"\s+", " ")), "UTF-8")))
+            .withColumn("fp", canonical_fp(F.col("text")))
             .withColumn("host_rank",
                         F.when(F.col("host") == EXACT_HOST, F.lit(1))
                         .when(F.col("host") == NEAR_HOST, F.lit(1))
-                        .otherwise(F.lit(0)))
-            .persist(StorageLevel.MEMORY_AND_DISK))
+                        .otherwise(F.lit(0))))
 
 
-def corpus_survivors(derived: DataFrame) -> DataFrame:
-    """failure → language → quality → exact → near-dup gates over the
-    persisted derived relation; returns the kept rows with their
-    curation columns."""
-    ok = derived.filter(F.col("failed_stage").isNull())
-    langed = ok.filter(F.col("lang_det").isin(*TARGET_LANGS))
-    quality = langed.filter(F.col("quality_pass"))
-    # exact dedup: keep-first per fingerprint, originals before mirrors
+def quality_gates(derived: DataFrame) -> DataFrame:
+    """failure → language → quality filters (shared batch/stream)."""
+    return (derived
+            .filter(F.col("failed_stage").isNull())
+            .filter(F.col("lang_det").isin(*TARGET_LANGS))
+            .filter(F.col("quality_pass")))
+
+
+def exact_keep_first(df: DataFrame) -> DataFrame:
+    """Exact dedup: keep-first per fingerprint, originals before mirrors
+    (bounded per-fp window, shared batch/stream)."""
     w = Window.partitionBy("fp").orderBy("host_rank", "url")
-    exact = (quality.withColumn("rn", F.row_number().over(w))
-             .filter(F.col("rn") == 1).drop("rn"))
-    # near-dup: verified MinHash pairs; the loser of each pair is the
-    # mirror-ranked (then lexicographically) greater doc
+    return (df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))
+
+
+def drop_near_dups(exact: DataFrame) -> DataFrame:
+    """Near-dup removal via verified MinHash pairs; the loser of each
+    pair is the mirror-ranked (then lexicographically) greater doc
+    (shared batch/stream)."""
     pairs = minhash_pairs(
         exact.select(F.col("url").alias("doc_id"), "text"))
     ranks = exact.select(F.col("url").alias("doc_id"), "host_rank")
@@ -176,6 +188,26 @@ def corpus_survivors(derived: DataFrame) -> DataFrame:
                       .alias("url"))
               .distinct())
     return exact.join(losers, "url", "left_anti")
+
+
+def _derived(spark: SparkSession, crawl: DataFrame) -> DataFrame:
+    """URL gate → kernel → per-row derivations, persisted once.
+
+    The persist stands in for the materialized `extracted` table a
+    100 TB run writes (run_extraction_job) before curation reads it
+    back."""
+    ext = (extract_pages(url_gate(crawl), n_buckets=16, salt=2)
+           .select("url", "lang",
+                   F.col("extracted_text").alias("text"), "failed_stage"))
+    return (derive_curation_cols(ext)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+
+
+def corpus_survivors(derived: DataFrame) -> DataFrame:
+    """failure → language → quality → exact → near-dup gates over the
+    persisted derived relation; returns the kept rows with their
+    curation columns."""
+    return drop_near_dups(exact_keep_first(quality_gates(derived)))
 
 
 def pack_corpus(kept: DataFrame) -> DataFrame:

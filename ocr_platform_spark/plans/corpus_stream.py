@@ -5,10 +5,14 @@ this module is its standing daily-top-up form, the job that keeps a
 100 TB corpus current as crawl drops land:
 
     readStream over the pages directory
+      → URL gate on the bare url (BEFORE the kernel — blocked rows
+        never pay Python extraction, same invariant as the batch plan)
       → the identical extraction kernel   (streaming/ingest.extract_stream)
       → foreachBatch:
-          URL gate → failure routing → langid gate → Gopher gate
-          → in-batch exact dedup (fingerprint keep-first)
+          failure routing → langid gate → Gopher gate
+          → in-batch exact dedup + in-batch MinHash near-dup (the same
+            stage functions the batch plan composes — co-arriving
+            mirror pairs are resolved inside the drop)
           → CROSS-RUN near-dup against the persisted MinHash signature
             store (operators/incremental.incremental_ingest — prior text
             is never re-read; only signatures and the pruned band-bucket
@@ -45,47 +49,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ocr_platform_spark.operators.incremental import incremental_ingest
-from ocr_platform_spark.operators.text_analysis import (
-    gopher_checks, gopher_pass)
 from ocr_platform_spark.plans.corpus_job import (
-    BLOCKED_HOSTS, TARGET_LANGS, URL_BLOCK_RE)
+    derive_curation_cols, drop_near_dups, exact_keep_first, quality_gates,
+    url_gate)
 from ocr_platform_spark.streaming.ingest import extract_stream
 
 CORPUS_COLS = ("url", "host", "lang", "lang_det", "n_tok", "fp")
 
 
 def curate_extracted(extracted: DataFrame) -> DataFrame:
-    """The batch gates over an already-extracted relation: URL gate,
-    failure routing, langid, Gopher, in-batch exact dedup. Everything is
-    map-side column math plus one bounded per-fingerprint window."""
-    from ocr_platform_spark.operators.text_analysis import (
-        detect_language_udf)
-
-    checks, n_tok, _ = gopher_checks(F.col("text"))
-    derived = (extracted
-               .select("url", "lang",
-                       F.col("extracted_text").alias("text"),
-                       "failed_stage")
-               .withColumn("host",
-                           F.regexp_extract(F.col("url"),
-                                            "^https://([^/]+)", 1))
-               .filter(~F.col("host").isin(*BLOCKED_HOSTS))
-               .filter(~F.col("url").rlike(URL_BLOCK_RE))
-               .filter(F.col("failed_stage").isNull())
-               .withColumn("lang_det", detect_language_udf(F.col("text")))
-               .filter(F.col("lang_det").isin(*TARGET_LANGS))
-               .withColumn("quality_pass", gopher_pass(checks))
-               .filter(F.col("quality_pass"))
-               .withColumn("n_tok", n_tok.cast("long"))
-               .withColumn("fp", F.md5(F.encode(
-                   F.lower(F.regexp_replace(F.trim(F.col("text")),
-                                            r"\s+", " ")), "UTF-8"))))
-    w = Window.partitionBy("fp").orderBy("url")
-    return (derived.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).drop("rn"))
+    """The batch curation over an already-extracted micro-batch — the
+    SAME stage functions the batch plan composes (url_gate,
+    derive_curation_cols, quality_gates, exact_keep_first,
+    drop_near_dups), so batch and stream cannot drift on gates,
+    fingerprints, or dedup policy. In-batch near-dups are removed HERE
+    (co-arriving mirror pairs); cross-run near-dups against prior drops
+    are the signature store's job afterwards."""
+    ext = (url_gate(extracted)
+           .select("url", "lang",
+                   F.col("extracted_text").alias("text"), "failed_stage"))
+    return drop_near_dups(exact_keep_first(
+        quality_gates(derive_curation_cols(ext))))
 
 
 def _process_batch(batch: DataFrame, epoch_id: int, corpus_dir: str,
@@ -123,7 +109,7 @@ def run_corpus_stream(spark: SparkSession, input_dir: str, corpus_dir: str,
     incremental dedup into the corpus (AvailableNow; call again whenever
     new crawl files land — the checkpoint's file log resumes exactly
     where the last run stopped)."""
-    ext = extract_stream(spark, input_dir, n_buckets)
+    ext = extract_stream(spark, input_dir, n_buckets, pre_gate=url_gate)
     return (ext.writeStream
             .foreachBatch(lambda df, eid: _process_batch(
                 df, eid, corpus_dir, store_dir))

@@ -35,19 +35,27 @@ from ocr_platform_spark.sources.pages import PAGES_SCHEMA
 
 def extract_stream(spark: SparkSession, input_dir: str,
                    n_buckets: int = 64,
-                   max_files_per_trigger: int | None = None) -> DataFrame:
+                   max_files_per_trigger: int | None = None,
+                   pre_gate=None) -> DataFrame:
     """Streaming DataFrame of extraction results over a growing pages dir.
 
     The transform is the batch plan verbatim — ``extract_pages`` with
     ``shuffle=False`` (a repartition would force a stateless shuffle per
     micro-batch; the file source already yields well-sized splits, and
     bucket assignment stays deterministic per url either way).
+
+    ``pre_gate`` (DataFrame → DataFrame, row-level filters only) runs on
+    the pages stream BEFORE the kernel — the streaming seat of the batch
+    plan's gate-before-extraction invariant (blocked urls never pay
+    Python extraction).
     """
     reader = (spark.readStream.schema(PAGES_SCHEMA)
               .format("parquet"))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     pages = reader.load(input_dir)
+    if pre_gate is not None:
+        pages = pre_gate(pages)
     return extract_pages(pages, n_buckets=n_buckets, shuffle=False)
 
 
