@@ -228,20 +228,37 @@ def pack_corpus(kept: DataFrame) -> DataFrame:
                     .cast("long").alias("offset_in_seq")))
 
 
+def survivors_narrow(derived: DataFrame) -> DataFrame:
+    """Curation survivors WITHOUT the text column, persisted: text is
+    dead weight past the dedup stages (packing needs only the curation
+    columns), and every later consumer — packing, rejects accounting —
+    re-executes the whole near-dup subtree unless it is materialized
+    once. At 100k-doc local runs the unpersisted form OOMs the broadcast
+    build (measured); persisting the narrow relation fixes both."""
+    return (corpus_survivors(derived).drop("text")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+
+
 def cx_crawl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The registered end-to-end query: crawl → packed training corpus."""
     derived = _derived(spark, crawl_pages(spark))
-    return pack_corpus(corpus_survivors(derived))
+    return pack_corpus(survivors_narrow(derived))
 
 
 def run_corpus_job(spark: SparkSession,
-                   n_docs: int = CORPUS_DOCS) -> tuple[DataFrame,
-                                                       DataFrame, dict]:
+                   n_docs: int = CORPUS_DOCS,
+                   crawl: DataFrame | None = None) -> tuple[DataFrame,
+                                                            DataFrame, dict]:
     """Materializer variant with the never-drop discipline: returns
     (packed, rejects, counters) where rejects tags every dropped row
     with the stage that dropped it and counters reconciles exactly to
-    the crawl row count (pinned by tests)."""
-    crawl = crawl_pages(spark, n_docs)
+    the crawl row count (pinned by tests).
+
+    Pass a materialized ``crawl`` (the real input contract — the 100 TB
+    run reads an Iceberg table) for honest timing: the default generator
+    form re-runs Python datagen on every pass over the union."""
+    if crawl is None:
+        crawl = crawl_pages(spark, n_docs)
     host = F.regexp_extract(F.col("url"), "^https://([^/]+)", 1)
     url_blocked = (crawl.withColumn("host", host)
                    .filter(F.col("host").isin(*BLOCKED_HOSTS)
@@ -256,7 +273,7 @@ def run_corpus_job(spark: SparkSession,
     langed = ok.filter(F.col("lang_det").isin(*TARGET_LANGS))
     qual_drop = (langed.filter(~F.col("quality_pass"))
                  .select("url", F.lit("quality").alias("stage")))
-    kept = corpus_survivors(derived)
+    kept = survivors_narrow(derived)
     packed = pack_corpus(kept)
     # dedup drops = everything that passed quality but is not in kept
     dedup_drop = (langed.filter(F.col("quality_pass")).select("url")
