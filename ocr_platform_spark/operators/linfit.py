@@ -67,9 +67,11 @@ def python_moments(rows) -> dict:
     return m
 
 
-def solve_rows(m: dict) -> list:
-    """Exact rational ridge solve of the 3x3 normal equations; returns
-    the oracle-hashable rows (term, num, den) with den > 0, gcd-reduced."""
+def solve_weights(m: dict) -> list:
+    """Exact rational ridge solve of the 3x3 normal equations → the
+    three Fraction weights (intercept, n_tok, n_uniq). Shared by the
+    model-output query (ml_linear_fit) and the train→apply scorer
+    (ml_fit_apply)."""
     lam = RIDGE_LAMBDA
     a = [[Fraction(m["n"] + lam), Fraction(m["s1"]), Fraction(m["s2"])],
          [Fraction(m["s1"]), Fraction(m["s11"] + lam), Fraction(m["s12"])],
@@ -89,6 +91,12 @@ def solve_rows(m: dict) -> list:
     for r in (2, 1, 0):
         acc = b[r] - sum(a[r][c] * w[c] for c in range(r + 1, 3))
         w[r] = acc / a[r][r]
+    return w
+
+
+def solve_rows(m: dict) -> list:
+    """Oracle-hashable rows (term, num, den), den > 0, gcd-reduced."""
+    w = solve_weights(m)
     # SSE = y'y - 2 w'X'y + w'(X'X)w, with the UN-ridged X'X
     xtx = [[m["n"], m["s1"], m["s2"]],
            [m["s1"], m["s11"], m["s12"]],
@@ -105,15 +113,21 @@ def solve_rows(m: dict) -> list:
     return rows
 
 
-def ml_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assert_fixture_scale(sf_dir, "ml_linear_fit")
-    docs = load(spark, sf_dir, "documents")
+def _features(docs: DataFrame) -> DataFrame:
+    """Per-doc integer features + target, the Spark twin of
+    ``python_moments``'s tokenization."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    per = docs.select(
+    return docs.select(
+        "doc_id",
         F.size(toks).cast("long").alias("x1"),
         F.size(F.array_distinct(toks)).cast("long").alias("x2"),
         F.col("n_chars").cast("long").alias("y"))
-    agg = per.agg(
+
+
+def spark_moments(docs: DataFrame) -> dict:
+    """The 10 exact-int64 sufficient statistics, one map-side-combined
+    aggregate; only these numbers reach the driver."""
+    agg = _features(docs).agg(
         F.count("*").alias("n"),
         F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
         F.sum(F.col("x1") * F.col("x1")).alias("s11"),
@@ -123,8 +137,60 @@ def ml_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x1") * F.col("y")).alias("s1y"),
         F.sum(F.col("x2") * F.col("y")).alias("s2y"),
         F.sum(F.col("y") * F.col("y")).alias("syy")).first()
-    rows = solve_rows({k: int(agg[k]) for k in MOMENT_KEYS})
+    return {k: int(agg[k]) for k in MOMENT_KEYS}
+
+
+def ml_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assert_fixture_scale(sf_dir, "ml_linear_fit")
+    docs = load(spark, sf_dir, "documents")
+    rows = solve_rows(spark_moments(docs))
     return spark.createDataFrame(rows, "term string, num string, den string")
 
 
-QUERIES: dict = {}  # registered in registry.py with its fixture oracle
+# --- train → apply: the corpus-scale quality-scorer loop ------------------
+W_SCALE = 10 ** 6    # fixed-point weight quantization (driver-side, exact)
+PRED_DIV = 10 ** 4   # W_SCALE / 100 → predictions come out x100
+
+
+def quantize_weights(w: list) -> list:
+    """Exact Fractions → floor(w * W_SCALE) int64 literals. The full
+    rational weights have arbitrary-precision numerators (products of
+    moment sums) that no JVM integer type holds; the quantized form is
+    what a production scorer ships, and both the Spark plan and the
+    pure-Python fixture derive it with the same floor."""
+    return [(W_SCALE * f.numerator) // f.denominator for f in w]
+
+
+def _floor_div(col: F.Column, d: int) -> F.Column:
+    """Floor division for possibly-negative numerators: Spark's ``div``
+    truncates toward zero (Java), Python's ``//`` floors — pmod (always
+    >= 0) makes the JVM side floor exactly like the fixture."""
+    return ((col - F.pmod(col, F.lit(d))) / F.lit(d)).cast("long")
+
+
+def ml_fit_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the ridge model distributed (sufficient statistics → exact
+    rational solve on the driver), quantize the weights to x10^6
+    fixed-point, then score EVERY document JVM-side — the
+    train→apply loop of a CCNet/LLaMA-style corpus quality scorer, with
+    zero floats anywhere: pred_x100 = floor((q0 + q1·x1 + q2·x2)/10^4),
+    resid_x100 = 100·y − pred_x100.
+
+    Plan shape: ONE pass for the moments (10 longs to the driver), ONE
+    scoring pass where the weights are integer literals folded into a
+    projection — no join, no broadcast, no model state bigger than three
+    int64s. The fixture oracle re-derives everything from an independent
+    sequential pass (same solver, same quantization)."""
+    assert_fixture_scale(sf_dir, "ml_fit_apply")
+    docs = load(spark, sf_dir, "documents")
+    q0, q1, q2 = quantize_weights(solve_weights(spark_moments(docs)))
+    score = (F.lit(q0) + F.lit(q1) * F.col("x1")
+             + F.lit(q2) * F.col("x2"))
+    return (_features(docs)
+            .withColumn("pred_x100", _floor_div(score, PRED_DIV))
+            .withColumn("resid_x100",
+                        100 * F.col("y") - F.col("pred_x100"))
+            .select("doc_id", "x1", "x2", "y", "pred_x100", "resid_x100"))
+
+
+QUERIES: dict = {}  # registered in registry.py with their fixture oracles

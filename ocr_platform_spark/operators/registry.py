@@ -136,6 +136,15 @@ def _ml_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ml_linear_fit(spark, sf_dir)
 
 
+def _ml_fit_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→apply scorer: distributed ridge fit + quantized-weight
+    scoring pass, fixture-oracled against an independent sequential run
+    (tools/make_driver_fixtures.py:ml_fit_apply)."""
+    from ocr_platform_spark.operators.linfit import ml_fit_apply
+
+    return ml_fit_apply(spark, sf_dir)
+
+
 # The driver's CORRECTNESS snapshot records only the FIRST 50 entries of
 # __spark_entry__.queries() in registration order. Rounds 1-3 registered in
 # module order, so the 28 queries after dd_embedding_near never got a
@@ -174,6 +183,8 @@ def all_entries() -> dict[str, tuple[Callable, str | None]]:
     raw["warc_ingest"] = (_warc_ingest, fixture_sql("warc_ingest.parquet"))
     raw["ml_linear_fit"] = (
         _ml_linear_fit, fixture_sql("ml_linear_fit.sf0.01.parquet"))
+    raw["ml_fit_apply"] = (
+        _ml_fit_apply, fixture_sql("ml_fit_apply.sf0.01.parquet"))
     out: dict[str, tuple[Callable, str | None]] = {}
     for name in _DRIVER_PRIORITY:
         if name in raw:

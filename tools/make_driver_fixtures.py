@@ -387,6 +387,40 @@ def ml_linear_fit() -> None:
     }))
 
 
+def ml_fit_apply() -> None:
+    """Sequential ground truth for the train→apply scorer: independent
+    pure-Python moments + the shared solver + the shared quantization,
+    then per-doc scores with Python floor division (the Spark side
+    floors via pmod to match exactly)."""
+    import re
+
+    import duckdb
+
+    from ocr_platform_spark.operators.linfit import (
+        PRED_DIV, python_moments, quantize_weights, solve_weights)
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text, n_chars FROM read_parquet"
+        f"('{SF001}/documents.parquet')").fetchall()
+    q0, q1, q2 = quantize_weights(solve_weights(
+        python_moments([(t, c) for _, t, c in rows])))
+    out = []
+    for doc_id, text, n_chars in rows:
+        toks = re.split(r"\s+", text.strip(" "), flags=re.ASCII)
+        x1, x2, y = len(toks), len(set(toks)), int(n_chars)
+        pred = (q0 + q1 * x1 + q2 * x2) // PRED_DIV
+        out.append((int(doc_id), x1, x2, y, pred, 100 * y - pred))
+    cols = list(zip(*out))
+    _write("ml_fit_apply.sf0.01.parquet", pa.table({
+        "doc_id": pa.array(cols[0], pa.int64()),
+        "x1": pa.array(cols[1], pa.int64()),
+        "x2": pa.array(cols[2], pa.int64()),
+        "y": pa.array(cols[3], pa.int64()),
+        "pred_x100": pa.array(cols[4], pa.int64()),
+        "resid_x100": pa.array(cols[5], pa.int64()),
+    }))
+
+
 def extract_links_fixture() -> None:
     """Sequential run of the anchor-extraction kernel over the same 300
     synthetic pages the extract_links query maps."""
@@ -424,4 +458,5 @@ if __name__ == "__main__":
     mm_video()
     warc_ingest()
     ml_linear_fit()
+    ml_fit_apply()
     extract_links_fixture()
