@@ -83,3 +83,34 @@ def test_fit_refuses_unpinned_scale(spark):
 
     with pytest.raises(ValueError, match="sf0.01"):
         ml_linear_fit(spark, "/root/testdata/sf0.001")
+
+
+def test_fit_apply_floor_div_matches_python_on_negatives(spark):
+    """pred_x100 uses pmod-based floor division so JVM semantics match
+    the fixture's Python // exactly — including NEGATIVE numerators
+    (Spark's `div` truncates toward zero and would differ there)."""
+    from pyspark.sql import functions as F
+
+    from ocr_platform_spark.operators.linfit import _floor_div
+
+    vals = [-100001, -10000, -9999, -1, 0, 1, 9999, 10000, 100001]
+    df = spark.createDataFrame([(v,) for v in vals], "a long")
+    got = {r["a"]: r["q"] for r in
+           df.select("a", _floor_div(F.col("a"), 10**4).alias("q"))
+           .collect()}
+    assert got == {v: v // 10**4 for v in vals}
+
+
+def test_fit_apply_matches_fixture(spark):
+    """End-to-end train→apply equals the independent sequential fixture."""
+    import duckdb
+
+    from ocr_platform_spark.operators.linfit import ml_fit_apply
+
+    got = sorted(
+        tuple(r) for r in ml_fit_apply(spark, "/root/testdata/sf0.01")
+        .collect())
+    want = sorted(tuple(r) for r in duckdb.connect().execute(
+        "SELECT * FROM 'tests/fixtures/oracle/ml_fit_apply.sf0.01.parquet'"
+    ).fetchall())
+    assert got == want
