@@ -167,6 +167,11 @@ _DRIVER_PRIORITY = (
     # carries driver-green rows from rounds 1-3 — nothing loses its only
     # row of record
     "cx_crawl_corpus",
+    # round-5 front-loads: the only 2 of the 82 queries with no driver row
+    # of record (they landed after round 4's window order froze); they take
+    # the slots of r17_derived_counters / r18_status_transition, each of
+    # which carries 3+ prior driver-green rows
+    "ta_bm25_search", "ml_fit_apply",
 )
 
 

@@ -100,11 +100,15 @@ WITH flagged AS (
                                ROWS UNBOUNDED PRECEDING) AS session_idx
     FROM flagged
 )
-SELECT user_id, session_idx,
+SELECT user_id,
+       -- both casts matter: DuckDB SUM over BIGINT yields HUGEINT (both the
+       -- running-sum session_idx and the cents sum), which hashes differently
+       -- than int64 in the driver's typed compare
+       CAST(session_idx AS BIGINT) AS session_idx,
        CAST(floor(MIN(us) / 1000000) AS BIGINT) AS session_start,
        CAST(floor(MAX(us) / 1000000) AS BIGINT) AS session_end,
        COUNT(*) AS n_events,
-       SUM(cents) AS sum_value_cents
+       CAST(SUM(cents) AS BIGINT) AS sum_value_cents
 FROM sess GROUP BY user_id, session_idx
 """
 

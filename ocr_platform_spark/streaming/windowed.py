@@ -72,7 +72,11 @@ SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT)
            AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+       -- outer cast matters: DuckDB SUM(BIGINT) returns HUGEINT, which the
+       -- driver's typed hasher stringifies differently than int64 (the only
+       -- hash-red rows in CORRECTNESS_r04 were the two uncast ev_* SUMs)
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
 FROM events
 GROUP BY 1, 2
 """

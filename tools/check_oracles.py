@@ -36,6 +36,25 @@ def row_multiset(rows, colnames):
     return Counter(tuple(norm_value(r[i]) for i in order) for r in rows)
 
 
+# DuckDB output types that norm_value collapses into the same strings as
+# their Spark counterparts but that the DRIVER's typed Arrow hasher
+# stringifies differently — an oracle emitting one passes this local gate
+# yet hash-fails in CORRECTNESS (the exact ev_* bug of round 4: uncast
+# SUM(BIGINT) → HUGEINT). TIMESTAMP is deliberately NOT in the set:
+# r13_sort passes a raw parquet timestamp through and carries 4 rounds of
+# driver-green hashes, so passthrough timestamps are proven safe — only
+# the integer-widening types have ever diverged.
+DRIVER_UNSAFE_TYPES = ("HUGEINT", "DECIMAL")
+
+
+def driver_unsafe_columns(colnames, typenames):
+    """(name, type) pairs whose DuckDB output type would hash-diverge in
+    the driver even when values compare equal here."""
+    return [(c, t) for c, t in zip(colnames, (str(t).upper()
+                                              for t in typenames))
+            if any(b in t for b in DRIVER_UNSAFE_TYPES)]
+
+
 def main() -> int:
     import duckdb
     import __spark_entry__ as entry
@@ -75,12 +94,19 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             dcols = [d[0] for d in rel.description]
+            dtypes = [str(t).upper() for t in rel.types]
             drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
         ok = True
+        # Driver-safety type gate, so local green implies driver green.
+        bad = driver_unsafe_columns(dcols, dtypes)
+        if bad:
+            print(f"FAIL {name}: driver-unsafe oracle output types {bad} "
+                  f"— cast to BIGINT/DOUBLE/VARCHAR in the oracle SQL")
+            ok = False
         if len(srows) != len(drows):
             print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
             ok = False
