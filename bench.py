@@ -440,11 +440,20 @@ def main() -> None:
         # Bounded retry: if the measured efficiency misses 0.8, the usual
         # cause is a host-contention episode during one leg (canary swings
         # 2-3x minutes apart). Re-measure both legs, keep each leg's best.
+        # Same plausibility policy as _paired_scaling: raw > 1.05 means the
+        # SMALL leg was contended (super-linear scaling is impossible for
+        # this job), so such a window is retried, never silently certified
+        # as 1.0 by the headline clamp.
         if len(results) == 2:
+            def _raw(res):
+                return (res[small]["sec"] / res[big]["sec"]) / (big / small)
+
             for attempt in range(3):
-                if headline_eff(results) >= 0.8:
+                if headline_eff(results) >= 0.8 and _raw(results) <= 1.05:
                     break
-                print(f"  efficiency < 0.8 — re-measuring both legs "
+                why = ("raw > 1.05 (contended small leg)"
+                       if _raw(results) > 1.05 else "efficiency < 0.8")
+                print(f"  {why} — re-measuring both legs "
                       f"(retry {attempt + 1}/3)", file=sys.stderr)
                 for cores in levels:
                     retry = run_leg(cores)
@@ -486,6 +495,11 @@ def main() -> None:
         if c_small and c_big:
             report.update({"canary_small": c_small, "canary_big": c_big})
         report["scaling_efficiency"] = round(headline_eff(results), 3)
+        if raw_eff > 1.05:
+            # retries exhausted without a plausible window: flag it so a
+            # clamped headline can never pass off a contended small leg as
+            # perfect scaling (scaling_efficiency_raw carries the evidence)
+            report["scaling_window_suspect"] = True
         q_times[f"extract_local{small}"] = round(t_small, 3)
     print(json.dumps(report))
 

@@ -164,8 +164,12 @@ def quantize_weights(w: list) -> list:
 def _floor_div(col: F.Column, d: int) -> F.Column:
     """Floor division for possibly-negative numerators: Spark's ``div``
     truncates toward zero (Java), Python's ``//`` floors — pmod (always
-    >= 0) makes the JVM side floor exactly like the fixture."""
-    return ((col - F.pmod(col, F.lit(d))) / F.lit(d)).cast("long")
+    >= 0) makes the numerator an exact non-positive-remainder multiple of
+    d, so truncating ``div`` equals floor. All-int64 arithmetic: the
+    float-division form ((num)/d).cast("long") silently loses exactness
+    past 2^53."""
+    num = col - F.pmod(col, F.lit(d))
+    return F.call_function("div", num, F.lit(d).cast("long"))
 
 
 def ml_fit_apply(spark: SparkSession, sf_dir: str) -> DataFrame:

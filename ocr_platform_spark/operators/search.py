@@ -46,6 +46,25 @@ from ocr_platform_spark.operators.tables import load
 BM25_QUERY = ("dup", "hash", "join")
 BM25_K = 10
 
+# The postings DataFrame persisted by the most recent bm25_topk call. The
+# cache must outlive the function (the returned DataFrame is lazy and has
+# two consumers of tf), but without a bound a long-lived session leaks one
+# cached postings table PER QUERY — so each call evicts its predecessor,
+# capping the footprint at one postings table per session. Callers that
+# are done with the last result can call bm25_release().
+_last_postings = None
+
+
+def bm25_release() -> None:
+    """Unpersist the postings cache left by the most recent bm25_topk."""
+    global _last_postings
+    if _last_postings is not None:
+        try:
+            _last_postings.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing to release
+        _last_postings = None
+
 
 def bm25_topk(docs: DataFrame, terms: tuple[str, ...] = BM25_QUERY,
               k: int = BM25_K) -> DataFrame:
@@ -67,6 +86,9 @@ def bm25_topk(docs: DataFrame, terms: tuple[str, ...] = BM25_QUERY,
           # the postings (docs-containing-terms × |terms|, tiny next to
           # the corpus) so the corpus is scanned once for tf, not twice
           .persist(StorageLevel.MEMORY_AND_DISK))
+    bm25_release()          # evict the previous query's postings cache
+    global _last_postings
+    _last_postings = tf
     dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
     scored = (tf.join(F.broadcast(dfreq), "t")
               .crossJoin(F.broadcast(stats))

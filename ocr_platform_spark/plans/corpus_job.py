@@ -222,7 +222,10 @@ def pack_corpus(kept: DataFrame) -> DataFrame:
     return (per.withColumn("start_offset", start)
             .select("url", "host", "lang", "lang_det", "n_tok", "fp",
                     "shard", "start_offset",
-                    (F.col("start_offset") / SEQ_LEN).cast("long")
+                    # int64 `div`, not float /: start_offset is a running
+                    # token sum that can pass 2^53 per shard at corpus scale
+                    F.call_function("div", F.col("start_offset"),
+                                    F.lit(SEQ_LEN).cast("long"))
                     .alias("seq_id"),
                     F.pmod(F.col("start_offset"), F.lit(SEQ_LEN))
                     .cast("long").alias("offset_in_seq")))
