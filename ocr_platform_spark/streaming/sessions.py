@@ -85,6 +85,84 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load(spark, sf_dir, "events"))
 
 
+# Width of the phase-1 time buckets in sessionize_partitioned. Correctness
+# does NOT depend on the width (any monotone time bucketing preserves the
+# run decomposition — see proof in the docstring); it only tunes how many
+# tasks a hot user spreads across.
+SESSION_BUCKET_US = 6 * 3600 * 1_000_000
+
+
+def sessionize_partitioned(events: DataFrame,
+                           bucket_us: int = SESSION_BUCKET_US) -> DataFrame:
+    """Skew-proof sessionize: identical output to ``sessionize``, but the
+    event-scale scan shuffles on (user_id, time_bucket) instead of raw
+    user_id — a bot user with 100x the events spreads over time buckets
+    instead of landing in one straggler task.
+
+    Two phases:
+
+    1. **Local runs** per (user_id, bucket): the same gaps-and-islands
+       scan, but windowed inside the bucket. A "run" is a maximal set of
+       bucket-local events with inter-event gaps <= GAP_US, reduced to
+       (start_us, end_us, n, cents) — one row per run, so phase 2 never
+       sees individual events.
+    2. **Boundary merge** per user: runs ordered by start_us partition the
+       user's events contiguously in time (bucketing is monotone in ts),
+       so the gap between run k and run k+1 IS the gap between their
+       adjacent events; chaining runs while that gap <= GAP_US
+       reconstructs exactly the global sessions — a session spanning N
+       buckets is N runs merged transitively. Runs inside one bucket
+       never merge (they were split by a real > GAP_US gap).
+
+    Phase 2's per-user window is the only raw-user_id shuffle and its
+    input is runs, not events: a dense bot collapses to ~1 run per bucket
+    (its gaps are small — that's what makes it a bot), so the straggler
+    scan that motivated this variant disappears; a sparse user's runs are
+    bounded by its real session count. NULL-safety: ts/value rows with
+    NULLs are excluded the same way both engines' window frames exclude
+    them in the plain variant (events table has none — schema-enforced).
+    """
+    wb = Window.partitionBy("user_id", "bucket").orderBy("us", "event_id")
+    flagged = (events
+               .withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+               .withColumn("cents",
+                           F.round(F.col("value") * 100).cast("long"))
+               .withColumn("bucket",
+                           F.call_function("div", F.col("us"),
+                                           F.lit(int(bucket_us)).cast("long")))
+               .withColumn("prev_us", F.lag("us").over(wb))
+               .withColumn("new_r",
+                           (F.col("prev_us").isNull()
+                            | (F.col("us") - F.col("prev_us") > GAP_US))
+                           .cast("long")))
+    runs = (flagged.withColumn("run_idx", F.sum("new_r").over(wb))
+            .groupBy("user_id", "bucket", "run_idx")
+            .agg(F.min("us").alias("start_us"), F.max("us").alias("end_us"),
+                 F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")))
+    wu = Window.partitionBy("user_id").orderBy("start_us")
+    merged = (runs
+              .withColumn("prev_end", F.lag("end_us").over(wu))
+              .withColumn("new_s",
+                          (F.col("prev_end").isNull()
+                           | (F.col("start_us") - F.col("prev_end") > GAP_US))
+                          .cast("long"))
+              .withColumn("session_idx", F.sum("new_s").over(wu)))
+    return (merged.groupBy("user_id", "session_idx")
+            .agg(F.floor(F.min("start_us") / 1_000_000)
+                 .alias("session_start"),
+                 F.floor(F.max("end_us") / 1_000_000).alias("session_end"),
+                 F.sum("n").alias("n_events"),
+                 F.sum("cents").alias("sum_value_cents")))
+
+
+def ev_sessionize_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query for the skew-proof variant — same oracle as
+    ev_sessionize (the semantics are identical; only the plan differs)."""
+    from ocr_platform_spark.operators.tables import load
+
+    return sessionize_partitioned(load(spark, sf_dir, "events"))
+
+
 EV_SESSIONIZE_SQL = """
 WITH flagged AS (
     SELECT user_id, event_id,
@@ -195,4 +273,6 @@ def run_session_stream(spark: SparkSession, input_dir: str, output_dir: str,
 
 QUERIES: dict = {
     "ev_sessionize": (ev_sessionize, EV_SESSIONIZE_SQL),
+    # same semantics, skew-proof plan — the oracle is shared on purpose
+    "ev_sessionize_skew": (ev_sessionize_skew, EV_SESSIONIZE_SQL),
 }
