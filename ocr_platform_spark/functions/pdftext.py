@@ -260,6 +260,158 @@ def build_pdf(doc_id: int, text: str) -> bytes:
     return bytes(out)
 
 
+# ============================================================== encryption
+# Standard security handler, V1/R2 (40-bit RC4) — the PDF 1.4 subset
+# (public spec, ISO 32000 algorithms 2-5). The reference opens encrypted
+# PDFs with ``ignoreEncryption: true`` (apps/queue/src/lib/ocr.ts:21-24);
+# here the empty-user-password case (the overwhelmingly common "encrypted
+# but openable" form that flag targets) DECRYPTS for real, and anything
+# else — a real password, another handler/revision, malformed dict —
+# raises a stable PdfError that callers route to parse_error rows
+# (never-drop). Subset contract: /O /U as hex strings, first /ID element
+# hex, V1/R2 only. RC4/MD5 appear for format compatibility when READING
+# legacy documents, not as an endorsement of either primitive.
+
+_PAD = bytes((0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+              0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+              0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+              0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A))
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(o: bytes, p: int, id0: bytes,
+                  user_pw: bytes = b"") -> bytes:
+    """Algorithm 2 (R2/V1): 40-bit file key from the padded user password,
+    /O, /P (unsigned little-endian), and the first file ID."""
+    padded = (user_pw + _PAD)[:32]
+    return hashlib.md5(padded + o
+                       + (p & 0xFFFFFFFF).to_bytes(4, "little")
+                       + id0).digest()[:5]
+
+
+def _obj_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
+    """Per-object key: MD5(file key + objnum LE3 + gen LE2), truncated."""
+    h = hashlib.md5(file_key + num.to_bytes(3, "little")
+                    + gen.to_bytes(2, "little")).digest()
+    return h[:min(len(file_key) + 5, 16)]
+
+
+def _owner_value(owner_pw: bytes, user_pw: bytes) -> bytes:
+    """Algorithm 3 (R2): /O = RC4 of the padded user password under the
+    first 5 MD5 bytes of the padded owner password."""
+    key = hashlib.md5((owner_pw + _PAD)[:32]).digest()[:5]
+    return _rc4(key, (user_pw + _PAD)[:32])
+
+
+def encrypt_pdf(data: bytes, user_pw: bytes = b"",
+                owner_pw: bytes | None = None) -> bytes:
+    """Standard-handler encrypting rewrite of a ``build_pdf`` document —
+    exists (like the JPEG/PNG encoders) purely to stage fixtures for the
+    decrypt path. RC4 is length-preserving, so every stream is ciphered
+    in place; the /Encrypt dict and a fresh trailer (carrying /Encrypt +
+    /ID) are appended, which is where the parser's ``rfind(trailer)``
+    resolution looks first."""
+    if owner_pw is None:
+        owner_pw = user_pw
+    id0 = hashlib.md5(b"pdf-id|%d|" % len(data) + data[:64]).digest()
+    o = _owner_value(owner_pw, user_pw)
+    p = -4                                    # all permission bits set
+    key = _std_file_key(o, p, id0, user_pw)
+    u = _rc4(key, _PAD)
+
+    out = bytearray()
+    pos = 0
+    max_num = 0
+    while True:
+        m = _OBJ_RE.search(data, pos)
+        if not m:
+            break
+        num = int(m.group(1))
+        max_num = max(max_num, num)
+        sm = re.compile(rb"stream\r?\n").search(data, m.end())
+        em = data.find(b"endobj", m.end())
+        if em == -1:
+            raise PdfError("truncated object")
+        if sm and sm.start() < em:
+            head = data[m.end():sm.start()]
+            lm = _LEN_RE.search(head)
+            if not lm:
+                raise PdfError("stream without direct /Length")
+            ln = int(lm.group(1))
+            s0 = sm.end()
+            out += data[pos:s0]
+            out += _rc4(_obj_key(key, num), data[s0:s0 + ln])
+            pos = s0 + ln
+        else:
+            out += data[pos:em]
+            pos = em
+    out += data[pos:]
+    enc_num = max_num + 1
+    out += (b"%d 0 obj\n<< /Filter /Standard /V 1 /R 2 /O <%s> /U <%s> "
+            b"/P %d >>\nendobj\n"
+            % (enc_num, o.hex().encode(), u.hex().encode(), p))
+    rm = re.search(rb"/Root\s+(\d+)\s+0\s+R", data)
+    root = int(rm.group(1)) if rm else 1
+    idh = id0.hex().encode()
+    out += (b"trailer\n<< /Size %d /Root %d 0 R /Encrypt %d 0 R "
+            b"/ID [<%s> <%s>] >>\nstartxref\n0\n%%%%EOF\n"
+            % (enc_num + 1, root, enc_num, idh, idh))
+    return bytes(out)
+
+
+def _encryption(data: bytes,
+                objs: dict[int, tuple[bytes, bytes | None]]):
+    """Detect + key the standard security handler. Returns the file key,
+    or None when the document is unencrypted. Raises stable PdfErrors for
+    everything this subset cannot open — callers never drop the row."""
+    t = data.rfind(b"trailer")
+    scope = data[t:] if t != -1 else data
+    em = re.search(rb"/Encrypt\s+(\d+)\s+0\s+R", scope)
+    if not em:
+        return None
+    enc_num = int(em.group(1))
+    if enc_num not in objs:
+        raise PdfError("dangling encrypt reference")
+    head = objs[enc_num][0]
+    if b"/Standard" not in head:
+        raise PdfError("unsupported security handler")
+    vm = re.search(rb"/V\s+(\d+)", head)
+    rm = re.search(rb"/R\s+(\d+)", head)
+    if (int(vm.group(1)) if vm else 0, int(rm.group(1)) if rm else 0) \
+            != (1, 2):
+        raise PdfError("unsupported encryption revision")
+    om = re.search(rb"/O\s*<([0-9A-Fa-f]+)>", head)
+    um = re.search(rb"/U\s*<([0-9A-Fa-f]+)>", head)
+    pm = re.search(rb"/P\s+(-?\d+)", head)
+    idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", scope)
+    if not (om and um and pm):
+        raise PdfError("malformed encryption dictionary")
+    if not idm:
+        raise PdfError("encrypted PDF without file ID")
+    key = _std_file_key(bytes.fromhex(om.group(1).decode()),
+                        int(pm.group(1)),
+                        bytes.fromhex(idm.group(1).decode()))
+    if _rc4(key, _PAD) != bytes.fromhex(um.group(1).decode()):
+        # algorithm 6 check failed — the empty user password doesn't open it
+        raise PdfError("encrypted PDF (password required)")
+    return key
+
+
 # =================================================================== parser
 
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b")
@@ -589,6 +741,7 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
     if len(data) > MAX_PDF_BYTES:
         raise PdfError("PDF exceeds size cap")
     objs = _scan_objects(data)
+    file_key = _encryption(data, objs)
     pages = _resolve_pages(data, objs)
     out: list[PdfPage] = []
     for pno, pref in enumerate(pages):
@@ -596,9 +749,14 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
         cm = re.search(rb"/Contents\s+(\d+)\s+0\s+R", head)
         if not cm or int(cm.group(1)) not in objs:
             raise PdfError("page without contents")
-        chead, cstream = objs[int(cm.group(1))]
+        cnum = int(cm.group(1))
+        chead, cstream = objs[cnum]
         if cstream is None:
             raise PdfError("contents is not a stream")
+        if file_key is not None:
+            # streams are ciphered under their owning object's key; the
+            # decrypt happens BEFORE the filter (encrypt-after-compress)
+            cstream = _rc4(_obj_key(file_key, cnum), cstream)
         content = _inflate(chead, cstream)
         out.append(_analyze_page(pno, _interpret(content)))
     return out

@@ -50,12 +50,24 @@ PDF_PAGES_SCHEMA = StructType([
 
 def pdf_pages_rows(doc_id: int, text: str) -> list[dict]:
     """Pure-Python kernel: render → parse → per-page rows. Never raises;
-    malformed input routes into ``parse_error`` (never-drop contract)."""
+    malformed input routes into ``parse_error`` (never-drop contract).
+
+    A deterministic slice of the corpus arrives ENCRYPTED (the reference
+    opens such PDFs with ignoreEncryption, apps/queue/src/lib/ocr.ts:21-24):
+    doc_id % 31 == 9 carries a real user password — those rows must land as
+    stable ``parse_error="encrypted PDF (password required)"`` rows — while
+    doc_id % 7 == 3 is encrypted but openable (empty user password, the
+    common real-world form) and must decrypt to the identical pages."""
     from ocr_platform_spark.functions.pdftext import (
-        PdfError, build_pdf, parse_pdf)
+        PdfError, build_pdf, encrypt_pdf, parse_pdf)
 
     try:
-        pages = parse_pdf(build_pdf(doc_id, text or ""))
+        data = build_pdf(doc_id, text or "")
+        if doc_id % 31 == 9:
+            data = encrypt_pdf(data, user_pw=b"pw-%d" % doc_id)
+        elif doc_id % 7 == 3:
+            data = encrypt_pdf(data)
+        pages = parse_pdf(data)
     except PdfError as e:
         return [{"doc_id": doc_id, "page_no": 0, "n_pages": 0,
                  "n_columns": 0, "n_lines": 0, "page_number": None,

@@ -270,3 +270,80 @@ def test_golden_pdf_bytes_parse_to_pinned_output():
                 "n_columns": p.n_columns, "n_lines": p.n_lines}
                for p in parse_pdf(build_pdf(want["doc_id"], want["text"]))]
     assert rebuilt == want["pages"]
+
+
+# ------------------------------------------------------------- encryption
+
+def _pages_tuple(pages):
+    return [(p.page_no, p.header, p.body, p.footnotes, p.page_number,
+             p.n_columns, p.n_lines) for p in pages]
+
+
+def test_encrypted_empty_password_decrypts_identically():
+    """Standard handler V1/R2, empty user password (the ignoreEncryption
+    case the reference targets): every stream is RC4-ciphered, so parsing
+    without the decrypt path would be garbage — output must match the
+    clean document page-for-page."""
+    from ocr_platform_spark.functions.pdftext import encrypt_pdf
+
+    for doc_id, text in _docs(12):
+        clean = build_pdf(doc_id, text)
+        enc = encrypt_pdf(clean)
+        assert enc != clean and b"/Encrypt" in enc
+        assert _pages_tuple(parse_pdf(enc)) == _pages_tuple(parse_pdf(clean))
+
+
+def test_encrypted_with_password_routes_stable_error():
+    from ocr_platform_spark.functions.pdftext import encrypt_pdf
+
+    enc = encrypt_pdf(build_pdf(3, "secret body " * 40), user_pw=b"hunter2")
+    with pytest.raises(PdfError, match=r"password required"):
+        parse_pdf(enc)
+
+
+def test_owner_password_differs_user_empty_still_opens():
+    """Owner-password-only protection (print/copy restrictions) leaves the
+    user password empty — the overwhelmingly common encrypted form — and
+    must open."""
+    from ocr_platform_spark.functions.pdftext import encrypt_pdf
+
+    clean = build_pdf(11, "restricted but readable " * 30)
+    enc = encrypt_pdf(clean, user_pw=b"", owner_pw=b"owner-secret")
+    assert _pages_tuple(parse_pdf(enc)) == _pages_tuple(parse_pdf(clean))
+
+
+def test_foreign_handler_and_revision_route_stable_errors():
+    from ocr_platform_spark.functions.pdftext import encrypt_pdf
+
+    enc = encrypt_pdf(build_pdf(5, "x " * 100))
+    with pytest.raises(PdfError, match="unsupported security handler"):
+        parse_pdf(enc.replace(b"/Standard", b"/AcmeSec1"))
+    with pytest.raises(PdfError, match="unsupported encryption revision"):
+        parse_pdf(enc.replace(b"/V 1 /R 2", b"/V 2 /R 3"))
+    with pytest.raises(PdfError, match="without file ID"):
+        parse_pdf(enc.replace(b"/ID [<", b"/XX [<"))
+    # corrupting /U breaks the algorithm-6 check -> password-required path
+    import re as _re
+    u = _re.search(rb"/U <([0-9a-f]+)>", enc).group(1)
+    bad_u = u[:-2] + (b"00" if u[-2:] != b"00" else b"11")
+    with pytest.raises(PdfError, match="password required"):
+        parse_pdf(enc.replace(b"/U <" + u, b"/U <" + bad_u))
+
+
+def test_pdf_kernel_routes_encrypted_slice():
+    """pdf_pages_rows: the password slice (doc_id % 31 == 9) lands as one
+    stable error row; the openable slice (doc_id % 7 == 3) decrypts and
+    round-trips word-perfectly (never-drop both ways)."""
+    from ocr_platform_spark.operators.pdf_extract import pdf_pages_rows
+
+    text = "alpha beta gamma delta " * 50
+    locked = pdf_pages_rows(9, text)       # 9 % 31 == 9
+    assert len(locked) == 1
+    assert locked[0]["parse_error"] == "encrypted PDF (password required)"
+    assert locked[0]["n_pages"] == 0
+
+    opened = pdf_pages_rows(10, text)      # 10 % 7 == 3 -> openable
+    assert all(r["parse_error"] is None for r in opened)
+    got = " ".join(" ".join(r["body"].split()) for r in opened).split()
+    got += " ".join(r["footnotes"] or "" for r in opened).split()
+    assert got == text.split()
