@@ -734,8 +734,11 @@ def _analyze_page(pno: int, runs: list[_Run]) -> PdfPage:
                    n_columns, n_lines)
 
 
-def parse_pdf(data: bytes) -> list[PdfPage]:
-    """Parse + layout-analyze a PDF. Raises PdfError on malformed input."""
+def parse_pdf_runs(data: bytes) -> list[list[_Run]]:
+    """Object graph → decrypt → inflate → interpret: the positioned text
+    runs of every page, in document order. The shared front half of
+    ``parse_pdf`` (layout analysis) and the rasterizer
+    (functions/pdfrender.py, which needs coordinates, not text)."""
     if not data or not data.startswith(b"%PDF-"):
         raise PdfError("not a PDF")
     if len(data) > MAX_PDF_BYTES:
@@ -743,8 +746,8 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
     objs = _scan_objects(data)
     file_key = _encryption(data, objs)
     pages = _resolve_pages(data, objs)
-    out: list[PdfPage] = []
-    for pno, pref in enumerate(pages):
+    out: list[list[_Run]] = []
+    for pref in pages:
         head, _ = objs[pref]
         cm = re.search(rb"/Contents\s+(\d+)\s+0\s+R", head)
         if not cm or int(cm.group(1)) not in objs:
@@ -757,6 +760,11 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
             # streams are ciphered under their owning object's key; the
             # decrypt happens BEFORE the filter (encrypt-after-compress)
             cstream = _rc4(_obj_key(file_key, cnum), cstream)
-        content = _inflate(chead, cstream)
-        out.append(_analyze_page(pno, _interpret(content)))
+        out.append(_interpret(_inflate(chead, cstream)))
     return out
+
+
+def parse_pdf(data: bytes) -> list[PdfPage]:
+    """Parse + layout-analyze a PDF. Raises PdfError on malformed input."""
+    return [_analyze_page(pno, runs)
+            for pno, runs in enumerate(parse_pdf_runs(data))]

@@ -48,26 +48,31 @@ PDF_PAGES_SCHEMA = StructType([
 ])
 
 
-def pdf_pages_rows(doc_id: int, text: str) -> list[dict]:
-    """Pure-Python kernel: render → parse → per-page rows. Never raises;
-    malformed input routes into ``parse_error`` (never-drop contract).
-
-    A deterministic slice of the corpus arrives ENCRYPTED (the reference
-    opens such PDFs with ignoreEncryption, apps/queue/src/lib/ocr.ts:21-24):
-    doc_id % 31 == 9 carries a real user password — those rows must land as
-    stable ``parse_error="encrypted PDF (password required)"`` rows — while
+def staged_pdf(doc_id: int, text: str) -> bytes:
+    """The synthetic corpus PDF for one document. A deterministic slice
+    arrives ENCRYPTED (the reference opens such PDFs with
+    ignoreEncryption, apps/queue/src/lib/ocr.ts:21-24): doc_id % 31 == 9
+    carries a real user password — consumers must land those as stable
+    ``parse_error="encrypted PDF (password required)"`` rows — while
     doc_id % 7 == 3 is encrypted but openable (empty user password, the
     common real-world form) and must decrypt to the identical pages."""
-    from ocr_platform_spark.functions.pdftext import (
-        PdfError, build_pdf, encrypt_pdf, parse_pdf)
+    from ocr_platform_spark.functions.pdftext import build_pdf, encrypt_pdf
+
+    data = build_pdf(doc_id, text or "")
+    if doc_id % 31 == 9:
+        return encrypt_pdf(data, user_pw=b"pw-%d" % doc_id)
+    if doc_id % 7 == 3:
+        return encrypt_pdf(data)
+    return data
+
+
+def pdf_pages_rows(doc_id: int, text: str) -> list[dict]:
+    """Pure-Python kernel: render → parse → per-page rows. Never raises;
+    malformed input routes into ``parse_error`` (never-drop contract)."""
+    from ocr_platform_spark.functions.pdftext import PdfError, parse_pdf
 
     try:
-        data = build_pdf(doc_id, text or "")
-        if doc_id % 31 == 9:
-            data = encrypt_pdf(data, user_pw=b"pw-%d" % doc_id)
-        elif doc_id % 7 == 3:
-            data = encrypt_pdf(data)
-        pages = parse_pdf(data)
+        pages = parse_pdf(staged_pdf(doc_id, text))
     except PdfError as e:
         return [{"doc_id": doc_id, "page_no": 0, "n_pages": 0,
                  "n_columns": 0, "n_lines": 0, "page_number": None,
@@ -102,8 +107,77 @@ def extract_pdf_pages(spark: SparkSession, sf_dir: str,
     return docs.mapInPandas(kernel, PDF_PAGES_SCHEMA)
 
 
+# --------------------------------------------------------- rasterization
+
+PDF_RENDER_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("page_no", IntegerType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("n_runs", IntegerType(), False),
+    StructField("ink_ppm", LongType(), False),
+    StructField("mean_x1e6", LongType(), False),
+    StructField("pixels_sha256", StringType(), True),
+    StructField("render_error", StringType(), True),
+])
+
+# Rendering is ~2 MPx of pure-Python raster per page — the query renders a
+# deterministic 1/16 doc slice (the fixture oracle pins the same slice),
+# exactly like mm_* bound their synthetic payload counts.
+RENDER_DOC_MOD = 16
+
+
+def pdf_render_rows(doc_id: int, text: str) -> list[dict]:
+    """Pure-Python kernel: staged PDF → per-page scale-2 rasterization →
+    exact-integer ink stats (functions/pdfrender.py). Reference parity for
+    pdfToImg(..., {scale: 2}) (apps/queue/src/lib/ocr.ts:56-71); encrypted
+    docs route exactly as in pdf_pages_rows (never-drop)."""
+    from ocr_platform_spark.functions.pdfrender import page_render_stats
+    from ocr_platform_spark.functions.pdftext import PdfError, parse_pdf_runs
+
+    try:
+        per_page = parse_pdf_runs(staged_pdf(doc_id, text))
+    except PdfError as e:
+        return [{"doc_id": doc_id, "page_no": 0, "width": 0, "height": 0,
+                 "n_runs": 0, "ink_ppm": 0, "mean_x1e6": 0,
+                 "pixels_sha256": None, "render_error": str(e)}]
+    out = []
+    for pno, runs in enumerate(per_page):
+        s = page_render_stats(runs)
+        out.append({"doc_id": doc_id, "page_no": pno,
+                    "width": s["width"], "height": s["height"],
+                    "n_runs": s["n_runs"], "ink_ppm": s["ink_ppm"],
+                    "mean_x1e6": s["mean_x1e6"],
+                    "pixels_sha256": s["pixels_sha256"],
+                    "render_error": None})
+    return out
+
+
+def extract_pdf_render(spark: SparkSession, sf_dir: str,
+                       enforce_fixture_pin: bool = True) -> DataFrame:
+    if enforce_fixture_pin:
+        from ocr_platform_spark.operators.registry import assert_fixture_scale
+
+        assert_fixture_scale(sf_dir, "extract_pdf_render")
+    docs = (load(spark, sf_dir, "documents").select("doc_id", "text")
+            .filter(f"doc_id % {RENDER_DOC_MOD} = 1"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PDF_RENDER_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                rows.extend(pdf_render_rows(int(doc_id), text))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(kernel, PDF_RENDER_SCHEMA)
+
+
 QUERIES: dict = {
     "extract_pdf_pages": (
         extract_pdf_pages,
         _fixture_sql("extract_pdf_pages.sf0.01.parquet")),
+    "extract_pdf_render": (
+        extract_pdf_render,
+        _fixture_sql("extract_pdf_render.sf0.01.parquet")),
 }

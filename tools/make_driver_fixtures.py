@@ -334,6 +334,36 @@ def extract_pdf_pages() -> None:
     }))
 
 
+def extract_pdf_render() -> None:
+    """Pure-Python recomputation of the PDF rasterization stats (scale-2
+    glyph-box raster + PNG round-trip + exact-integer ink stats) over the
+    same deterministic 1/16 doc slice the Spark query scans."""
+    import duckdb
+
+    from ocr_platform_spark.operators.pdf_extract import (
+        RENDER_DOC_MOD, pdf_render_rows)
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF001}/documents.parquet')"
+        f" WHERE doc_id % {RENDER_DOC_MOD} = 1 ORDER BY doc_id").fetchall()
+    rows = [r for doc_id, text in docs
+            for r in pdf_render_rows(doc_id, text)]
+    _write("extract_pdf_render.sf0.01.parquet", pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "page_no": pa.array([r["page_no"] for r in rows], pa.int32()),
+        "width": pa.array([r["width"] for r in rows], pa.int32()),
+        "height": pa.array([r["height"] for r in rows], pa.int32()),
+        "n_runs": pa.array([r["n_runs"] for r in rows], pa.int32()),
+        "ink_ppm": pa.array([r["ink_ppm"] for r in rows], pa.int64()),
+        "mean_x1e6": pa.array([r["mean_x1e6"] for r in rows], pa.int64()),
+        "pixels_sha256": pa.array([r["pixels_sha256"] for r in rows],
+                                  pa.string()),
+        "render_error": pa.array([r["render_error"] for r in rows],
+                                 pa.string()),
+    }))
+
+
 def warc_ingest() -> None:
     """Regenerate the committed WARC fixture crawl (tests/fixtures/warc/)
     AND its expected-output parquet in one step so they can never drift.
@@ -454,6 +484,7 @@ if __name__ == "__main__":
     ta_bpe_tokens()
     ann_ivf_topk()
     extract_pdf_pages()
+    extract_pdf_render()
     mm_audio()
     mm_video()
     warc_ingest()
