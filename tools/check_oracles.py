@@ -5,7 +5,14 @@ Runs every ``queries()`` entry on Spark and (where present) its
 row count, column names, and an order-insensitive multiset of stringified
 row values. Usage:
 
-    python tools/check_oracles.py [sf_dir] [only_query_prefix]
+    python tools/check_oracles.py [sf_dir] [only_query_prefixes] [--rotate-env]
+
+``only_query_prefixes`` is comma-separated. ``--rotate-env`` re-points the
+process at a hostile environment BEFORE the JVM/DuckDB start — a
+half-hour-offset timezone (Asia/Kolkata) and a non-C locale — pinning
+that every oracle's hash stability survives environment drift (the
+round-4 ev_* episode showed environment-sensitive bugs escape a
+default-environment gate).
 """
 
 from __future__ import annotations
@@ -55,14 +62,38 @@ def driver_unsafe_columns(colnames, typenames):
             if any(b in t for b in DRIVER_UNSAFE_TYPES)]
 
 
+def rotate_env() -> None:
+    """Half-hour-offset TZ + non-C locale, applied before Spark/DuckDB
+    init (the JVM reads TZ at launch)."""
+    import locale
+    import os
+    import time as _time
+
+    os.environ["TZ"] = "Asia/Kolkata"
+    _time.tzset()
+    for loc in ("en_US.UTF-8", "C.UTF-8"):
+        try:
+            locale.setlocale(locale.LC_ALL, loc)
+            os.environ["LC_ALL"] = loc
+            break
+        except locale.Error:
+            continue
+    print(f"rotated env: TZ={os.environ['TZ']} "
+          f"LC_ALL={os.environ.get('LC_ALL', '?')}")
+
+
 def main() -> int:
+    args = [a for a in sys.argv[1:] if a != "--rotate-env"]
+    if len(args) != len(sys.argv) - 1:
+        rotate_env()
+
     import duckdb
     import __spark_entry__ as entry
     from ocr_platform_spark.session import build_spark
     from ocr_platform_spark.operators.tables import TABLES
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    prefix = sys.argv[2] if len(sys.argv) > 2 else ""
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    prefixes = tuple((args[1] if len(args) > 1 else "").split(","))
 
     spark = build_spark("oracle-check", cores=8)
     con = duckdb.connect()
@@ -74,7 +105,7 @@ def main() -> int:
     oracles = entry.oracle_sql()
     n_fail = 0
     for name, fn in sorted(qs.items()):
-        if prefix and not name.startswith(prefix):
+        if not any(name.startswith(p) for p in prefixes):
             continue
         t0 = time.time()
         try:
