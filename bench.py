@@ -44,7 +44,7 @@ QUERY_SET = [
     "r19_pivot", "r22_catalog_page", "dd_exact", "dd_minhash_lsh",
     "dd_ngram_jaccard", "dd_embedding_lsh", "ann_brute_topk", "ann_lsh_topk",
     "ta_token_stats", "ta_quality_flags", "ev_windowed_agg", "ev_sessionize",
-    "dd_span_dedup", "cx_decontaminate",
+    "ev_sessionize_skew", "dd_span_dedup", "cx_decontaminate",
 ]
 
 

@@ -161,9 +161,16 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame,
                        n_buckets: int = DEFAULT_BUCKETS,
                        salt: int = DEFAULT_SALT,
                        resume: bool = True,
-                       run_id: str | None = None) -> DataFrame:
+                       run_id: str | None = None,
+                       max_buckets: int | None = None) -> DataFrame:
     """Full job incl. resume + manifest; returns the extracted table read
-    back from disk (what downstream queries see)."""
+    back from disk (what downstream queries see).
+
+    ``max_buckets`` caps how many pending buckets this invocation
+    processes (lowest bucket ids first, deterministic): the wave-bounded
+    backfill knob — a giant catch-up runs as repeated bounded waves whose
+    shuffle scratch is a wave's share of the corpus, each wave a normal
+    resume (D6), until pending drains to zero."""
     from ocr_platform_spark.sources.manifest import (
         pending_buckets, write_with_manifest)
 
@@ -176,6 +183,9 @@ def run_extraction_job(spark: SparkSession, pages: DataFrame,
     # driver even at the 2^16 cluster sizing) — no separate probe job
     todo_buckets = [r["bucket"]
                     for r in todo.select("bucket").distinct().collect()]
+    if max_buckets is not None and len(todo_buckets) > max_buckets:
+        todo_buckets = sorted(todo_buckets)[:max_buckets]
+        todo = todo.filter(F.col("bucket").isin(todo_buckets))
     if todo_buckets:
         extracted = extract_pages(todo, n_buckets, salt)
         write_with_manifest(

@@ -117,6 +117,31 @@ def test_resume_processes_only_missing_buckets(spark, tmp_path):
     assert spark.read.parquet(out + "_manifest").filter("run_id='r3'").count() == 0
 
 
+def test_wave_bounded_backfill_drains_pending(spark, tmp_path):
+    """max_buckets: each invocation processes at most that many pending
+    buckets (lowest ids first), so a giant catch-up runs as bounded waves
+    until pending drains — the 10M-doc ladder protocol (D6 at scale)."""
+    out = str(tmp_path / "waves")
+    pages = pages_df(spark, 100)
+
+    run_extraction_job(spark, pages, out, n_buckets=8, run_id="w1",
+                       max_buckets=3)
+    m1 = spark.read.parquet(out + "_manifest")
+    assert sorted(r["bucket"] for r in m1.select("bucket").collect()) \
+        == [0, 1, 2]
+
+    run_extraction_job(spark, pages, out, n_buckets=8, run_id="w2",
+                       max_buckets=3)
+    run_extraction_job(spark, pages, out, n_buckets=8, run_id="w3",
+                       max_buckets=3)
+    m3 = spark.read.parquet(out + "_manifest")
+    assert sorted(r["bucket"] for r in m3.select("bucket").collect()) \
+        == list(range(8))
+    # waves never reprocess: one manifest row per bucket in total
+    assert m3.count() == 8
+    assert spark.read.parquet(out).count() == 100
+
+
 def test_manifest_counters_consistent(spark, tmp_path):
     out = str(tmp_path / "ext2")
     run_extraction_job(spark, pages_df(spark, 100), out, n_buckets=8)
