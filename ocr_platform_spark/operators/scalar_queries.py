@@ -269,6 +269,92 @@ FROM events WHERE event_id < 500
 """
 
 
+# --- F14: discriminated-union version validation --------------------------
+# (ref apps/web/src/server/services/usul/book-versions.ts:30-57 — the zod
+# per-provider union, and :59-113 prepareBookVersions' source/value
+# normalization). Deterministic version documents are synthesized per
+# event_id, round-tripped through REAL JSON (to_json → get_json_object —
+# the operator under test is typed validation of a JSON column), then
+# validated per the union's rules: discriminator ∈ {external, pdf,
+# openiti, turath}; pdf URLs must carry the assets prefix; openiti/turath
+# need a non-empty value (z.string().min(1)); valid rows normalize to the
+# reference's (source, value) shape. The DuckDB oracle re-derives every
+# verdict from the base expressions WITHOUT JSON — an independent path
+# that also proves the JSON round-trip lossless.
+
+_PDF_PREFIX = "https://assets.usul.ai/pdfs/"
+
+
+def f14_version_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    disc = F.when(F.col("event_id") % 13 == 0, F.lit("bulk")).otherwise(
+        F.element_at(F.array(F.lit("external"), F.lit("pdf"),
+                             F.lit("openiti"), F.lit("turath")),
+                     (F.col("event_id") % 4 + 1).cast("int")))
+    url = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(F.lit(_PDF_PREFIX), F.col("event_id"), F.lit(".pdf"))
+    ).otherwise(F.concat(F.lit("https://cdn.example.net/"),
+                         F.col("event_id"), F.lit(".pdf")))
+    value = F.when(F.col("event_id") % 7 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("v"), F.col("event_id")))
+    doc = F.to_json(F.struct(disc.alias("type"), url.alias("url"),
+                             value.alias("value")))
+
+    j = ev.select("event_id", doc.alias("doc"))
+    typ = F.get_json_object("doc", "$.type")
+    jurl = F.get_json_object("doc", "$.url")
+    jval = F.get_json_object("doc", "$.value")
+    verdict = (
+        F.when(~typ.isin("external", "pdf", "openiti", "turath"),
+               F.lit("invalid_discriminator"))
+        .when((typ == "pdf") & ~jurl.startswith(_PDF_PREFIX),
+              F.lit("invalid_pdf_url"))
+        .when(typ.isin("openiti", "turath") & (F.length(jval) < 1),
+              F.lit("empty_value"))
+        .otherwise(F.lit("ok")))
+    # prepareBookVersions: external/pdf carry the url as value;
+    # openiti/turath carry the text value; invalid rows normalize to NULL
+    norm_value = F.when(verdict != "ok", F.lit(None)).when(
+        typ.isin("external", "pdf"), jurl).otherwise(jval)
+    return j.select(
+        "event_id", typ.alias("source"), verdict.alias("verdict"),
+        norm_value.alias("value"),
+        (verdict == "ok").cast("int").alias("is_valid"))
+
+
+F14_SQL = f"""
+WITH synth AS (
+    SELECT event_id,
+           CASE WHEN event_id % 13 = 0 THEN 'bulk'
+                ELSE ['external','pdf','openiti','turath'][
+                     CAST(event_id % 4 + 1 AS INTEGER)] END AS typ,
+           CASE WHEN event_id % 2 = 0
+                THEN '{_PDF_PREFIX}' || event_id || '.pdf'
+                ELSE 'https://cdn.example.net/' || event_id || '.pdf'
+           END AS url,
+           CASE WHEN event_id % 7 = 0 THEN '' ELSE 'v' || event_id
+           END AS val
+    FROM events WHERE event_id < 2000
+), judged AS (
+    SELECT *,
+           CASE WHEN typ NOT IN ('external','pdf','openiti','turath')
+                     THEN 'invalid_discriminator'
+                WHEN typ = 'pdf' AND url NOT LIKE '{_PDF_PREFIX}%'
+                     THEN 'invalid_pdf_url'
+                WHEN typ IN ('openiti','turath') AND len(val) < 1
+                     THEN 'empty_value'
+                ELSE 'ok' END AS verdict
+    FROM synth)
+SELECT event_id, typ AS source, verdict,
+       CASE WHEN verdict <> 'ok' THEN NULL
+            WHEN typ IN ('external','pdf') THEN url
+            ELSE val END AS value,
+       CAST(verdict = 'ok' AS INTEGER) AS is_valid
+FROM judged
+"""
+
+
 QUERIES: dict = {
     "f01_word_count": (f01_word_count, F01_SQL),
     "f02_slug": (f02_slug, F02_SQL),
@@ -284,4 +370,5 @@ QUERIES: dict = {
     "f11_star_strip": (f11_star_strip, F11_SQL),
     "f12_json_parse": (f12_json_parse, F12_SQL),
     "f13_url_norm": (f13_url_norm, F13_SQL),
+    "f14_version_union": (f14_version_union, F14_SQL),
 }
