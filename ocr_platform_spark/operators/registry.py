@@ -172,6 +172,13 @@ _DRIVER_PRIORITY = (
     # the slots of r17_derived_counters / r18_status_transition, each of
     # which carries 3+ prior driver-green rows
     "ta_bm25_search", "ml_fit_apply",
+    # final-round front-loads: the three queries added in round 5 itself
+    # (they postdate every earlier window) — this is the LAST correctness
+    # window, so without a slot here they would never get a driver row of
+    # record. They take the slots of r14_pagination / r15_numeric_string_sort
+    # / r16_distinct, each of which carries 4 prior driver-green rows
+    # (CORRECTNESS_r01..r04).
+    "f14_version_union", "extract_pdf_render", "ev_sessionize_skew",
 )
 
 
