@@ -47,17 +47,21 @@ def assert_fixture_scale(sf_dir: str, query: str,
 
 def _modules():
     from ocr_platform_spark.operators import (
-        curation, dedup, incremental, pdf_extract, relational,
-        scalar_queries, search, similarity, text_analysis, webcorpus,
-        webgraph, weblinks)
+        asof, curation, dedup, incremental, pdf_extract, relational,
+        robots, scalar_queries, search, similarity, text_analysis,
+        webcorpus, webgraph, weblinks)
     from ocr_platform_spark.plans import corpus_job
     from ocr_platform_spark.streaming import sessions, windowed
     # corpus_job last: a round-4 late addition — it must NOT displace any
     # of the front-loaded queries out of the driver's 50-row CORRECTNESS
     # window this round; round 5 front-loads it for a driver row.
+    # robots/asof (round-5 late additions) register behind everything:
+    # the final window is already allocated, so they are local-gate-only
+    # surfaces by construction and must not displace windowed queries.
     return (relational, scalar_queries, text_analysis, dedup, incremental,
             similarity, curation, pdf_extract, windowed, sessions,
-            webcorpus, webgraph, weblinks, corpus_job, search)
+            webcorpus, webgraph, weblinks, corpus_job, search, robots,
+            asof)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
