@@ -145,23 +145,32 @@ def cx_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges above its scan."""
     urls = _urls(load(spark, sf_dir, "orders")
                  .filter(F.col("o_orderkey") < 3000))
-    by_host = (parse_robots(robots_corpus(spark))
-               .groupBy("host")
-               .agg(F.collect_list(
-                   F.struct(F.col("plen"), F.col("allow"),
-                            F.col("path").alias("rpath"))).alias("rules")))
-    j = urls.join(F.broadcast(by_host), "host", "left")
-    path = F.col("path")
-    best = F.array_max(F.filter(
-        "rules", lambda r: path.startswith(r["rpath"])))
+    j = urls.join(F.broadcast(rules_by_host(spark)), "host", "left")
     b = F.col("best")
-    return (j.withColumn("best", best)
+    return (j.withColumn("best", best_match(F.col("path")))
             .select(
                 "o_orderkey", "url", "host",
                 b["rpath"].alias("matched_rule"),
                 b["allow"].alias("rule_is_allow"),
                 F.when(b.isNull(), F.lit(True)).otherwise(b["allow"] == 1)
                 .alias("allowed")))
+
+
+def rules_by_host(spark: SparkSession) -> DataFrame:
+    """Parsed * rules collapsed to ONE array row per host — the broadcast
+    unit every politeness consumer (URL gate, sitemap seeder) joins on."""
+    return (parse_robots(robots_corpus(spark))
+            .groupBy("host")
+            .agg(F.collect_list(
+                F.struct(F.col("plen"), F.col("allow"),
+                         F.col("path").alias("rpath"))).alias("rules")))
+
+
+def best_match(path):
+    """Longest-match / allow-wins-ties over a joined ``rules`` array:
+    struct order (plen, allow) IS the RFC 9309 tie-break."""
+    return F.array_max(F.filter(
+        "rules", lambda r: path.startswith(r["rpath"])))
 
 
 CX_ROBOTS_SQL = """
