@@ -47,8 +47,8 @@ def assert_fixture_scale(sf_dir: str, query: str,
 
 def _modules():
     from ocr_platform_spark.operators import (
-        asof, curation, dedup, incremental, pdf_extract, relational,
-        robots, scalar_queries, search, similarity, sitemap,
+        asof, crawldelta, curation, dedup, incremental, pdf_extract,
+        relational, robots, scalar_queries, search, similarity, sitemap,
         text_analysis, webcorpus, webgraph, weblinks)
     from ocr_platform_spark.plans import corpus_job
     from ocr_platform_spark.streaming import sessions, windowed
@@ -61,7 +61,7 @@ def _modules():
     return (relational, scalar_queries, text_analysis, dedup, incremental,
             similarity, curation, pdf_extract, windowed, sessions,
             webcorpus, webgraph, weblinks, corpus_job, search, robots,
-            asof, sitemap)
+            asof, sitemap, crawldelta)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
