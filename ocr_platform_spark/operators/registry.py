@@ -183,6 +183,13 @@ _DRIVER_PRIORITY = (
     # / r16_distinct, each of which carries 4 prior driver-green rows
     # (CORRECTNESS_r01..r04).
     "f14_version_union", "extract_pdf_render", "ev_sessionize_skew",
+    # round-5 final-session additions (crawl governance, as-of, recrawl
+    # delta): same reasoning — without slots in this last window they
+    # would never be driver-checked. They take r09_broadcast_join ..
+    # r13_sort's slots (4 prior green rows each, r01-r04); after this
+    # window, every query in the registry has >=1 driver row of record.
+    "cx_robots_filter", "cx_sitemap", "cx_crawl_delta",
+    "ev_asof_join", "ev_asof_skew",
 )
 
 
