@@ -63,6 +63,181 @@ def extract_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return links_df(pages_df(spark, LINKS_DOCS))
 
 
+# scheme://authority — identical semantics in Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround, char classes only.
+HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+
+
+def anchor_corpus(links: DataFrame) -> DataFrame:
+    """links(url, resolved, anchor_text, boilerplate) → one row per link
+    TARGET with the inbound anchor-text profile: how many links point at
+    it, from how many distinct source hosts, how much anchor text, and the
+    most frequent anchor string (ties → lexicographically smallest). This
+    is the classic web-relevance signal (anchor text describes the TARGET
+    better than the target's own page — the reference's curation notes the
+    same signal for its catalog cross-links, texts/page.tsx's related-text
+    lists); a training-data pipeline joins `top_anchor` back onto the
+    corpus as a free document label.
+
+    Shape at scale (~10^12 links): `base` is persisted because BOTH
+    aggregates consume it and it sits downstream of the expensive
+    mapInPandas parse; each aggregate is map-side-combined and shuffles
+    on `target` (the countDistinct expands to Spark's standard two-phase
+    distinct on the same key); the final join is co-partitioned on
+    `target`, so AQE coalesces it onto the aggregate shuffle — no third
+    exchange. The top-anchor pass is a bounded per-(target, anchor)
+    count + per-target row_number, never a collect.
+
+    Determinism: counts and char totals are exact integers; the top-anchor
+    tie-break (cnt DESC, anchor_text ASC) is total because anchor_text is
+    the group key — and both engines compare strings as raw UTF-8 bytes,
+    so multilingual anchors order identically.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    base = (links
+            .where(F.col("resolved").isNotNull()
+                   & (F.col("anchor_text") != ""))
+            .select(F.col("resolved").alias("target"),
+                    F.regexp_extract("url", HOST_RE, 1).alias("src_host"),
+                    "anchor_text",
+                    (~F.col("boilerplate")).cast("long").alias("is_content"),
+                    F.length("anchor_text").cast("long").alias("n_chars"))
+            .persist())
+    per_target = base.groupBy("target").agg(
+        F.count("*").alias("n_links"),
+        F.sum("is_content").alias("n_content"),
+        F.countDistinct("src_host").alias("n_hosts"),
+        F.sum("n_chars").alias("anchor_chars"))
+    w = Window.partitionBy("target").orderBy(
+        F.desc("cnt"), F.asc("anchor_text"))
+    top = (base.groupBy("target", "anchor_text")
+           .agg(F.count("*").alias("cnt"))
+           .withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == 1)
+           .select("target", F.col("anchor_text").alias("top_anchor"),
+                   F.col("cnt").alias("top_anchor_cnt")))
+    return per_target.join(top, "target")
+
+
+def wl_anchor_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_platform_spark.sources.pages import pages_df
+
+    return anchor_corpus(links_df(pages_df(spark, LINKS_DOCS)))
+
+
+FRONTIER_PER_HOST = 3
+
+
+def crawl_frontier(links: DataFrame,
+                   per_host: int = FRONTIER_PER_HOST) -> DataFrame:
+    """links → the next polite crawl wave: resolved targets NOT already in
+    the crawled set (here: the distinct source urls of the link table —
+    the pages we demonstrably parsed), ranked by inbound-link count with
+    distinct-source-host support, capped at `per_host` fetches per target
+    host (the politeness budget — a frontier that sends 10^4 fetches at
+    one origin in a wave is a liability regardless of link counts).
+
+    Shape at scale: the candidate aggregate shuffles once on target url;
+    the crawled-set anti-join is the textbook bloom-filter join (Spark
+    injects a runtime bloom filter; with both the corpus and the frontier
+    bucket-partitioned on url-hash it becomes a storage-partitioned join,
+    zero extra shuffle); the per-host cap is a window over the already
+    tiny frontier, never over the corpus. Tie-break (inbound DESC, target
+    ASC) is total; both engines order strings by raw UTF-8 bytes.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    crawled = links.select(F.col("url").alias("target")).distinct()
+    cand = (links.where(F.col("resolved").isNotNull())
+            .groupBy(F.col("resolved").alias("target"))
+            .agg(F.count("*").alias("inbound"),
+                 F.countDistinct(
+                     F.regexp_extract("url", HOST_RE, 1)).alias("src_hosts")))
+    fresh = cand.join(crawled, "target", "left_anti")
+    w = Window.partitionBy("host").orderBy(
+        F.desc("inbound"), F.asc("target"))
+    return (fresh.withColumn("host", F.regexp_extract("target", HOST_RE, 1))
+            .withColumn("fetch_rank",
+                        F.row_number().over(w).cast("long"))
+            .where(F.col("fetch_rank") <= per_host)
+            .select("host", "target", "inbound", "src_hosts", "fetch_rank"))
+
+
+def cx_frontier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_platform_spark.sources.pages import pages_df
+
+    return crawl_frontier(links_df(pages_df(spark, LINKS_DOCS)))
+
+
+_LINKS_PQ = _fixture_sql("extract_links.parquet").split(" FROM ")[1]
+
+# The oracle aggregates the FIXTURE link table (the pure-Python kernel's
+# sequential output), while Spark aggregates its own distributed extraction
+# — so the SQL independently re-derives the aggregate AND cross-checks the
+# extraction underneath it.
+WL_ANCHOR_SQL = f"""
+WITH base AS (
+  SELECT resolved AS target,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS src_host,
+         anchor_text,
+         CASE WHEN boilerplate THEN 0 ELSE 1 END AS is_content,
+         length(anchor_text) AS n_chars
+  FROM {_LINKS_PQ}
+  WHERE resolved IS NOT NULL AND anchor_text <> ''
+), per_target AS (
+  SELECT target,
+         CAST(COUNT(*) AS BIGINT) AS n_links,
+         CAST(SUM(is_content) AS BIGINT) AS n_content,
+         CAST(COUNT(DISTINCT src_host) AS BIGINT) AS n_hosts,
+         CAST(SUM(n_chars) AS BIGINT) AS anchor_chars
+  FROM base GROUP BY target
+), top AS (
+  SELECT target, anchor_text AS top_anchor,
+         CAST(cnt AS BIGINT) AS top_anchor_cnt
+  FROM (
+    SELECT target, anchor_text, COUNT(*) AS cnt,
+           row_number() OVER (PARTITION BY target
+                              ORDER BY COUNT(*) DESC, anchor_text ASC) AS rn
+    FROM base GROUP BY target, anchor_text) t
+  WHERE rn = 1
+)
+SELECT p.target, p.n_links, p.n_content, p.n_hosts, p.anchor_chars,
+       t.top_anchor, t.top_anchor_cnt
+FROM per_target p JOIN top t ON p.target = t.target
+"""
+
+CX_FRONTIER_SQL = f"""
+WITH cand AS (
+  SELECT resolved AS target,
+         CAST(COUNT(*) AS BIGINT) AS inbound,
+         CAST(COUNT(DISTINCT regexp_extract(
+             url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)) AS BIGINT)
+           AS src_hosts
+  FROM {_LINKS_PQ}
+  WHERE resolved IS NOT NULL GROUP BY resolved
+), fresh AS (
+  SELECT * FROM cand
+  WHERE target NOT IN (SELECT DISTINCT url FROM {_LINKS_PQ})
+), ranked AS (
+  SELECT regexp_extract(target,
+             '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+         target, inbound, src_hosts,
+         CAST(row_number() OVER (
+             PARTITION BY regexp_extract(
+                 target, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+             ORDER BY inbound DESC, target ASC) AS BIGINT) AS fetch_rank
+  FROM fresh
+)
+SELECT host, target, inbound, src_hosts, fetch_rank
+FROM ranked WHERE fetch_rank <= {FRONTIER_PER_HOST}
+"""
+
+
 QUERIES: dict = {
     "extract_links": (extract_links_q, _fixture_sql("extract_links.parquet")),
+    "wl_anchor_corpus": (wl_anchor_corpus_q, WL_ANCHOR_SQL),
+    "cx_frontier": (cx_frontier_q, CX_FRONTIER_SQL),
 }

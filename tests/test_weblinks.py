@@ -102,3 +102,87 @@ def test_links_feed_the_host_graph(spark):
            .select(host(F.col("url")).alias("a"),
                    host(F.col("resolved")).alias("b")))
     assert rel.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def _mk_links(spark, rows):
+    """rows: (url, resolved, anchor_text, boilerplate) → links-shaped DF."""
+    from ocr_platform_spark.operators.weblinks import LINKS_SCHEMA
+
+    full = [(u, i, r or "#", r, a, "relative" if r else "fragment", b)
+            for i, (u, r, a, b) in enumerate(rows)]
+    return spark.createDataFrame(full, LINKS_SCHEMA)
+
+
+def test_anchor_corpus_semantics(spark):
+    from ocr_platform_spark.operators.weblinks import anchor_corpus
+
+    t = "https://t.example/page"
+    links = _mk_links(spark, [
+        # two hosts point at t; anchors: "beta" x2, "alpha" x1 → top=beta
+        ("https://a.example/1", t, "beta", True),
+        ("https://a.example/2", t, "beta", False),
+        ("https://b.example/1", t, "alpha", False),
+        # excluded rows: empty anchor, unresolved (fragment)
+        ("https://a.example/1", t, "", False),
+        ("https://a.example/1", None, "frag", False),
+        # an unrelated target with a count tie → lexicographic tie-break
+        ("https://a.example/1", "https://t.example/o", "zz", False),
+        ("https://a.example/2", "https://t.example/o", "aa", False),
+    ])
+    out = {r["target"]: r for r in anchor_corpus(links).collect()}
+    assert set(out) == {t, "https://t.example/o"}
+    r = out[t]
+    assert r["n_links"] == 3 and r["n_content"] == 2 and r["n_hosts"] == 2
+    assert r["anchor_chars"] == len("beta") * 2 + len("alpha")
+    assert r["top_anchor"] == "beta" and r["top_anchor_cnt"] == 2
+    tie = out["https://t.example/o"]
+    assert tie["top_anchor"] == "aa" and tie["top_anchor_cnt"] == 1
+
+
+def test_frontier_politeness_cap_and_discovery(spark):
+    from ocr_platform_spark.operators.weblinks import crawl_frontier
+
+    h = "https://hot.example/"
+    links = _mk_links(spark, [
+        # 5 fresh targets on one host, inbound counts 1..3 with ties
+        *[("https://src.example/%d" % i, h + "a", "x", False)
+          for i in range(3)],
+        *[("https://src.example/%d" % i, h + "b", "x", False)
+          for i in range(2)],
+        ("https://src.example/0", h + "c", "x", False),
+        ("https://src.example/0", h + "d", "x", False),
+        ("https://src.example/0", h + "e", "x", False),
+        # a target that is ALREADY crawled (it appears as a source url)
+        ("https://src.example/1", "https://src.example/0", "x", False),
+        # another host: never capped away
+        ("https://src.example/0", "https://cold.example/z", "x", False),
+    ])
+    out = crawl_frontier(links, per_host=3).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    # politeness cap: hot.example has 5 candidates, only 3 survive
+    hot = sorted(by_host["hot.example"], key=lambda r: r["fetch_rank"])
+    assert [r["target"][-1] for r in hot] == ["a", "b", "c"]
+    assert [r["inbound"] for r in hot] == [3, 2, 1]
+    assert [r["fetch_rank"] for r in hot] == [1, 2, 3]
+    # crawled urls never re-enter the frontier
+    assert all(r["target"] != "https://src.example/0" for r in out)
+    assert [r["target"] for r in by_host["cold.example"]] \
+        == ["https://cold.example/z"]
+
+
+def test_anchor_corpus_and_frontier_match_oracle(spark):
+    """The gate's exact comparison, inline at suite speed: Spark pipeline
+    (parse → aggregate) vs DuckDB aggregating the pure-Python fixture."""
+    import duckdb
+
+    from ocr_platform_spark.operators.weblinks import (
+        CX_FRONTIER_SQL, WL_ANCHOR_SQL, cx_frontier_q, wl_anchor_corpus_q)
+
+    con = duckdb.connect()
+    for fn, sql in ((wl_anchor_corpus_q, WL_ANCHOR_SQL),
+                    (cx_frontier_q, CX_FRONTIER_SQL)):
+        got = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+        want = sorted(map(tuple, con.sql(sql).fetchall()))
+        assert got == want
