@@ -140,6 +140,16 @@ def _ml_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ml_linear_fit(spark, sf_dir)
 
 
+def _ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Lloyd's k-means over the embeddings table (fixed-
+    point quantization → all-int64 iterations, broadcast-literal
+    centroids); oracle = the same recurrence run sequentially in pure
+    Python (tools/make_driver_fixtures.py:ml_kmeans)."""
+    from ocr_platform_spark.operators.kmeans import ml_kmeans
+
+    return ml_kmeans(spark, sf_dir)
+
+
 def _ml_fit_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train→apply scorer: distributed ridge fit + quantized-weight
     scoring pass, fixture-oracled against an independent sequential run
@@ -208,6 +218,8 @@ def all_entries() -> dict[str, tuple[Callable, str | None]]:
         _ml_linear_fit, fixture_sql("ml_linear_fit.sf0.01.parquet"))
     raw["ml_fit_apply"] = (
         _ml_fit_apply, fixture_sql("ml_fit_apply.sf0.01.parquet"))
+    raw["ml_kmeans"] = (
+        _ml_kmeans, fixture_sql("ml_kmeans.sf0.01.parquet"))
     out: dict[str, tuple[Callable, str | None]] = {}
     for name in _DRIVER_PRIORITY:
         if name in raw:

@@ -1,0 +1,73 @@
+"""Exact-integer k-means: cross-engine parity on hand-built vectors,
+empty-cluster survival, quantization exactness, and fixture sanity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from ocr_platform_spark.operators.kmeans import (
+    Q_SCALE, python_kmeans, quantize, spark_kmeans)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from ocr_platform_spark.session import build_spark
+    return build_spark("kmeans-tests", cores=4)
+
+
+def _df(spark, rows):
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType)
+    schema = StructType([
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType(), False), False)])
+    return spark.createDataFrame(rows, schema)
+
+
+def test_quantize_is_exact_for_float32():
+    # float32 -> double widening and *2^20 are lossless; floor is floor
+    import struct
+    for v in (0.054249506, -0.5252062, 0.45837352, 0.0, -1e-9):
+        f32 = struct.unpack("f", struct.pack("f", v))[0]
+        assert quantize([f32]) == [math.floor(f32 * Q_SCALE)]
+
+
+def test_spark_matches_python_small(spark):
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-0.5, 0.5) for _ in range(4)])
+            for i in range(24)]
+    # float32-ify exactly as parquet storage would
+    import struct
+    rows = [(i, [struct.unpack("f", struct.pack("f", x))[0] for x in v])
+            for i, v in rows]
+    want, _ = python_kmeans(rows, k=3, iters=3)
+    got = sorted(map(tuple, spark_kmeans(
+        _df(spark, rows), k=3, iters=3, dim=4).collect()))
+    assert got == sorted(want)
+
+
+def test_empty_cluster_keeps_centroid(spark):
+    # two seed points coincide -> one centroid never wins a point;
+    # both engines must keep it frozen instead of dividing by zero
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [0.25, 0.25]),
+            (3, [0.26, 0.25]), (4, [-0.25, -0.25])]
+    want, cents = python_kmeans(rows, k=2, iters=4)
+    got = sorted(map(tuple, spark_kmeans(
+        _df(spark, rows), k=2, iters=4, dim=2).collect()))
+    assert got == sorted(want)
+    # ties in the duplicate seeds resolve to the FIRST (lowest) index
+    assert {c for _, c, _ in want} <= {0, 1}
+
+
+def test_fixture_is_balanced_and_total():
+    import duckdb
+    f = "tests/fixtures/oracle/ml_kmeans.sf0.01.parquet"
+    rows = duckdb.connect().execute(
+        f"SELECT cluster, COUNT(*) FROM read_parquet('{f}') "
+        "GROUP BY 1").fetchall()
+    assert sum(c for _, c in rows) == 500
+    assert len(rows) == 10          # no cluster emptied on real data
+    assert max(c for _, c in rows) <= 150   # no degenerate collapse

@@ -451,6 +451,27 @@ def ml_fit_apply() -> None:
     }))
 
 
+def ml_kmeans() -> None:
+    """Sequential ground truth for the exact-integer k-means: pure-Python
+    Lloyd's over the sf0.01 embeddings parquet — same quantization, same
+    floor-div centroid updates, same first-minimum tie-break as the Spark
+    plan (operators/kmeans.py)."""
+    import duckdb
+
+    from ocr_platform_spark.operators.kmeans import python_kmeans
+
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM read_parquet"
+        f"('{SF001}/embeddings.parquet')").fetchall()
+    assign, _cents = python_kmeans([(int(v), list(e)) for v, e in rows])
+    cols = list(zip(*assign))
+    _write("ml_kmeans.sf0.01.parquet", pa.table({
+        "vec_id": pa.array(cols[0], pa.int64()),
+        "cluster": pa.array(cols[1], pa.int64()),
+        "dist": pa.array(cols[2], pa.int64()),
+    }))
+
+
 def extract_links_fixture() -> None:
     """Sequential run of the anchor-extraction kernel over the same 300
     synthetic pages the extract_links query maps."""
@@ -490,4 +511,5 @@ if __name__ == "__main__":
     warc_ingest()
     ml_linear_fit()
     ml_fit_apply()
+    ml_kmeans()
     extract_links_fixture()
