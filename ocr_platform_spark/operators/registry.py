@@ -200,6 +200,10 @@ _DRIVER_PRIORITY = (
     # window, every query in the registry has >=1 driver row of record.
     "cx_robots_filter", "cx_sitemap", "cx_crawl_delta",
     "ev_asof_join", "ev_asof_skew",
+    # final-session wave 2 (anchor corpus, crawl frontier, k-means):
+    # same last-window reasoning — they take r06_anti_join ..
+    # r08_join_fanout's slots (4 prior green rows each, r01-r04)
+    "wl_anchor_corpus", "cx_frontier", "ml_kmeans",
 )
 
 
