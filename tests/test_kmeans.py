@@ -71,3 +71,21 @@ def test_fixture_is_balanced_and_total():
     assert sum(c for _, c in rows) == 500
     assert len(rows) == 10          # no cluster emptied on real data
     assert max(c for _, c in rows) <= 150   # no degenerate collapse
+
+
+def test_assignment_plan_is_pure_projection(spark):
+    """The per-iteration scale claim: assignment adds NO exchange and NO
+    join above the quantized base — k distance expressions fold into one
+    projection; only the <=k-row stats aggregate ever shuffles."""
+    from pyspark.sql import functions as F
+
+    from ocr_platform_spark.operators.kmeans import _dist_to, _quantized
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = _quantized(emb)
+    cents = [list(r["q"]) for r in base.orderBy("vec_id").limit(3).collect()]
+    darr = F.array(*[_dist_to(c) for c in cents])
+    asg = base.select(
+        "vec_id", (F.array_position(darr, F.array_min(darr)) - 1).alias("c"))
+    p = asg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Join" not in p

@@ -186,3 +186,22 @@ def test_anchor_corpus_and_frontier_match_oracle(spark):
         got = sorted(map(tuple, fn(spark, SF_DIR).collect()))
         want = sorted(map(tuple, con.sql(sql).fetchall()))
         assert got == want
+
+
+def test_anchor_and_frontier_plan_shape(spark):
+    """Pin the scale claims: every exchange keys on the aggregate key
+    (target / host / resolved) — never a URL-side recompute — and the
+    frontier's politeness window is partitioned, not global."""
+    import re
+
+    from ocr_platform_spark.operators.weblinks import (
+        anchor_corpus, crawl_frontier)
+    from ocr_platform_spark.sources.pages import pages_df
+
+    links = links_df(pages_df(spark, 50))
+    for fn in (anchor_corpus, crawl_frontier):
+        p = fn(links)._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in p
+        assert "No Partition Defined" not in p
+        keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", p))
+        assert keys <= {"target", "host", "resolved"}, keys
