@@ -204,6 +204,9 @@ _DRIVER_PRIORITY = (
     # same last-window reasoning — they take r06_anti_join ..
     # r08_join_fanout's slots (4 prior green rows each, r01-r04)
     "wl_anchor_corpus", "cx_frontier", "ml_kmeans",
+    # wave 3: frontier × robots composition — takes r05_semi_join's slot
+    # (4 prior green rows)
+    "cx_polite_frontier",
 )
 
 

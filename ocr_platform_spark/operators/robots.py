@@ -118,17 +118,26 @@ def parse_robots(robots: DataFrame) -> DataFrame:
     return rules
 
 
+def _path_for(k) -> F.Column:
+    """Deterministic path for an integer key: every rule family appears
+    (k%7==0 → /private/, k%7==1 → /p/open/, else /p/)."""
+    return (F.when(k % 7 == 0,
+                   F.concat(F.lit("/private/doc"), k.cast("string")))
+            .when(k % 7 == 1,
+                  F.concat(F.lit("/p/open/"), k.cast("string")))
+            .otherwise(F.concat(F.lit("/p/"), k.cast("string"))))
+
+
+def _host_for(k) -> F.Column:
+    return F.concat(F.lit("h"), (k % N_HOSTS).cast("string"),
+                    F.lit(".example.net"))
+
+
 def _urls(orders: DataFrame) -> DataFrame:
     """Deterministic URL table over orders (the cx_url_filter shape, with
     paths exercising every rule family)."""
     o = F.col("o_orderkey")
-    path = (F.when(o % 7 == 0,
-                   F.concat(F.lit("/private/doc"), o.cast("string")))
-            .when(o % 7 == 1,
-                  F.concat(F.lit("/p/open/"), o.cast("string")))
-            .otherwise(F.concat(F.lit("/p/"), o.cast("string"))))
-    host = F.concat(F.lit("h"), (o % N_HOSTS).cast("string"),
-                    F.lit(".example.net"))
+    path, host = _path_for(o), _host_for(o)
     return orders.select(
         "o_orderkey", host.alias("host"), path.alias("path"),
         F.concat(F.lit("https://"), host, path).alias("url"))
@@ -173,6 +182,106 @@ def best_match(path):
         "rules", lambda r: path.startswith(r["rpath"])))
 
 
+EDGE_KEYS = 3000       # link-graph key space (== cx_robots_filter's urls)
+CRAWLED_KEYS = 1500    # keys below this are already-extracted pages
+FRONTIER_CAP = 5       # politeness budget: fetches per host per wave
+
+
+def cx_polite_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl scheduler's operational query — frontier × robots in one
+    plan: synthesize the outlink graph over orders (edge o → key
+    ``(o·((o%97)+1)+3) mod 3000``, chosen so every host and every rule
+    family appears with varied inbound multiplicity), drop targets whose
+    URL is already in the crawled set, gate the survivors through the
+    RFC 9309 verdict, and emit the next wave capped at FRONTIER_CAP
+    fetches per host, ranked by inbound count (ties → target byte order).
+
+    Composition is the point: cx_frontier's discovery/anti-join/cap and
+    cx_robots_filter's broadcast-rules verdict, chained the way the real
+    scheduler runs them. Shape at scale: inbound aggregation happens on
+    the INTEGER key before any string is built (presentation columns are
+    derived after the ≤|keys| aggregate, not carried through the
+    shuffle); the crawled-set anti-join keys on the url string — bloom-
+    filter / storage-partitioned territory at corpus scale; the robots
+    join is the same ONE-row-per-host broadcast as cx_robots_filter, so
+    the verdict adds zero exchanges; the politeness window runs over the
+    already-tiny frontier. Oracle: pure SQL — re-derives edges, crawled
+    membership, verdicts, and the cap from the generation formulas
+    without parsing robots.txt or building a link table."""
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < EDGE_KEYS)
+    o = F.col("o_orderkey")
+    tk = F.pmod(o * (F.pmod(o, F.lit(97)) + 1) + 3, F.lit(EDGE_KEYS))
+    cand = (orders.select(tk.alias("tk"))
+            .groupBy("tk").agg(F.count("*").alias("inbound")))
+    k = F.col("tk")
+    host, path = _host_for(k), _path_for(k)
+    parts = cand.select(
+        "tk", "inbound", host.alias("host"), path.alias("path"),
+        F.concat(F.lit("https://"), host, path).alias("target"))
+    crawled = (_urls(orders.filter(o < CRAWLED_KEYS))
+               .select(F.col("url").alias("target")))
+    fresh = parts.join(crawled, "target", "left_anti")
+    j = fresh.join(F.broadcast(rules_by_host(spark)), "host", "left")
+    b = F.col("best")
+    judged = (j.withColumn("best", best_match(F.col("path")))
+              .withColumn("allowed",
+                          F.when(b.isNull(), F.lit(True))
+                          .otherwise(b["allow"] == 1)))
+    w = Window.partitionBy("host").orderBy(
+        F.desc("inbound"), F.asc("target"))
+    return (judged.filter("allowed")
+            .withColumn("fetch_rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("fetch_rank") <= FRONTIER_CAP)
+            .select("host", "target", F.col("inbound").cast("long")
+                    .alias("inbound"),
+                    b["rpath"].alias("matched_rule"), "fetch_rank"))
+
+
+CX_POLITE_FRONTIER_SQL = """
+WITH edges AS (
+  SELECT (o_orderkey * ((o_orderkey % 97) + 1) + 3) % 3000 AS tk
+  FROM orders WHERE o_orderkey < 3000
+), cand AS (
+  SELECT tk, CAST(COUNT(*) AS BIGINT) AS inbound FROM edges GROUP BY tk
+), fresh AS (
+  -- crawled membership re-derived from injectivity of the url formula:
+  -- url(k) embeds k verbatim, so url IN crawled  <=>  tk < 1500
+  SELECT * FROM cand WHERE tk >= 1500
+), parts AS (
+  SELECT tk, inbound, tk % 16 AS hk,
+         CASE WHEN tk % 7 = 0 THEN '/private/doc' || tk
+              WHEN tk % 7 = 1 THEN '/p/open/' || tk
+              ELSE '/p/' || tk END AS path
+  FROM fresh
+), judged AS (
+  -- verdict re-derived from the rule-generation formula, NOT by parsing
+  SELECT tk, inbound, hk,
+         'h' || hk || '.example.net' AS host,
+         'https://h' || hk || '.example.net' || path AS target,
+    CASE WHEN path LIKE '/private/%' THEN '/private/'
+         WHEN hk % 3 = 0 AND path LIKE '/p/open/%' THEN '/p/open/'
+         WHEN hk % 3 = 0 AND path LIKE '/p/%' THEN '/p/'
+         WHEN hk % 5 = 0 THEN '/'
+         ELSE NULL END AS matched_rule,
+    CASE WHEN path LIKE '/private/%' THEN 0
+         WHEN hk % 3 = 0 AND path LIKE '/p/open/%' THEN 1
+         WHEN hk % 3 = 0 AND path LIKE '/p/%' THEN 0
+         WHEN hk % 5 = 0 THEN 0
+         ELSE NULL END AS rule_is_allow
+  FROM parts
+), ranked AS (
+  SELECT host, target, inbound, matched_rule,
+         CAST(row_number() OVER (
+             PARTITION BY host
+             ORDER BY inbound DESC, target ASC) AS BIGINT) AS fetch_rank
+  FROM judged WHERE COALESCE(rule_is_allow = 1, TRUE)
+)
+SELECT host, target, inbound, matched_rule, fetch_rank
+FROM ranked WHERE fetch_rank <= 5
+"""
+
+
 CX_ROBOTS_SQL = """
 WITH urls AS (
   SELECT o_orderkey,
@@ -209,4 +318,5 @@ FROM judged
 
 QUERIES: dict = {
     "cx_robots_filter": (cx_robots_filter, CX_ROBOTS_SQL),
+    "cx_polite_frontier": (cx_polite_frontier, CX_POLITE_FRONTIER_SQL),
 }

@@ -86,3 +86,30 @@ def test_plan_broadcasts_rules_no_url_shuffle(spark):
     assert "SortMergeJoin" not in plan
     for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "o_orderkey" not in keys and "url" not in keys, plan
+
+
+def test_polite_frontier_semantics(spark):
+    """Composition invariants: no disallowed target survives, no crawled
+    url re-enters, every host respects the politeness cap, ranks are
+    dense from 1."""
+    from ocr_platform_spark.operators.robots import (
+        CRAWLED_KEYS, FRONTIER_CAP, cx_polite_frontier)
+
+    rows = cx_polite_frontier(spark, SF_DIR).collect()
+    assert rows
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+        # robots gate: /private/ is disallowed on EVERY host; full-
+        # disallow hosts (hk%5==0, unless /p/open/ allowed) never emit /p/
+        assert "/private/" not in r["target"]
+        # crawled set: url(k) embeds k, frontier keys are >= CRAWLED_KEYS
+        key = int(r["target"].rsplit("/", 1)[-1].lstrip("docpen"))
+        assert key >= CRAWLED_KEYS
+    for host, hr in by_host.items():
+        assert len(hr) <= FRONTIER_CAP
+        ranks = sorted(r["fetch_rank"] for r in hr)
+        assert ranks == list(range(1, len(hr) + 1))
+        hk = int(host[1:].split(".")[0])
+        if hk % 5 == 0:  # full-disallow host: only /p/open/ can survive
+            assert all("/p/open/" in r["target"] for r in hr), (host, hr)
