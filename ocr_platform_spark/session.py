@@ -113,6 +113,10 @@ def build_spark(app_name: str = "ocr-platform-spark",
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(ARROW_MAX_RECORDS))
         .config("spark.sql.session.timeZone", "UTC")
+        # saveAsTable targets (bucketed layouts) land in scratch, never in
+        # the process cwd; real deploys point this at the lake catalog
+        .config("spark.sql.warehouse.dir",
+                os.path.join(_local_dir(), "spark-warehouse"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
