@@ -96,6 +96,8 @@ def anchor_corpus(links: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    anchor_release()        # evict the previous call's cached link base
+    global _last_base
     base = (links
             .where(F.col("resolved").isNotNull()
                    & (F.col("anchor_text") != ""))
@@ -105,6 +107,7 @@ def anchor_corpus(links: DataFrame) -> DataFrame:
                     (~F.col("boilerplate")).cast("long").alias("is_content"),
                     F.length("anchor_text").cast("long").alias("n_chars"))
             .persist())
+    _last_base = base
     per_target = base.groupBy("target").agg(
         F.count("*").alias("n_links"),
         F.sum("is_content").alias("n_content"),
@@ -125,6 +128,25 @@ def wl_anchor_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_platform_spark.sources.pages import pages_df
 
     return anchor_corpus(links_df(pages_df(spark, LINKS_DOCS)))
+
+
+# anchor_corpus persists its parsed-link base (both aggregates consume
+# it); in a long-lived session repeated calls would otherwise accumulate
+# cached blocks. Same policy as search.bm25_topk: each call evicts the
+# previous call's cache, and callers done with the last result can call
+# anchor_release().
+_last_base = None
+
+
+def anchor_release() -> None:
+    """Unpersist the link base cached by the most recent anchor_corpus."""
+    global _last_base
+    if _last_base is not None:
+        try:
+            _last_base.unpersist(blocking=False)
+        except Exception:
+            pass
+        _last_base = None
 
 
 FRONTIER_PER_HOST = 3
