@@ -49,7 +49,7 @@ def _modules():
     from ocr_platform_spark.operators import (
         asof, crawldelta, curation, dedup, incremental, pdf_extract,
         relational, robots, scalar_queries, search, similarity, sitemap,
-        text_analysis, webcorpus, webgraph, weblinks)
+        sketches, text_analysis, webcorpus, webgraph, weblinks)
     from ocr_platform_spark.plans import corpus_job
     from ocr_platform_spark.streaming import sessions, windowed
     # corpus_job last: a round-4 late addition — it must NOT displace any
@@ -61,7 +61,7 @@ def _modules():
     return (relational, scalar_queries, text_analysis, dedup, incremental,
             similarity, curation, pdf_extract, windowed, sessions,
             webcorpus, webgraph, weblinks, corpus_job, search, robots,
-            asof, sitemap, crawldelta)
+            asof, sitemap, crawldelta, sketches)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,6 +207,10 @@ _DRIVER_PRIORITY = (
     # wave 3: frontier × robots composition — takes r05_semi_join's slot
     # (4 prior green rows)
     "cx_polite_frontier",
+    # wave 4 (HITS authority ranking, KMV distinct sketch): take
+    # r01_projection_filter / r02_equality_filter's slots (4 prior green
+    # rows each, CORRECTNESS_r01..r04)
+    "wg_hits", "ta_kmv_distinct",
 )
 
 

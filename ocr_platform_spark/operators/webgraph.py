@@ -225,7 +225,139 @@ r{i} AS (
 WG_PAGERANK_SQL = _pagerank_sql()
 
 
+# --- HITS hubs & authorities (Kleinberg) -----------------------------------
+# The third classic link-graph ranking beside PageRank and harmonic
+# centrality: authority(v) = sum of hub scores linking TO v, hub(u) = sum
+# of authority scores u links to. Curation pipelines use the authority
+# side as a spam-resistant complement to PageRank (link farms inflate
+# their own PR but not their authority, because farm pages are bad hubs).
+#
+# Determinism: the usual L2 normalization is replaced by max-normalization
+# (divide by the round's max score, x1e6 fixed point, floor division) —
+# a valid HITS normalizer (any positive rescaling per round preserves the
+# power-iteration direction) that stays in exact int64, so every engine
+# reproduces the bits and the DuckDB oracle is the same recurrence
+# unrolled with one scalar-subquery max per half-step.
+
+HITS_ITERS = 8
+_HITS_SCALE = 1_000_000
+
+
+def hits_ranks(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """edges(src, dst) → (h, auth, hub) after ``iters`` exact-integer
+    max-normalized HITS iterations.
+
+    Shape at scale: per iteration, two (join on one endpoint → map-side-
+    combined aggregate on the other) passes — the same shuffle profile as
+    one PageRank round, twice — plus a 1-row max aggregate that broadcasts
+    back via crossJoin (never collected to Python). Score lineage is cut
+    every iteration (dd_clusters' checkpoint pattern) so the plan depth
+    stays constant.
+    """
+    spark = edges.sparkSession
+    hosts = (edges.select(F.col("src").alias("h"))
+             .union(edges.select(F.col("dst").alias("h")))
+             .distinct())
+    e = edges.persist()
+
+    has_ckpt_dir = spark.sparkContext.getCheckpointDir() is not None
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if has_ckpt_dir \
+            else df.localCheckpoint(eager=True)
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        """(h, raw) → (h, score) with score = raw * 1e6 DIV max(raw);
+        the 1-row max is broadcast back into the plan, not collected."""
+        mx = raw.agg(F.max(col).alias("mx"))
+        return (raw.crossJoin(F.broadcast(mx))
+                .select("h", F.expr(f"({col} * {_HITS_SCALE}) DIV mx")
+                        .cast("long").alias(col)))
+
+    hub = hosts.withColumn("hub", F.lit(_HITS_SCALE).cast("long"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (e.join(hub, e["src"] == hub["h"])
+                 .groupBy("dst").agg(F.sum("hub").alias("auth")))
+        auth = _cut(_normalize(
+            hosts.join(a_raw, hosts["h"] == a_raw["dst"], "left")
+            .select("h", F.coalesce("auth", F.lit(0)).alias("auth")),
+            "auth"))
+        h_raw = (e.join(auth, e["dst"] == auth["h"])
+                 .groupBy("src").agg(F.sum("auth").alias("hub")))
+        hub = _cut(_normalize(
+            hosts.join(h_raw, hosts["h"] == h_raw["src"], "left")
+            .select("h", F.coalesce("hub", F.lit(0)).alias("hub")),
+            "hub"))
+    e.unpersist()
+    return (auth.join(hub, "h")
+            .select("h", F.col("auth").cast("long"),
+                    F.col("hub").cast("long")))
+
+
+def wg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    ranks = hits_ranks(_edges(orders))
+    return ranks.select(
+        F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
+        F.col("auth").alias("auth_x1e6"),
+        F.col("hub").alias("hub_x1e6"))
+
+
+def _hits_sql(iters: int = HITS_ITERS) -> str:
+    """The identical recurrence: one (raw, normalized) CTE pair per
+    half-step. The round max enters as ``max(...) OVER ()`` INSIDE the
+    normalize CTE — not a scalar subquery — because DuckDB inlines CTEs:
+    a second reference per half-step would expand the chain ~4^iters
+    times (measured: fd exhaustion from tens of thousands of parquet
+    re-scans). With the window form every CTE is referenced exactly once,
+    so the unrolled plan stays linear like the PageRank oracle. DuckDB
+    SUM widens to HUGEINT, so every aggregate is cast back to BIGINT."""
+    sql = f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey % {N_HOSTS} AS src,
+                  (o_orderkey * 7 + 3) % {N_HOSTS} AS dst
+  FROM orders
+  WHERE o_orderkey < 5000
+    AND o_custkey % {N_HOSTS} <> (o_orderkey * 7 + 3) % {N_HOSTS}),
+hosts AS (
+  SELECT DISTINCT h FROM (
+    SELECT src AS h FROM edges UNION SELECT dst FROM edges)),
+hub0 AS (SELECT h, CAST({_HITS_SCALE} AS BIGINT) AS hub FROM hosts)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+araw{i} AS (
+  SELECT h.h, CAST(coalesce(s.x, 0) AS BIGINT) AS auth
+  FROM hosts h LEFT JOIN (
+    SELECT e.dst AS h, sum(u.hub) AS x
+    FROM edges e JOIN hub{i - 1} u ON u.h = e.src
+    GROUP BY e.dst) s ON s.h = h.h),
+auth{i} AS (
+  SELECT h, CAST((auth * {_HITS_SCALE})
+                 // max(auth) OVER () AS BIGINT) AS auth
+  FROM araw{i}),
+hraw{i} AS (
+  SELECT h.h, CAST(coalesce(s.x, 0) AS BIGINT) AS hub
+  FROM hosts h LEFT JOIN (
+    SELECT e.src AS h, sum(a.auth) AS x
+    FROM edges e JOIN auth{i} a ON a.h = e.dst
+    GROUP BY e.src) s ON s.h = h.h),
+hub{i} AS (
+  SELECT h, CAST((hub * {_HITS_SCALE})
+                 // max(hub) OVER () AS BIGINT) AS hub
+  FROM hraw{i})"""
+    sql += f"""
+SELECT 'h' || CAST(a.h AS VARCHAR) AS host,
+       a.auth AS auth_x1e6, u.hub AS hub_x1e6
+FROM auth{iters} a JOIN hub{iters} u ON u.h = a.h"""
+    return sql
+
+
+WG_HITS_SQL = _hits_sql()
+
+
 QUERIES: dict = {
     "wg_pagerank": (wg_pagerank, WG_PAGERANK_SQL),
     "wg_harmonic": (wg_harmonic, WG_HARMONIC_SQL),
+    "wg_hits": (wg_hits, WG_HITS_SQL),
 }
