@@ -207,10 +207,11 @@ _DRIVER_PRIORITY = (
     # wave 3: frontier × robots composition — takes r05_semi_join's slot
     # (4 prior green rows)
     "cx_polite_frontier",
-    # wave 4 (HITS authority ranking, KMV distinct sketch): take
-    # r01_projection_filter / r02_equality_filter's slots (4 prior green
-    # rows each, CORRECTNESS_r01..r04)
-    "wg_hits", "ta_kmv_distinct",
+    # wave 4 (HITS authority ranking, KMV distinct sketch, Bloom-filter
+    # crawled-set gate): take r01_projection_filter / r02_equality_filter
+    # / r03_ilike_contains's slots (4 prior green rows each,
+    # CORRECTNESS_r01..r04)
+    "wg_hits", "ta_kmv_distinct", "dd_bloom_membership",
 )
 
 

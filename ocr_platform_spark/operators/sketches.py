@@ -123,6 +123,135 @@ GROUP BY source
 """
 
 
+# --- Bloom-filter membership (the crawled-set gate at scale) ---------------
+# cx_frontier anti-joins candidate urls against the crawled set — correct,
+# but at 10^12 crawled urls that anti-join shuffles the full crawled-url
+# universe every wave. The production gate is a Bloom filter: the crawled
+# set collapses to a bitmap (here 512 int64 words = 4 KiB; a real crawl
+# sizes it in GiB), the bitmap broadcasts, and the probe side becomes a
+# pure projection — candidate urls never shuffle against the crawled set
+# at all. False positives only ever SKIP a recrawl (never corrupt data),
+# the standard trade every crawler makes.
+#
+# Determinism (what makes it oracle-able, unlike engine Bloom pushdown):
+# double hashing à la Kirsch-Mitzenmacher over two 56-bit md5 slices,
+# pos_i = (h1 + i*(h2 % (m-1) + 1)) % m. Words hold 62 bits (bit 62/63
+# unused) because DuckDB raises on signed `1 << 63`; all words stay
+# non-negative so >> is portable.
+
+BLOOM_WORDS = 512
+_BLOOM_BPW = 62                       # usable bits per int64 word
+BLOOM_M = BLOOM_WORDS * _BLOOM_BPW    # 31,744 bits
+BLOOM_J = 3                           # probes per key
+_CRAWLED_MAX = 3000                   # membership = o_orderkey < 3000
+_PROBE_MAX = 6000
+
+
+def _bloom_url(key):
+    return F.concat(F.lit("https://h"), F.pmod(key, F.lit(50)),
+                    F.lit(".example/p/"), key)
+
+
+def _bloom_positions(url_col: str):
+    """array of BLOOM_J bit positions for a url — shared formula."""
+    d = F.md5(url_col)
+    h1 = F.conv(F.substring(d, 1, 14), 16, 10).cast("long")
+    h2 = F.conv(F.substring(d, 15, 14), 16, 10).cast("long")
+    step = F.pmod(h2, F.lit(BLOOM_M - 1)) + 1
+    return F.array(*[F.pmod(h1 + i * step, F.lit(BLOOM_M))
+                     for i in range(BLOOM_J)])
+
+
+def bloom_membership(crawled: DataFrame, probes: DataFrame) -> DataFrame:
+    """crawled(url) + probes(url) → (url, bloom_maybe, is_member,
+    false_positive).
+
+    Build: explode each crawled url to its J bit positions, aggregate to
+    ≤BLOOM_WORDS (word, bits) rows via bit_or — two tiny exchanges over
+    positions, never urls. Probe: the bitmap broadcasts into a join on
+    word (≤512 distinct values), then one map-side-combined bool_and per
+    url. is_member is the exact anti-join ground truth kept ONLY to label
+    false positives for the oracle; the production projection drops it —
+    dropping it is the entire point of the filter.
+    """
+    bitmap = (crawled
+              .select(F.explode(_bloom_positions("url")).alias("pos"))
+              .distinct()
+              .groupBy(F.expr(f"pos DIV {_BLOOM_BPW}").alias("word"))
+              .agg(F.bit_or(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                                   f"CAST(pos % {_BLOOM_BPW} AS INT))"))
+                   .alias("bits")))
+    ppos = probes.select(
+        "url", F.posexplode(_bloom_positions("url")).alias("i", "pos"))
+    probed = (ppos
+              .withColumn("word", F.expr(f"pos DIV {_BLOOM_BPW}"))
+              .withColumn("bit", F.expr(f"CAST(pos % {_BLOOM_BPW} AS INT)"))
+              .join(F.broadcast(bitmap), "word", "left")
+              .groupBy("url")
+              .agg(F.bool_and(
+                  F.expr("((coalesce(bits, CAST(0 AS BIGINT)) >> bit)"
+                         " & 1) = 1")).alias("bloom_maybe")))
+    member = crawled.select("url").withColumn("is_member", F.lit(True))
+    return (probed.join(F.broadcast(member), "url", "left")
+            .select("url", "bloom_maybe",
+                    F.coalesce("is_member", F.lit(False)).alias("is_member"),
+                    (F.col("bloom_maybe")
+                     & ~F.coalesce("is_member", F.lit(False)))
+                    .alias("false_positive")))
+
+
+def dd_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_orderkey").alias("k")).distinct()
+    crawled = (keys.filter(F.col("k") < _CRAWLED_MAX)
+               .select(_bloom_url(F.col("k")).alias("url")))
+    probes = (keys.filter(F.col("k") < _PROBE_MAX)
+              .select(_bloom_url(F.col("k")).alias("url")))
+    return bloom_membership(crawled, probes)
+
+
+def _bloom_pos_sql(alias: str) -> str:
+    """SQL twin of _bloom_positions, one column per probe index."""
+    return ", ".join(
+        f"(CAST(('0x' || substr(md5({alias}), 1, 14)) AS BIGINT)"
+        f" + {i} * (CAST(('0x' || substr(md5({alias}), 15, 14)) AS BIGINT)"
+        f" % {BLOOM_M - 1} + 1)) % {BLOOM_M} AS p{i}"
+        for i in range(BLOOM_J))
+
+
+DD_BLOOM_SQL = f"""
+WITH keys AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey < {_PROBE_MAX}),
+urls AS (
+  SELECT k, 'https://h' || CAST(k % 50 AS VARCHAR)
+            || '.example/p/' || CAST(k AS VARCHAR) AS url
+  FROM keys),
+cpos AS (
+  SELECT {_bloom_pos_sql('url')} FROM urls WHERE k < {_CRAWLED_MAX}),
+bits AS (
+  SELECT pos // {_BLOOM_BPW} AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_BPW} AS INT)) AS bits
+  FROM (SELECT DISTINCT pos FROM (
+          SELECT unnest([p0, p1, p2]) AS pos FROM cpos))
+  GROUP BY 1),
+ppos AS (
+  SELECT url, k, unnest([p0, p1, p2]) AS pos
+  FROM (SELECT url, k, {_bloom_pos_sql('url')} FROM urls)),
+probed AS (
+  SELECT p.url, p.k,
+         bool_and(((coalesce(b.bits, CAST(0 AS BIGINT))
+                    >> CAST(p.pos % {_BLOOM_BPW} AS INT)) & 1) = 1)
+             AS bloom_maybe
+  FROM ppos p LEFT JOIN bits b ON b.word = p.pos // {_BLOOM_BPW}
+  GROUP BY p.url, p.k)
+SELECT url, bloom_maybe,
+       k < {_CRAWLED_MAX} AS is_member,
+       bloom_maybe AND NOT (k < {_CRAWLED_MAX}) AS false_positive
+FROM probed
+"""
+
+
 QUERIES: dict = {
     "ta_kmv_distinct": (ta_kmv_distinct, TA_KMV_SQL),
+    "dd_bloom_membership": (dd_bloom_membership, DD_BLOOM_SQL),
 }

@@ -162,3 +162,65 @@ def test_kmv_merge_state_is_bounded(spark):
     rows = out.collect()
     assert len(rows) == docs.select("source").distinct().count()
     assert all(r["kmv_est"] > 0 for r in rows)
+
+
+# --- Bloom membership --------------------------------------------------------
+
+def _python_bloom(crawled: set, probes: set) -> dict:
+    from ocr_platform_spark.operators.sketches import (
+        BLOOM_J, BLOOM_M, _BLOOM_BPW)
+    words: dict[int, int] = {}
+
+    def positions(url: str):
+        d = hashlib.md5(url.encode()).hexdigest()
+        h1, h2 = int(d[:14], 16), int(d[14:28], 16)
+        step = h2 % (BLOOM_M - 1) + 1
+        return [(h1 + i * step) % BLOOM_M for i in range(BLOOM_J)]
+
+    for u in crawled:
+        for p in positions(u):
+            words[p // _BLOOM_BPW] = (words.get(p // _BLOOM_BPW, 0)
+                                      | (1 << (p % _BLOOM_BPW)))
+    out = {}
+    for u in probes:
+        maybe = all((words.get(p // _BLOOM_BPW, 0) >> (p % _BLOOM_BPW)) & 1
+                    for p in positions(u))
+        out[u] = (maybe, u in crawled, maybe and u not in crawled)
+    return out
+
+
+def _bloom_urls():
+    ks = range(6000)
+    url = lambda k: f"https://h{k % 50}.example/p/{k}"  # noqa: E731
+    return ({url(k) for k in ks if k < 3000}, {url(k) for k in ks})
+
+
+def test_bloom_matches_python_replica(spark):
+    from ocr_platform_spark.operators.sketches import dd_bloom_membership
+    crawled, probes = _bloom_urls()
+    want = _python_bloom(crawled, probes)
+    got = {r["url"]: (r["bloom_maybe"], r["is_member"], r["false_positive"])
+           for r in dd_bloom_membership(spark, SF_DIR).collect()}
+    assert got == want
+
+
+def test_bloom_never_false_negative_and_fp_rate(spark):
+    from ocr_platform_spark.operators.sketches import dd_bloom_membership
+    rows = dd_bloom_membership(spark, SF_DIR).collect()
+    # the Bloom guarantee: every member answers maybe
+    assert all(r["bloom_maybe"] for r in rows if r["is_member"])
+    # the filter is USEFUL: most non-members are rejected, some FPs exist
+    # (deterministic at this fill factor, so pin that the branch is live)
+    non = [r for r in rows if not r["is_member"]]
+    fp = sum(1 for r in non if r["false_positive"])
+    assert 0 < fp < 0.1 * len(non)
+
+
+def test_bloom_plan_broadcasts_bitmap(spark):
+    # the probe side must join the bitmap by BROADCAST: candidate urls
+    # never shuffle against the crawled set (the point of the filter)
+    from ocr_platform_spark.operators.sketches import dd_bloom_membership
+    plan = dd_bloom_membership(spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
