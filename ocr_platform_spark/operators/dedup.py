@@ -701,8 +701,126 @@ def dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cluster_id", "doc_id"))
 
 
+# --- mirror-host detection --------------------------------------------------
+# Mirrors (the same site served from several hosts) are a host-LEVEL dup
+# problem document dedup can't see: every page pair is an exact dup, but
+# the curation decision — keep one host, drop the rest — needs the host
+# pair, scored by content containment. Method: per-host exact fingerprint
+# sets, self-joined on the fingerprint. The scale hazard is the hot
+# fingerprint: boilerplate (empty pages, parked-domain templates) appears
+# on ~every host, and a fingerprint on H hosts makes H^2/2 pair rows — so
+# fingerprints on > MIRROR_HOT_T hosts are dropped BEFORE the pair join
+# (a mirror signal must be rare-by-host to mean anything; the cap bounds
+# the join fanout at T^2 per fingerprint). The documents table has no
+# cross-host dups, so the query synthesizes the mirror corpus
+# deterministically (cx_crawl_delta's pattern): hosts srcN with N%3==0
+# gain a mirror m-srcN carrying each text verbatim or perturbed on a
+# deterministic md5 hash-coin — a doc_id coin would be confounded with
+# the generator's round-robin source assignment (doc_id % n_hosts ==
+# host index, so doc_id parity is CONSTANT within a host: measured
+# containment 1.0 on even hosts and no pair at all on odd ones) — giving
+# containment ~0.5, not an echo of 1.0; plus one planted
+# '(boilerplate)' row on EVERY host that the hot guard must suppress —
+# without the guard every host pair would share a fingerprint.
+
+MIRROR_HOT_T = 5        # fingerprints on more hosts than this are noise
+MIRROR_MIN_SHARED = 2   # pairs sharing fewer fingerprints are not mirrors
+
+
+def mirror_hosts(corpus: DataFrame,
+                 hot_t: int = MIRROR_HOT_T,
+                 min_shared: int = MIRROR_MIN_SHARED) -> DataFrame:
+    """corpus(source, text) → (host_a, host_b, n_a, n_b, shared,
+    cont_x1e6): host pairs ranked by content containment
+    shared / min(|A|, |B|), after the hot-fingerprint cap."""
+    th = (corpus.select("source", F.md5("text").alias("th"))
+          .distinct())
+    hot = (th.groupBy("th").agg(F.count("*").alias("nh"))
+           .filter(F.col("nh") > hot_t).select("th"))
+    kept = th.join(hot, "th", "left_anti").persist()
+    sizes = kept.groupBy("source").agg(F.count("*").alias("n"))
+    pairs = (kept.alias("a")
+             .join(kept.alias("b"), "th")
+             .filter(F.col("a.source") < F.col("b.source"))
+             .groupBy(F.col("a.source").alias("host_a"),
+                      F.col("b.source").alias("host_b"))
+             .agg(F.count("*").alias("shared"))
+             .filter(F.col("shared") >= min_shared))
+    out = (pairs
+           .join(F.broadcast(sizes.withColumnRenamed("source", "host_a")
+                             .withColumnRenamed("n", "n_a")), "host_a")
+           .join(F.broadcast(sizes.withColumnRenamed("source", "host_b")
+                             .withColumnRenamed("n", "n_b")), "host_b")
+           .select("host_a", "host_b", "n_a", "n_b", "shared",
+                   F.expr("(shared * 1000000) DIV least(n_a, n_b)")
+                   .cast("long").alias("cont_x1e6")))
+    kept.unpersist(blocking=False)
+    return out
+
+
+def _mirror_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic mirror synthesis shared with the SQL oracle."""
+    base = docs.select("source", "text")
+    host_n = F.substring("source", 4, 10).cast("int")
+    mirrored = (docs.filter(F.pmod(host_n, F.lit(3)) == 0)
+                .select(F.concat(F.lit("m-"), F.col("source"))
+                        .alias("source"),
+                        F.when(F.substring(F.md5("text"), 1, 1) <= "7",
+                               F.col("text"))
+                        .otherwise(F.concat(F.lit("m:"), F.col("text")))
+                        .alias("text")))
+    hosts = base.unionByName(mirrored).select("source").distinct()
+    boiler = hosts.withColumn("text", F.lit("(boilerplate)"))
+    return base.unionByName(mirrored).unionByName(boiler)
+
+
+def dd_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return mirror_hosts(_mirror_corpus(docs))
+
+
+DD_MIRROR_SQL = f"""
+WITH corpus AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'm-' || source,
+         CASE WHEN substr(md5(text), 1, 1) <= '7' THEN text
+              ELSE 'm:' || text END
+  FROM documents
+  WHERE CAST(substr(source, 4) AS INT) % 3 = 0
+  UNION ALL
+  SELECT source, '(boilerplate)' FROM (
+    SELECT DISTINCT source FROM documents
+    UNION
+    SELECT DISTINCT 'm-' || source FROM documents
+    WHERE CAST(substr(source, 4) AS INT) % 3 = 0)),
+th AS (SELECT DISTINCT source, md5(text) AS th FROM corpus),
+kept AS (
+  SELECT source, th FROM th
+  WHERE th NOT IN (
+    SELECT th FROM th GROUP BY th HAVING count(*) > {MIRROR_HOT_T})),
+sizes AS (SELECT source, count(*) AS n FROM kept GROUP BY source),
+pairs AS (
+  SELECT a.source AS host_a, b.source AS host_b,
+         count(*) AS shared
+  FROM kept a JOIN kept b ON a.th = b.th AND a.source < b.source
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIRROR_MIN_SHARED})
+SELECT p.host_a, p.host_b,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST(p.shared AS BIGINT) AS shared,
+       CAST((p.shared * 1000000) // least(sa.n, sb.n) AS BIGINT)
+           AS cont_x1e6
+FROM pairs p
+JOIN sizes sa ON sa.source = p.host_a
+JOIN sizes sb ON sb.source = p.host_b
+"""
+
+
 QUERIES: dict = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
+    "dd_mirror_hosts": (dd_mirror_hosts, DD_MIRROR_SQL),
     "dd_ngram_jaccard": (dd_ngram_jaccard, DD_JACCARD_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, DD_MINHASH_SQL),
     "dd_simhash": (dd_simhash, DD_SIMHASH_SQL),

@@ -212,6 +212,10 @@ _DRIVER_PRIORITY = (
     # / r03_ilike_contains's slots (4 prior green rows each,
     # CORRECTNESS_r01..r04)
     "wg_hits", "ta_kmv_distinct", "dd_bloom_membership",
+    # wave 5 (mirror-host detection): takes r04_exact_mode's slot (4 prior
+    # green rows). The window is now 2 flagship + 48 front-loads; every
+    # displaced r* query keeps 4 driver-green rows of record (r01-r04).
+    "dd_mirror_hosts",
 )
 
 

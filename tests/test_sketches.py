@@ -224,3 +224,76 @@ def test_bloom_plan_broadcasts_bitmap(spark):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- mirror-host detection ---------------------------------------------------
+
+def _python_mirrors():
+    import duckdb
+    from ocr_platform_spark.operators.dedup import (
+        MIRROR_HOT_T, MIRROR_MIN_SHARED)
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, source, text FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')").fetchall()
+    corpus = [(s, t) for _, s, t in rows]
+    hosts = {s for s, _ in corpus}
+    for _, s, t in rows:
+        if int(s[3:]) % 3 == 0:
+            d = hashlib.md5(t.encode()).hexdigest()
+            corpus.append((f"m-{s}", t if d[0] <= "7" else f"m:{t}"))
+            hosts.add(f"m-{s}")
+    corpus += [(h, "(boilerplate)") for h in hosts]
+    fps: dict[str, set] = {}
+    for s, t in corpus:
+        fps.setdefault(s, set()).add(hashlib.md5(t.encode()).hexdigest())
+    host_count: dict[str, int] = {}
+    for s, hs in fps.items():
+        for h in hs:
+            host_count[h] = host_count.get(h, 0) + 1
+    fps = {s: {h for h in hs if host_count[h] <= MIRROR_HOT_T}
+           for s, hs in fps.items()}
+    out = {}
+    for a in fps:
+        for b in fps:
+            if a < b:
+                shared = len(fps[a] & fps[b])
+                if shared >= MIRROR_MIN_SHARED:
+                    out[(a, b)] = (
+                        len(fps[a]), len(fps[b]), shared,
+                        shared * 1_000_000 // min(len(fps[a]), len(fps[b])))
+    return out
+
+
+def test_mirror_hosts_matches_python_replica(spark):
+    from ocr_platform_spark.operators.dedup import dd_mirror_hosts
+    got = {(r["host_a"], r["host_b"]):
+           (r["n_a"], r["n_b"], r["shared"], r["cont_x1e6"])
+           for r in dd_mirror_hosts(spark, SF_DIR).collect()}
+    assert got == _python_mirrors()
+
+
+def test_mirror_hot_guard_is_load_bearing(spark):
+    # the planted boilerplate fingerprint sits on every host; without the
+    # hot cap every host pair would surface. With it, only true mirror
+    # pairs (m-srcN, srcN) survive, with genuinely partial containment.
+    from ocr_platform_spark.operators.dedup import dd_mirror_hosts
+    rows = dd_mirror_hosts(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["host_a"] == f"m-{r['host_b']}"
+        assert 0 < r["cont_x1e6"] < 1_000_000   # partial, not an echo
+    n_hosts = 20
+    assert len(rows) == len([n for n in range(n_hosts) if n % 3 == 0])
+
+
+def test_mirror_without_guard_floods(spark):
+    # sanity that the guard (not luck) suppresses boilerplate: raising the
+    # cap above the host count admits the planted all-host fingerprint and
+    # the pair count explodes to every host pair
+    from ocr_platform_spark.operators.dedup import (
+        _mirror_corpus, mirror_hosts)
+    from ocr_platform_spark.operators.tables import load
+    corpus = _mirror_corpus(load(spark, SF_DIR, "documents"))
+    flooded = mirror_hosts(corpus, hot_t=10_000, min_shared=1).count()
+    guarded = mirror_hosts(corpus).count()
+    assert flooded > 300 and guarded == 7   # 27 hosts -> 351 pairs
