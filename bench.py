@@ -45,6 +45,8 @@ QUERY_SET = [
     "dd_ngram_jaccard", "dd_embedding_lsh", "ann_brute_topk", "ann_lsh_topk",
     "ta_token_stats", "ta_quality_flags", "ev_windowed_agg", "ev_sessionize",
     "ev_sessionize_skew", "dd_span_dedup", "cx_decontaminate",
+    # round-5 wave-4/5 additions (sketches + mirror detection)
+    "ta_kmv_distinct", "dd_bloom_membership", "dd_mirror_hosts",
 ]
 
 
