@@ -733,11 +733,14 @@ def mirror_hosts(corpus: DataFrame,
     """corpus(source, text) → (host_a, host_b, n_a, n_b, shared,
     cont_x1e6): host pairs ranked by content containment
     shared / min(|A|, |B|), after the hot-fingerprint cap."""
+    mirror_release()      # evict the previous call's cached fingerprints
+    global _last_kept
     th = (corpus.select("source", F.md5("text").alias("th"))
           .distinct())
     hot = (th.groupBy("th").agg(F.count("*").alias("nh"))
            .filter(F.col("nh") > hot_t).select("th"))
     kept = th.join(hot, "th", "left_anti").persist()
+    _last_kept = kept
     sizes = kept.groupBy("source").agg(F.count("*").alias("n"))
     pairs = (kept.alias("a")
              .join(kept.alias("b"), "th")
@@ -754,8 +757,27 @@ def mirror_hosts(corpus: DataFrame,
            .select("host_a", "host_b", "n_a", "n_b", "shared",
                    F.expr("(shared * 1000000) DIV least(n_a, n_b)")
                    .cast("long").alias("cont_x1e6")))
-    kept.unpersist(blocking=False)
     return out
+
+
+# kept feeds three lazy consumers (both self-join sides + sizes), so it
+# must stay persisted until the RESULT is materialized — an unpersist
+# before return would silently undo the cache (the plan hasn't run yet).
+# Same lifecycle policy as search.bm25_topk / weblinks.anchor_corpus:
+# each call evicts the previous call's cache; callers done with the last
+# result can call mirror_release().
+_last_kept = None
+
+
+def mirror_release() -> None:
+    """Unpersist the fingerprint set cached by the latest mirror_hosts."""
+    global _last_kept
+    if _last_kept is not None:
+        try:
+            _last_kept.unpersist(blocking=False)
+        except Exception:
+            pass
+        _last_kept = None
 
 
 def _mirror_corpus(docs: DataFrame) -> DataFrame:

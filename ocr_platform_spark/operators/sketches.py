@@ -79,14 +79,13 @@ def kmv_distinct(docs: DataFrame, k: int = KMV_K,
         F.sum("n_part").cast("long").alias("n_distinct_exact"),
         F.slice(F.array_sort(F.flatten(F.collect_list("mins"))),
                 1, k).alias("mins"))
-    hk = F.element_at("mins", k)
+    est_num = (k - 1) << _HASH_BITS     # == _EST_NUM at the default k
+    hk = F.greatest(F.element_at("mins", k), F.lit(1).cast("long"))
     return merged.select(
         "source",
         "n_distinct_exact",
         F.when(F.size("mins") < k, F.size("mins").cast("long"))
-        .otherwise(F.expr(f"CAST({_EST_NUM} AS BIGINT)"
-                          " DIV greatest(element_at(mins, "
-                          f"{k}), CAST(1 AS BIGINT))"))
+        .otherwise(F.call_function("div", F.lit(est_num).cast("long"), hk))
         .cast("long").alias("kmv_est"))
 
 
@@ -182,7 +181,7 @@ def bloom_membership(crawled: DataFrame, probes: DataFrame) -> DataFrame:
                                    f"CAST(pos % {_BLOOM_BPW} AS INT))"))
                    .alias("bits")))
     ppos = probes.select(
-        "url", F.posexplode(_bloom_positions("url")).alias("i", "pos"))
+        "url", F.explode(_bloom_positions("url")).alias("pos"))
     probed = (ppos
               .withColumn("word", F.expr(f"pos DIV {_BLOOM_BPW}"))
               .withColumn("bit", F.expr(f"CAST(pos % {_BLOOM_BPW} AS INT)"))

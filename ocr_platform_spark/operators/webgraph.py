@@ -275,7 +275,8 @@ def hits_ranks(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
                         .cast("long").alias(col)))
 
     hub = hosts.withColumn("hub", F.lit(_HITS_SCALE).cast("long"))
-    auth = None
+    # iters=0 degenerates gracefully like pagerank_ranks: init hub, 0 auth
+    auth = hosts.withColumn("auth", F.lit(0).cast("long"))
     for _ in range(iters):
         a_raw = (e.join(hub, e["src"] == hub["h"])
                  .groupBy("dst").agg(F.sum("hub").alias("auth")))

@@ -81,8 +81,10 @@ def _python_kmv(rows) -> dict:
     """Independent replica: exact distinct + KMV estimate per source."""
     vocab: dict[str, set] = {}
     for source, text in rows:
+        # strip SPACES only — Spark/DuckDB trim() does not strip \t or \n,
+        # so a full .strip() replica would diverge on edge-whitespace texts
         vocab.setdefault(source, set()).update(
-            _h56(t) for t in __import__("re").split(r"\s+", text.strip()))
+            _h56(t) for t in __import__("re").split(r"\s+", text.strip(" ")))
     out = {}
     for source, hs in vocab.items():
         n = len(hs)
@@ -152,16 +154,30 @@ def test_h56_spark_matches_python(spark):
     assert got == {t: _h56(t) for t in toks}
 
 
-def test_kmv_merge_state_is_bounded(spark):
+def test_kmv_merge_state_is_bounded_and_k_scales(spark):
     # phase-2 input is at most SALTS * K values per host, whatever the
     # corpus size — the property that makes the sketch the scale path
+    from ocr_platform_spark.operators.sketches import _HASH_BITS
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     assert _SALTS * KMV_K < 200  # the constant the docstring promises
-    out = kmv_distinct(docs, k=4, salts=2)
-    # shrunken knobs still produce one row per host with sane values
-    rows = out.collect()
+    rows = kmv_distinct(docs, k=4, salts=2).collect()
     assert len(rows) == docs.select("source").distinct().count()
-    assert all(r["kmv_est"] > 0 for r in rows)
+    # the estimator numerator must scale with the CALLER'S k, not the
+    # module default (regression: a hard-coded (KMV_K-1) numerator gave
+    # a (KMV_K-1)/(k-1) overestimate for any non-default k)
+    import duckdb
+    data = duckdb.connect().execute(
+        f"SELECT source, text FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')").fetchall()
+    vocab: dict[str, set] = {}
+    for s, t in data:
+        vocab.setdefault(s, set()).update(
+            _h56(x) for x in __import__("re").split(r"\s+", t.strip(" ")))
+    for r in rows:
+        hs = sorted(vocab[r["source"]])
+        want = (len(hs) if len(hs) < 4
+                else (3 << _HASH_BITS) // hs[3])
+        assert r["kmv_est"] == want
 
 
 # --- Bloom membership --------------------------------------------------------
