@@ -84,6 +84,22 @@ def response_record(url: str, ts_iso: str, html: bytes, status: int = 200,
     }, http_response_bytes(html, status=status, content_type=content_type))
 
 
+def conversion_record(url: str, ts_iso: str, text: str) -> bytes:
+    """A WET-style conversion record (Common Crawl's extracted-text
+    format): bare text/plain payload, WARC-Refers-To pointing at the
+    response record the text was extracted from — same (url, ts) id
+    formula as response_record, so the link holds across a round trip."""
+    rid = hashlib.md5(f"{url}|{ts_iso}".encode()).hexdigest()
+    cid = hashlib.md5(f"conv|{url}|{ts_iso}".encode()).hexdigest()
+    return warc_record_bytes("conversion", {
+        "WARC-Target-URI": url,
+        "WARC-Date": ts_iso,
+        "WARC-Record-ID": f"<urn:md5:{cid}>",
+        "WARC-Refers-To": f"<urn:md5:{rid}>",
+        "Content-Type": "text/plain",
+    }, text.encode("utf-8"))
+
+
 def warcinfo_record(filename: str) -> bytes:
     body = f"software: ocr-platform-spark\r\nfilename: {filename}\r\n".encode()
     return warc_record_bytes("warcinfo", {
@@ -155,14 +171,19 @@ def _err_row(source: str, idx: int, msg: str) -> dict:
             "content_type": None, "parse_error": msg}
 
 
-def parse_warc(data: bytes, source: str = "") -> list[dict]:
+def parse_warc(data: bytes, source: str = "",
+               include_conversion: bool = False) -> list[dict]:
     """Parse one WARC file's bytes (gzipped or bare) into row dicts.
 
     Row: warc_file, record_index, url, warc_date (validated ISO string or
     None), html (bytes|None), http_status, content_type, parse_error.
     Response records yield one row each; other WARC-Types are skipped but
     advance record_index. All failure modes yield an error row and stop the
-    file (framing is unrecoverable once lost) — nothing raises."""
+    file (framing is unrecoverable once lost) — nothing raises.
+
+    ``include_conversion=True`` additionally yields WET-style conversion
+    records (extracted text; the bare payload lands in the html column
+    with http_status=None) — the read side of write_wet_files."""
     rows: list[dict] = []
     idx = 0
     buf = b""
@@ -232,6 +253,21 @@ def parse_warc(data: bytes, source: str = "") -> list[dict]:
                     "content_type": ctype,
                     "parse_error": http_err or date_err,
                 })
+        elif include_conversion and hdrs.get("warc-type") == "conversion":
+            # WET-style extracted-text record: the payload is the bare
+            # text bytes (no HTTP framing), carried in the html column
+            url = hdrs.get("warc-target-uri")
+            date, date_err = _valid_date(hdrs.get("warc-date"))
+            if url is None:
+                rows.append(_err_row(source, idx,
+                                     "conversion missing target-uri"))
+            else:
+                rows.append({
+                    "warc_file": source, "record_index": idx, "url": url,
+                    "warc_date": date, "html": payload, "http_status": None,
+                    "content_type": hdrs.get("content-type"),
+                    "parse_error": date_err,
+                })
         idx += 1
 
 
@@ -258,7 +294,7 @@ def _valid_date(raw: str | None) -> tuple[str | None, str | None]:
 # Spark wrapper
 # --------------------------------------------------------------------------
 
-def _warc_records(raw):
+def _warc_records(raw, include_conversion: bool = False):
     """(path, content) DataFrame → parsed-record DataFrame. One shared
     transform for the batch and streaming readers: the parse kernel is
     pure Python but runs once per FILE (amortized over thousands of
@@ -287,7 +323,9 @@ def _warc_records(raw):
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                rows.extend(parse_warc(bytes(content), source=str(path)))
+                rows.extend(parse_warc(
+                    bytes(content), source=str(path),
+                    include_conversion=include_conversion))
             out = pd.DataFrame(rows, columns=cols)
             # kernel already validated the format; NaT only for None
             out["warc_ts"] = pd.to_datetime(
@@ -317,6 +355,18 @@ def read_warc(spark, path_glob: str):
     if leaf:
         reader = reader.option("pathGlobFilter", leaf)
     return _warc_records(reader.load(path).select("path", "content"))
+
+
+def read_wet(spark, path_glob: str):
+    """Directory/glob of WET files → DataFrame of conversion records
+    (url, warc_ts, html=text bytes, content_type='text/plain'). Same
+    binaryFile sharding/no-shuffle contract as read_warc."""
+    path, leaf = _split_glob(path_glob)
+    reader = spark.read.format("binaryFile")
+    if leaf:
+        reader = reader.option("pathGlobFilter", leaf)
+    return _warc_records(reader.load(path).select("path", "content"),
+                         include_conversion=True)
 
 
 def read_warc_stream(spark, path_glob: str,
@@ -423,6 +473,50 @@ def write_warc_files(df, out_dir: str):
              "n_bytes": [path.stat().st_size if recs else 0]})
 
     return (df.select("url", "warc_ts", "html")
+            .mapInPandas(write_partition, schema=manifest_schema))
+
+
+def write_wet_files(df, out_dir: str):
+    """Distributed WET sink — the extraction engine's NATIVE output
+    format: (url, warc_ts, text) rows → one ``.warc.wet.gz`` of
+    conversion records per partition, written by the executors, named by
+    partition id, manifest row per task (wet_file, n_records, n_bytes) —
+    write_warc_files' contract applied to Common Crawl's extracted-text
+    format. Together with read_wet this closes the engine's round trip:
+    read_warc → extract → write_wet_files → read_wet re-ingests the text
+    byte-identically (pinned in tests/test_warc.py)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    manifest_schema = StructType([
+        StructField("wet_file", StringType(), False),
+        StructField("n_records", IntegerType(), False),
+        StructField("n_bytes", LongType(), False),
+    ])
+    out = str(out_dir)
+
+    def write_partition(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        recs: list[bytes] = []
+        for pdf in batches:
+            for url, ts, text in zip(pdf["url"], pdf["warc_ts"],
+                                     pdf["text"]):
+                recs.append(conversion_record(
+                    str(url), pd.Timestamp(ts).strftime(_DATE_FMT),
+                    str(text) if text is not None else ""))
+        name = f"part-{pid:05d}.warc.wet.gz"
+        path = Path(out) / name
+        if recs:  # empty partitions write nothing (no zero-record files)
+            write_warc(path, [warcinfo_record(name)] + recs)
+        yield pd.DataFrame(
+            {"wet_file": [name], "n_records": [len(recs)],
+             "n_bytes": [path.stat().st_size if recs else 0]})
+
+    return (df.select("url", "warc_ts", "text")
             .mapInPandas(write_partition, schema=manifest_schema))
 
 

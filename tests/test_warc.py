@@ -275,3 +275,64 @@ def test_transport_charset_header_only_capture(spark):
     raw = {r["url"]: bytes(r["html"]) for r in pages.collect()}
     payload_only = extract_document("u", raw[url])
     assert "привет" not in payload_only.extracted_text  # cp1252 mojibake
+
+
+def test_write_wet_files_roundtrip(spark, tmp_path):
+    """The engine's native output loop: pages → extraction kernel →
+    executor-written .warc.wet.gz conversion records (+ manifest) →
+    read_wet → byte-identical extracted text per url."""
+    from ocr_platform_spark.plans.extract_job import extract_pages
+    from ocr_platform_spark.sources.pages import pages_df
+    from ocr_platform_spark.sources.warc import read_wet, write_wet_files
+
+    out = tmp_path / "wet"
+    pages = pages_df(spark, 120, partitions=6)
+    extracted = extract_pages(pages, shuffle=False) \
+        .select("url", "extracted_text")
+    wet_in = (pages.select("url", "warc_ts")
+              .join(extracted, "url")
+              .withColumnRenamed("extracted_text", "text"))
+    manifest = write_wet_files(wet_in, str(out)).collect()
+    assert sum(m["n_records"] for m in manifest) == 120
+    for m in manifest:
+        if m["n_records"]:
+            assert (out / m["wet_file"]).stat().st_size == m["n_bytes"]
+
+    back = read_wet(spark, str(out / "*.warc.wet.gz"))
+    got = {r["url"]: (bytes(r["html"]).decode("utf-8"), r["warc_ts"])
+           for r in back.collect()}
+    orig = {r["url"]: (r["text"] if r["text"] is not None else "",
+                       r["warc_ts"])
+            for r in wet_in.collect()}
+    assert got == orig
+    # conversion rows carry no HTTP status and declare text/plain
+    kinds = back.select("http_status", "content_type").distinct().collect()
+    assert [(r["http_status"], r["content_type"]) for r in kinds] \
+        == [(None, "text/plain")]
+
+
+def test_conversion_records_ignored_by_default():
+    """Back-compat: parse_warc without include_conversion skips conversion
+    records (type-skip contract), and the WARC-Refers-To link carries the
+    response record's id so WET rows join back to their crawl records."""
+    import gzip
+
+    from ocr_platform_spark.sources.warc import (
+        conversion_record, parse_warc, response_record)
+
+    url, ts = "https://x.example/a", "2026-01-02T03:04:05Z"
+    conv = conversion_record(url, ts, "extracted text")
+    resp = response_record(url, ts, b"<html>x</html>")
+    rows = parse_warc(gzip.compress(conv), source="f")
+    assert rows == []          # skipped, not an error row
+    rows = parse_warc(gzip.compress(conv), source="f",
+                      include_conversion=True)
+    assert [r["url"] for r in rows] == [url]
+    assert bytes(rows[0]["html"]) == b"extracted text"
+
+    def hdr(rec, name):
+        head = bytes(rec).split(b"\r\n\r\n", 1)[0].decode()
+        return [ln.split(": ", 1)[1] for ln in head.split("\r\n")
+                if ln.lower().startswith(name.lower() + ":")][0]
+
+    assert hdr(conv, "WARC-Refers-To") == hdr(resp, "WARC-Record-ID")
