@@ -161,35 +161,45 @@ def _bloom_positions(url_col: str):
                      for i in range(BLOOM_J)])
 
 
+def bloom_bitmap(urls: DataFrame) -> DataFrame:
+    """urls(url) → bitmap(word, bits), ≤BLOOM_WORDS rows. Both exchanges
+    carry bit positions (integers), never urls."""
+    return (urls
+            .select(F.explode(_bloom_positions("url")).alias("pos"))
+            .distinct()
+            .groupBy(F.expr(f"pos DIV {_BLOOM_BPW}").alias("word"))
+            .agg(F.bit_or(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                                 f"CAST(pos % {_BLOOM_BPW} AS INT))"))
+                 .alias("bits")))
+
+
+def bloom_probe(bitmap: DataFrame, probes: DataFrame) -> DataFrame:
+    """probes(url) × bitmap → (url, bloom_maybe). The bitmap broadcasts
+    into a join on word (≤BLOOM_WORDS distinct values), then one
+    map-side-combined bool_and per url — a projection-shaped plan."""
+    ppos = probes.select(
+        "url", F.explode(_bloom_positions("url")).alias("pos"))
+    return (ppos
+            .withColumn("word", F.expr(f"pos DIV {_BLOOM_BPW}"))
+            .withColumn("bit", F.expr(f"CAST(pos % {_BLOOM_BPW} AS INT)"))
+            .join(F.broadcast(bitmap), "word", "left")
+            .groupBy("url")
+            .agg(F.bool_and(
+                F.expr("((coalesce(bits, CAST(0 AS BIGINT)) >> bit)"
+                       " & 1) = 1")).alias("bloom_maybe")))
+
+
 def bloom_membership(crawled: DataFrame, probes: DataFrame) -> DataFrame:
     """crawled(url) + probes(url) → (url, bloom_maybe, is_member,
     false_positive).
 
-    Build: explode each crawled url to its J bit positions, aggregate to
-    ≤BLOOM_WORDS (word, bits) rows via bit_or — two tiny exchanges over
-    positions, never urls. Probe: the bitmap broadcasts into a join on
-    word (≤512 distinct values), then one map-side-combined bool_and per
-    url. is_member is the exact anti-join ground truth kept ONLY to label
-    false positives for the oracle; the production projection drops it —
-    dropping it is the entire point of the filter.
+    Build/probe via bloom_bitmap + bloom_probe (see each). is_member is
+    the exact anti-join ground truth kept ONLY to label false positives
+    for the oracle; the production projection drops it — dropping it is
+    the entire point of the filter (crawl_frontier_bloom in
+    operators/weblinks.py is that production composition).
     """
-    bitmap = (crawled
-              .select(F.explode(_bloom_positions("url")).alias("pos"))
-              .distinct()
-              .groupBy(F.expr(f"pos DIV {_BLOOM_BPW}").alias("word"))
-              .agg(F.bit_or(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
-                                   f"CAST(pos % {_BLOOM_BPW} AS INT))"))
-                   .alias("bits")))
-    ppos = probes.select(
-        "url", F.explode(_bloom_positions("url")).alias("pos"))
-    probed = (ppos
-              .withColumn("word", F.expr(f"pos DIV {_BLOOM_BPW}"))
-              .withColumn("bit", F.expr(f"CAST(pos % {_BLOOM_BPW} AS INT)"))
-              .join(F.broadcast(bitmap), "word", "left")
-              .groupBy("url")
-              .agg(F.bool_and(
-                  F.expr("((coalesce(bits, CAST(0 AS BIGINT)) >> bit)"
-                         " & 1) = 1")).alias("bloom_maybe")))
+    probed = bloom_probe(bloom_bitmap(crawled), probes)
     member = crawled.select("url").withColumn("is_member", F.lit(True))
     return (probed.join(F.broadcast(member), "url", "left")
             .select("url", "bloom_maybe",

@@ -258,8 +258,65 @@ FROM ranked WHERE fetch_rank <= {FRONTIER_PER_HOST}
 """
 
 
+def crawl_frontier_bloom(links: DataFrame,
+                         per_host: int = FRONTIER_PER_HOST) -> DataFrame:
+    """crawl_frontier's scale twin: the crawled-set anti-join gated by the
+    Bloom bitmap (operators/sketches.py).
+
+    At 10^12 crawled urls the frontier's anti-join shuffles the whole
+    crawled-url universe every wave; here the crawled set collapses to a
+    broadcast bitmap first, candidates whose probe answers NO are fresh by
+    the no-false-negative guarantee and skip the join entirely, and only
+    the maybes (true members + the ~1% false positives) reach the exact
+    anti-join — so the join's probe side shrinks from every candidate to
+    the maybe set. Because the verify step removes exactly the false
+    positives, the output is IDENTICAL to crawl_frontier's, which is why
+    the query shares CX_FRONTIER_SQL (the ev_asof_skew/ev_asof_join
+    shared-oracle pattern: one oracle, two physical strategies)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ocr_platform_spark.operators.sketches import (
+        bloom_bitmap, bloom_probe)
+
+    crawled = links.select(F.col("url").alias("target")).distinct()
+    cand = (links.where(F.col("resolved").isNotNull())
+            .groupBy(F.col("resolved").alias("target"))
+            .agg(F.count("*").alias("inbound"),
+                 F.countDistinct(
+                     F.regexp_extract("url", HOST_RE, 1)).alias("src_hosts")))
+    probed = bloom_probe(
+        bloom_bitmap(crawled.select(F.col("target").alias("url"))),
+        cand.select(F.col("target").alias("url")))
+    flagged = cand.join(
+        probed.select(F.col("url").alias("target"), "bloom_maybe"),
+        "target")
+    definite = flagged.where(~F.col("bloom_maybe")).drop("bloom_maybe")
+    verified = (flagged.where(F.col("bloom_maybe")).drop("bloom_maybe")
+                .join(crawled, "target", "left_anti"))
+    fresh = definite.unionByName(verified)
+    w = Window.partitionBy("host").orderBy(
+        F.desc("inbound"), F.asc("target"))
+    return (fresh.withColumn("host", F.regexp_extract("target", HOST_RE, 1))
+            .withColumn("fetch_rank",
+                        F.row_number().over(w).cast("long"))
+            .where(F.col("fetch_rank") <= per_host)
+            .select("host", "target", "inbound", "src_hosts", "fetch_rank"))
+
+
+def cx_bloom_frontier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_platform_spark.sources.pages import pages_df
+
+    return crawl_frontier_bloom(links_df(pages_df(spark, LINKS_DOCS)))
+
+
 QUERIES: dict = {
     "extract_links": (extract_links_q, _fixture_sql("extract_links.parquet")),
     "wl_anchor_corpus": (wl_anchor_corpus_q, WL_ANCHOR_SQL),
     "cx_frontier": (cx_frontier_q, CX_FRONTIER_SQL),
+    # scale twin: identical semantics, bloom-gated anti-join — shares the
+    # frontier oracle (ev_asof_skew precedent). Registered beyond the
+    # driver's 50-row window by design (the window is fully allocated);
+    # the local gate is its record.
+    "cx_bloom_frontier": (cx_bloom_frontier_q, CX_FRONTIER_SQL),
 }

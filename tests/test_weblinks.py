@@ -205,3 +205,36 @@ def test_anchor_and_frontier_plan_shape(spark):
         assert "No Partition Defined" not in p
         keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", p))
         assert keys <= {"target", "host", "resolved"}, keys
+
+
+def test_bloom_frontier_identical_to_exact(spark):
+    """The bloom-gated twin must emit exactly crawl_frontier's rows (the
+    verify step removes precisely the false positives; no-false-negative
+    means no fresh candidate is lost), while genuinely pruning: some
+    candidates must skip the exact anti-join via a definite-fresh NO."""
+    from pyspark.sql import functions as F
+
+    from ocr_platform_spark.operators.sketches import (
+        bloom_bitmap, bloom_probe)
+    from ocr_platform_spark.operators.weblinks import (
+        LINKS_DOCS, crawl_frontier, crawl_frontier_bloom, links_df)
+    from ocr_platform_spark.sources.pages import pages_df
+
+    links = links_df(pages_df(spark, LINKS_DOCS))
+    exact = {tuple(r) for r in crawl_frontier(links).collect()}
+    twin = {tuple(r) for r in crawl_frontier_bloom(links).collect()}
+    assert twin == exact and twin
+
+    # prune effectiveness: this link corpus has ZERO candidate/crawled
+    # overlap (resolved targets are nav/chrome urls, crawled are page
+    # urls), so plant overlap — 50 crawled urls recrawled as candidates.
+    # Every planted member must answer maybe (no false negatives) and the
+    # disjoint rest must overwhelmingly answer NO (the pruned majority).
+    crawled = links.select(F.col("url").alias("url")).distinct()
+    cand = (links.where(F.col("resolved").isNotNull())
+            .select(F.col("resolved").alias("url")).distinct()
+            .unionByName(crawled.orderBy("url").limit(50)))
+    probed = bloom_probe(bloom_bitmap(crawled), cand)
+    n_cand = probed.count()
+    n_maybe = probed.where("bloom_maybe").count()
+    assert 50 <= n_maybe < n_cand // 2
