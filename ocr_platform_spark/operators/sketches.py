@@ -260,7 +260,105 @@ FROM probed
 """
 
 
+# --- Count-Min frequency sketch (the third of the sketch trio) -------------
+# KMV answers DISTINCT, Bloom answers MEMBERSHIP; Count-Min answers
+# FREQUENCY — "how often does this token appear corpus-wide" without a
+# corpus-wide per-token aggregate. The sketch is a d×W counter grid:
+# every token occurrence increments one bucket per row (d Kirsch-
+# Mitzenmacher hashes again), the estimate is the MIN over rows of the
+# token's buckets, and by construction estimate >= true count (collisions
+# only ever ADD). Build cost at 10^12 docs: one map-side-combinable
+# count per (row, bucket) — the grid is d*W rows TOTAL whatever the
+# corpus size, and querying any token is a broadcast lookup. The exact
+# count column in the query output is the verification twin (same
+# honest pattern as dd_bloom_membership's is_member): production keeps
+# only the sketch.
+
+CMS_D = 3           # hash rows
+CMS_W = 16          # buckets per row — sized to the sf0.01 corpus's
+                    # 31-token vocabulary so collisions (the thing that
+                    # makes it a sketch) genuinely occur; production
+                    # sizes W in the millions, same plan
+CMS_TOP_K = 20      # report size (exact top-K keeps the output bounded)
+
+
+def _cms_positions(col: str):
+    """array of CMS_D bucket indices for a token — one md5, d derived
+    hashes (same double-hashing family as the Bloom filter)."""
+    d = F.md5(col)
+    h1 = F.conv(F.substring(d, 1, 14), 16, 10).cast("long")
+    h2 = F.conv(F.substring(d, 15, 14), 16, 10).cast("long")
+    step = F.pmod(h2, F.lit(CMS_W - 1)) + 1
+    return F.array(*[F.pmod(h1 + r * step, F.lit(CMS_W))
+                     for r in range(CMS_D)])
+
+
+def cms_heavy_hitters(docs: DataFrame, top_k: int = CMS_TOP_K) -> DataFrame:
+    """documents(text) → the corpus's top_k tokens with exact count and
+    Count-Min estimate: (rk, tok, n_exact, cms_est)."""
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+    sketch = (toks
+              .select(F.posexplode(_cms_positions("tok"))
+                      .alias("row", "bucket"))
+              .groupBy("row", "bucket")
+              .agg(F.count("*").alias("cnt")))
+    from pyspark.sql.window import Window
+    # distributed top-K (TakeOrderedAndProject — per-partition heads, no
+    # global sort); the rank window then runs over only top_k rows
+    top = (toks.groupBy("tok").agg(F.count("*").alias("n_exact"))
+           .orderBy(F.desc("n_exact"), F.asc("tok")).limit(top_k)
+           .withColumn("rk", F.row_number().over(
+               Window.orderBy(F.desc("n_exact"), F.asc("tok")))
+               .cast("long")))
+    probes = top.select(
+        "rk", "tok", "n_exact",
+        F.posexplode(_cms_positions("tok")).alias("row", "bucket"))
+    return (probes.join(F.broadcast(sketch), ["row", "bucket"])
+            .groupBy("rk", "tok", "n_exact")
+            .agg(F.min("cnt").alias("cms_est"))
+            .select("rk", "tok", F.col("n_exact").cast("long"),
+                    F.col("cms_est").cast("long")))
+
+
+def ta_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cms_heavy_hitters(load(spark, sf_dir, "documents"))
+
+
+TA_CMS_SQL = rf"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents),
+hashed AS (
+  SELECT tok,
+         CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(tok), 15, 14)) AS BIGINT) AS h2
+  FROM tok),
+pos AS (
+  SELECT tok, r, (h1 + r * (h2 % {CMS_W - 1} + 1)) % {CMS_W} AS bucket
+  FROM hashed, unnest([{", ".join(str(r) for r in range(CMS_D))}]) AS t(r)),
+sketch AS (
+  SELECT r, bucket, count(*) AS cnt FROM pos GROUP BY r, bucket),
+top AS (
+  SELECT tok, count(*) AS n_exact,
+         row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rk
+  FROM tok GROUP BY tok
+  QUALIFY rk <= {CMS_TOP_K})
+SELECT CAST(t.rk AS BIGINT) AS rk, t.tok,
+       CAST(t.n_exact AS BIGINT) AS n_exact,
+       CAST(min(s.cnt) AS BIGINT) AS cms_est
+FROM top t
+JOIN pos p ON p.tok = t.tok
+JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+GROUP BY t.rk, t.tok, t.n_exact
+"""
+
+
 QUERIES: dict = {
     "ta_kmv_distinct": (ta_kmv_distinct, TA_KMV_SQL),
     "dd_bloom_membership": (dd_bloom_membership, DD_BLOOM_SQL),
+    # completes the sketch trio (distinct / membership / frequency);
+    # registered beyond the driver's fully-allocated 50-row window —
+    # the local gate is its record
+    "ta_cms_heavy_hitters": (ta_cms_heavy_hitters, TA_CMS_SQL),
 }

@@ -313,3 +313,70 @@ def test_mirror_without_guard_floods(spark):
     flooded = mirror_hosts(corpus, hot_t=10_000, min_shared=1).count()
     guarded = mirror_hosts(corpus).count()
     assert flooded > 300 and guarded == 7   # 27 hosts -> 351 pairs
+
+
+# --- Count-Min frequency sketch ----------------------------------------------
+
+def _python_cms():
+    import duckdb
+    from ocr_platform_spark.operators.sketches import CMS_D, CMS_TOP_K, CMS_W
+    rows = duckdb.connect().execute(
+        f"SELECT text FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')").fetchall()
+    toks = []
+    for (t,) in rows:
+        toks.extend(__import__("re").split(r"\s+", t.strip(" ")))
+
+    def buckets(tok):
+        d = hashlib.md5(tok.encode()).hexdigest()
+        h1, h2 = int(d[:14], 16), int(d[14:28], 16)
+        step = h2 % (CMS_W - 1) + 1
+        return [(h1 + r * step) % CMS_W for r in range(CMS_D)]
+
+    grid = [[0] * CMS_W for _ in range(CMS_D)]
+    exact: dict[str, int] = {}
+    for t in toks:
+        exact[t] = exact.get(t, 0) + 1
+        for r, b in enumerate(buckets(t)):
+            grid[r][b] += 1
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_TOP_K]
+    return {tok: (rk + 1, n, min(grid[r][b]
+                                 for r, b in enumerate(buckets(tok))))
+            for rk, (tok, n) in enumerate(top)}
+
+
+def test_cms_matches_python_replica(spark):
+    from ocr_platform_spark.operators.sketches import ta_cms_heavy_hitters
+    got = {r["tok"]: (r["rk"], r["n_exact"], r["cms_est"])
+           for r in ta_cms_heavy_hitters(spark, SF_DIR).collect()}
+    assert got == _python_cms()
+
+
+def test_cms_never_underestimates_and_collides(spark):
+    # the Count-Min guarantee: estimate >= true count (collisions only
+    # ADD); and W is sized so the collision branch is live at sf0.01 —
+    # an all-equal report would mean the sketch is just echoing the agg
+    from ocr_platform_spark.operators.sketches import ta_cms_heavy_hitters
+    rows = ta_cms_heavy_hitters(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert all(r["cms_est"] >= r["n_exact"] for r in rows)
+    assert any(r["cms_est"] > r["n_exact"] for r in rows)
+
+
+def test_cms_grid_is_bounded(spark):
+    # the sketch relation is <= d*W rows whatever the corpus size — the
+    # property that makes frequency queries corpus-scale-free
+    from pyspark.sql import functions as F
+    from ocr_platform_spark.operators.sketches import (
+        CMS_D, CMS_W, _cms_positions)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+    sketch = (toks.select(F.posexplode(_cms_positions("tok"))
+                          .alias("row", "bucket"))
+              .groupBy("row", "bucket").agg(F.count("*").alias("cnt")))
+    n = sketch.count()
+    assert n <= CMS_D * CMS_W
+    total = sketch.agg(F.sum("cnt")).collect()[0][0]
+    n_occ = toks.count()
+    assert total == CMS_D * n_occ   # every occurrence lands in every row
