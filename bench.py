@@ -47,6 +47,7 @@ QUERY_SET = [
     "ev_sessionize_skew", "dd_span_dedup", "cx_decontaminate",
     # round-5 wave-4/5 additions (sketches + mirror detection)
     "ta_kmv_distinct", "dd_bloom_membership", "dd_mirror_hosts",
+    "ta_cms_heavy_hitters",
 ]
 
 
