@@ -151,14 +151,20 @@ def _bloom_url(key):
                     F.lit(".example/p/"), key)
 
 
-def _bloom_positions(url_col: str):
-    """array of BLOOM_J bit positions for a url — shared formula."""
-    d = F.md5(url_col)
+def _km_positions(col: str, m: int, n: int):
+    """array of n Kirsch-Mitzenmacher positions in [0, m): one md5, two
+    56-bit slices, pos_i = (h1 + i*(h2 % (m-1) + 1)) % m. Shared by the
+    Bloom filter (bit positions) and the Count-Min sketch (buckets) —
+    one formula, one place to fix."""
+    d = F.md5(col)
     h1 = F.conv(F.substring(d, 1, 14), 16, 10).cast("long")
     h2 = F.conv(F.substring(d, 15, 14), 16, 10).cast("long")
-    step = F.pmod(h2, F.lit(BLOOM_M - 1)) + 1
-    return F.array(*[F.pmod(h1 + i * step, F.lit(BLOOM_M))
-                     for i in range(BLOOM_J)])
+    step = F.pmod(h2, F.lit(m - 1)) + 1
+    return F.array(*[F.pmod(h1 + i * step, F.lit(m)) for i in range(n)])
+
+
+def _bloom_positions(url_col: str):
+    return _km_positions(url_col, BLOOM_M, BLOOM_J)
 
 
 def bloom_bitmap(urls: DataFrame) -> DataFrame:
@@ -283,14 +289,7 @@ CMS_TOP_K = 20      # report size (exact top-K keeps the output bounded)
 
 
 def _cms_positions(col: str):
-    """array of CMS_D bucket indices for a token — one md5, d derived
-    hashes (same double-hashing family as the Bloom filter)."""
-    d = F.md5(col)
-    h1 = F.conv(F.substring(d, 1, 14), 16, 10).cast("long")
-    h2 = F.conv(F.substring(d, 15, 14), 16, 10).cast("long")
-    step = F.pmod(h2, F.lit(CMS_W - 1)) + 1
-    return F.array(*[F.pmod(h1 + r * step, F.lit(CMS_W))
-                     for r in range(CMS_D)])
+    return _km_positions(col, CMS_W, CMS_D)
 
 
 def cms_heavy_hitters(docs: DataFrame, top_k: int = CMS_TOP_K) -> DataFrame:

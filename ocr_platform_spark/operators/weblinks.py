@@ -152,33 +152,57 @@ def anchor_release() -> None:
 FRONTIER_PER_HOST = 3
 
 
-def crawl_frontier(links: DataFrame,
-                   per_host: int = FRONTIER_PER_HOST) -> DataFrame:
-    """links → the next polite crawl wave: resolved targets NOT already in
-    the crawled set (here: the distinct source urls of the link table —
-    the pages we demonstrably parsed), ranked by inbound-link count with
-    distinct-source-host support, capped at `per_host` fetches per target
-    host (the politeness budget — a frontier that sends 10^4 fetches at
-    one origin in a wave is a liability regardless of link counts).
+# The exact frontier and its bloom-gated twin promise IDENTICAL output
+# (they share one oracle), so the candidate derivation and politeness
+# ranking live in shared helpers — the equivalence is structural, not
+# copy-maintained. The parsed (url, resolved) base is persisted because
+# crawled and the candidate aggregate both read it (and the twin reads
+# each twice: bitmap+verify, probe+flag) — without the persist, an AQE
+# re-plan of any one subtree re-executes the mapInPandas extraction
+# kernel underneath. Same eviction lifecycle as anchor_corpus/bm25.
+_last_frontier_base = None
 
-    Shape at scale: the candidate aggregate shuffles once on target url;
-    the crawled-set anti-join is the textbook bloom-filter join (Spark
-    injects a runtime bloom filter; with both the corpus and the frontier
-    bucket-partitioned on url-hash it becomes a storage-partitioned join,
-    zero extra shuffle); the per-host cap is a window over the already
-    tiny frontier, never over the corpus. Tie-break (inbound DESC, target
-    ASC) is total; both engines order strings by raw UTF-8 bytes.
-    """
+
+def frontier_release() -> None:
+    """Unpersist the link base cached by the most recent frontier call."""
+    global _last_frontier_base
+    if _last_frontier_base is not None:
+        try:
+            _last_frontier_base.unpersist(blocking=False)
+        except Exception:
+            pass
+        _last_frontier_base = None
+
+
+def _frontier_base(links: DataFrame):
+    """links → (crawled, cand) from one persisted (url, resolved) base.
+
+    crawled = the distinct source urls (pages we demonstrably parsed);
+    cand = resolved targets with inbound count + distinct-source-host
+    support, one shuffle keyed on target url."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
-    crawled = links.select(F.col("url").alias("target")).distinct()
-    cand = (links.where(F.col("resolved").isNotNull())
+    frontier_release()
+    global _last_frontier_base
+    base = links.select("url", "resolved").persist()
+    _last_frontier_base = base
+    crawled = base.select(F.col("url").alias("target")).distinct()
+    cand = (base.where(F.col("resolved").isNotNull())
             .groupBy(F.col("resolved").alias("target"))
             .agg(F.count("*").alias("inbound"),
                  F.countDistinct(
                      F.regexp_extract("url", HOST_RE, 1)).alias("src_hosts")))
-    fresh = cand.join(crawled, "target", "left_anti")
+    return crawled, cand
+
+
+def _frontier_rank(fresh: DataFrame, per_host: int) -> DataFrame:
+    """Politeness cap: `per_host` fetches per target host, ranked by
+    inbound DESC with target ASC tie-break (total; both engines order
+    strings by raw UTF-8 bytes). The window runs over the already tiny
+    frontier, never over the corpus."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("host").orderBy(
         F.desc("inbound"), F.asc("target"))
     return (fresh.withColumn("host", F.regexp_extract("target", HOST_RE, 1))
@@ -186,6 +210,22 @@ def crawl_frontier(links: DataFrame,
                         F.row_number().over(w).cast("long"))
             .where(F.col("fetch_rank") <= per_host)
             .select("host", "target", "inbound", "src_hosts", "fetch_rank"))
+
+
+def crawl_frontier(links: DataFrame,
+                   per_host: int = FRONTIER_PER_HOST) -> DataFrame:
+    """links → the next polite crawl wave: resolved targets NOT already in
+    the crawled set, ranked and politeness-capped (_frontier_rank).
+
+    Shape at scale: the candidate aggregate shuffles once on target url;
+    the crawled-set anti-join is the textbook bloom-filter join (Spark
+    injects a runtime bloom filter; with both the corpus and the frontier
+    bucket-partitioned on url-hash it becomes a storage-partitioned join,
+    zero extra shuffle) — crawl_frontier_bloom below makes that gate
+    explicit."""
+    crawled, cand = _frontier_base(links)
+    fresh = cand.join(crawled, "target", "left_anti")
+    return _frontier_rank(fresh, per_host)
 
 
 def cx_frontier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,19 +312,15 @@ def crawl_frontier_bloom(links: DataFrame,
     the maybe set. Because the verify step removes exactly the false
     positives, the output is IDENTICAL to crawl_frontier's, which is why
     the query shares CX_FRONTIER_SQL (the ev_asof_skew/ev_asof_join
-    shared-oracle pattern: one oracle, two physical strategies)."""
+    shared-oracle pattern: one oracle, two physical strategies). Both
+    frontiers build from _frontier_base's persisted link base and rank
+    with _frontier_rank, so the identity is structural."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     from ocr_platform_spark.operators.sketches import (
         bloom_bitmap, bloom_probe)
 
-    crawled = links.select(F.col("url").alias("target")).distinct()
-    cand = (links.where(F.col("resolved").isNotNull())
-            .groupBy(F.col("resolved").alias("target"))
-            .agg(F.count("*").alias("inbound"),
-                 F.countDistinct(
-                     F.regexp_extract("url", HOST_RE, 1)).alias("src_hosts")))
+    crawled, cand = _frontier_base(links)
     probed = bloom_probe(
         bloom_bitmap(crawled.select(F.col("target").alias("url"))),
         cand.select(F.col("target").alias("url")))
@@ -295,13 +331,7 @@ def crawl_frontier_bloom(links: DataFrame,
     verified = (flagged.where(F.col("bloom_maybe")).drop("bloom_maybe")
                 .join(crawled, "target", "left_anti"))
     fresh = definite.unionByName(verified)
-    w = Window.partitionBy("host").orderBy(
-        F.desc("inbound"), F.asc("target"))
-    return (fresh.withColumn("host", F.regexp_extract("target", HOST_RE, 1))
-            .withColumn("fetch_rank",
-                        F.row_number().over(w).cast("long"))
-            .where(F.col("fetch_rank") <= per_host)
-            .select("host", "target", "inbound", "src_hosts", "fetch_rank"))
+    return _frontier_rank(fresh, per_host)
 
 
 def cx_bloom_frontier_q(spark: SparkSession, sf_dir: str) -> DataFrame:

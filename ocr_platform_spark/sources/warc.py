@@ -427,15 +427,21 @@ def warc_pages(df, with_transport_charset: bool = False):
     return base.select(*cols)
 
 
-def write_warc_files(df, out_dir: str):
-    """Distributed WARC sink: pages-shaped rows → one ``.warc.gz`` per
+# The date written for a row whose warc_ts is NULL (parse_warc emits such
+# rows for bad/missing dates under the never-drop contract): exporting must
+# keep the row, so it gets the epoch sentinel instead of crashing the task.
+_NULL_TS_ISO = "1970-01-01T00:00:00Z"
+
+
+def _records_sink(df, out_dir: str, payload_col: str, make_record,
+                  ext: str, manifest_col: str):
+    """Shared distributed record sink: one gzipped container file per
     partition, written BY THE EXECUTORS (no driver funnel), named by
-    partition id. Returns the lineage manifest as a DataFrame
-    (warc_file, n_records, n_bytes) — the per-partition counter contract
-    of sources/manifest.py applied to the crawl container format. Use for
-    re-sharding a crawl or exporting curated subsets in the format every
-    crawl tool reads; CC-style member-per-record output means the files
-    are themselves splittable by the reader.
+    partition id; returns the lineage manifest (file, n_records, n_bytes)
+    — the per-partition counter contract of sources/manifest.py. Empty
+    partitions write nothing and manifest a NULL file name (a name for a
+    file that does not exist would break any consumer that opens each
+    manifest entry). NULL warc_ts rows are kept with the epoch sentinel.
 
     Local-filesystem paths here (the sandbox); on a real cluster point
     out_dir at a fuse/NFS mount or swap the ``open`` for an
@@ -447,7 +453,7 @@ def write_warc_files(df, out_dir: str):
     )
 
     manifest_schema = StructType([
-        StructField("warc_file", StringType(), False),
+        StructField(manifest_col, StringType(), True),
         StructField("n_records", IntegerType(), False),
         StructField("n_bytes", LongType(), False),
     ])
@@ -459,21 +465,36 @@ def write_warc_files(df, out_dir: str):
         pid = TaskContext.get().partitionId()
         recs: list[bytes] = []
         for pdf in batches:
-            for url, ts, html in zip(pdf["url"], pdf["warc_ts"],
-                                     pdf["html"]):
-                recs.append(response_record(
-                    str(url), pd.Timestamp(ts).strftime(_DATE_FMT),
-                    bytes(html) if html is not None else b""))
-        name = f"part-{pid:05d}.warc.gz"
+            for url, ts, payload in zip(pdf["url"], pdf["warc_ts"],
+                                        pdf[payload_col]):
+                ts_iso = (pd.Timestamp(ts).strftime(_DATE_FMT)
+                          if pd.notna(ts) else _NULL_TS_ISO)
+                recs.append(make_record(str(url), ts_iso, payload))
+        name = f"part-{pid:05d}{ext}"
         path = Path(out) / name
         if recs:  # empty partitions write nothing (no zero-record files)
             write_warc(path, [warcinfo_record(name)] + recs)
         yield pd.DataFrame(
-            {"warc_file": [name], "n_records": [len(recs)],
+            {manifest_col: [name if recs else None],
+             "n_records": [len(recs)],
              "n_bytes": [path.stat().st_size if recs else 0]})
 
-    return (df.select("url", "warc_ts", "html")
+    return (df.select("url", "warc_ts", payload_col)
             .mapInPandas(write_partition, schema=manifest_schema))
+
+
+def write_warc_files(df, out_dir: str):
+    """Distributed WARC sink: pages-shaped rows → one ``.warc.gz`` of
+    response records per partition (+ manifest) — _records_sink with the
+    HTTP-framed response constructor. Use for re-sharding a crawl or
+    exporting curated subsets in the format every crawl tool reads;
+    CC-style member-per-record output means the files are themselves
+    splittable by the reader."""
+    return _records_sink(
+        df, out_dir, "html",
+        lambda url, ts_iso, html: response_record(
+            url, ts_iso, bytes(html) if html is not None else b""),
+        ".warc.gz", "warc_file")
 
 
 def write_wet_files(df, out_dir: str):
@@ -485,39 +506,11 @@ def write_wet_files(df, out_dir: str):
     format. Together with read_wet this closes the engine's round trip:
     read_warc → extract → write_wet_files → read_wet re-ingests the text
     byte-identically (pinned in tests/test_warc.py)."""
-    import pandas as pd
-    from pyspark.sql.types import (
-        IntegerType, LongType, StringType, StructField, StructType,
-    )
-
-    manifest_schema = StructType([
-        StructField("wet_file", StringType(), False),
-        StructField("n_records", IntegerType(), False),
-        StructField("n_bytes", LongType(), False),
-    ])
-    out = str(out_dir)
-
-    def write_partition(batches):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        recs: list[bytes] = []
-        for pdf in batches:
-            for url, ts, text in zip(pdf["url"], pdf["warc_ts"],
-                                     pdf["text"]):
-                recs.append(conversion_record(
-                    str(url), pd.Timestamp(ts).strftime(_DATE_FMT),
-                    str(text) if text is not None else ""))
-        name = f"part-{pid:05d}.warc.wet.gz"
-        path = Path(out) / name
-        if recs:  # empty partitions write nothing (no zero-record files)
-            write_warc(path, [warcinfo_record(name)] + recs)
-        yield pd.DataFrame(
-            {"wet_file": [name], "n_records": [len(recs)],
-             "n_bytes": [path.stat().st_size if recs else 0]})
-
-    return (df.select("url", "warc_ts", "text")
-            .mapInPandas(write_partition, schema=manifest_schema))
+    return _records_sink(
+        df, out_dir, "text",
+        lambda url, ts_iso, text: conversion_record(
+            url, ts_iso, str(text) if text is not None else ""),
+        ".warc.wet.gz", "wet_file")
 
 
 # --------------------------------------------------------------------------

@@ -336,3 +336,48 @@ def test_conversion_records_ignored_by_default():
                 if ln.lower().startswith(name.lower() + ":")][0]
 
     assert hdr(conv, "WARC-Refers-To") == hdr(resp, "WARC-Record-ID")
+
+
+def test_sink_edge_cases_null_ts_and_empty_partition(spark, tmp_path):
+    """(a) a NULL warc_ts row (parse_warc emits them for bad dates under
+    never-drop) must export with the epoch sentinel, not crash the task;
+    (b) an empty partition must manifest a NULL file name, not name a
+    file that was never written."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType, StringType, StructField, StructType, TimestampType)
+    from ocr_platform_spark.sources.warc import (
+        read_wet, write_warc_files, write_wet_files)
+
+    schema = StructType([
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), True),
+        StructField("text", StringType(), True),
+    ])
+    import datetime
+    rows = [("https://x.example/ok", datetime.datetime(2026, 1, 2), "good"),
+            ("https://x.example/null-ts", None, "kept anyway")]
+    # repartition to 4 so at least two partitions are empty
+    df = spark.createDataFrame(rows, schema).repartition(4)
+    out = tmp_path / "wet"
+    manifest = write_wet_files(df, str(out)).collect()
+    assert sum(m["n_records"] for m in manifest) == 2
+    for m in manifest:
+        if m["n_records"] == 0:
+            assert m["wet_file"] is None          # no phantom names
+        else:
+            assert (out / m["wet_file"]).exists()
+    back = {r["url"]: (bytes(r["html"]).decode(), r["warc_ts"])
+            for r in read_wet(spark, str(out / "*.warc.wet.gz")).collect()}
+    assert back["https://x.example/null-ts"][0] == "kept anyway"
+    assert back["https://x.example/null-ts"][1] == \
+        datetime.datetime(1970, 1, 1)             # epoch sentinel
+    assert back["https://x.example/ok"] == ("good",
+                                            datetime.datetime(2026, 1, 2))
+
+    # same contract on the WARC response sink (shared _records_sink)
+    wdf = df.select("url", "warc_ts",
+                    F.encode("text", "utf-8").alias("html"))
+    wman = write_warc_files(wdf, str(tmp_path / "warc")).collect()
+    assert sum(m["n_records"] for m in wman) == 2
+    assert all(m["warc_file"] is None for m in wman if m["n_records"] == 0)
