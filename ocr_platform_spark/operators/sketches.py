@@ -353,8 +353,92 @@ GROUP BY t.rk, t.tok, t.n_exact
 """
 
 
+# --- Exponential-histogram quantiles (the fourth corpus-scale question) ----
+# DISTINCT (KMV), MEMBERSHIP (Bloom), FREQUENCY (Count-Min) — and
+# DISTRIBUTION: "what is the p99 document length" drives every
+# length-cutoff curation rule (Gopher's bounds, packing sequence sizing),
+# and an exact quantile at 10^12 docs is a global sort. The
+# corpus-scale answer is a histogram sketch; power-of-two bins make it
+# DETERMINISTIC (bin = floor(log2 n) = length(bin(n)) - 1, exact integer
+# string-length arithmetic in both engines — no float log2 whose
+# boundary rounding could differ), and the quantile estimate is integer
+# interpolation within the bin. One map-side-combined aggregate into
+# <=64 rows whatever the corpus size; the cumulative window runs over
+# those <=64 bins, never over documents.
+
+QS_PS = (25, 50, 75, 90, 99)    # report percentiles
+
+
+def quantile_sketch(docs: DataFrame, value_col: str = "n_chars",
+                    ps: tuple = QS_PS) -> DataFrame:
+    """documents → (p, n_total, bin, est): percentile estimates of
+    value_col from a power-of-two-bin histogram. Estimate convention:
+    rank r = ceil(p*N/100) (1-based); within bin b (covering [2^b,
+    2^(b+1))), est = 2^b + (r - cum_before - 1) * 2^b DIV cnt_b."""
+    from pyspark.sql.window import Window
+
+    hist = (docs.select(
+        (F.length(F.bin(F.col(value_col))) - 1).cast("long").alias("bin"))
+        .groupBy("bin").agg(F.count("*").alias("cnt")))
+    # cumulative counts over <=64 bin rows (bounded; not a corpus window)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = (hist
+           .withColumn("cum_before",
+                       F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+           .withColumn("n_total",
+                       F.sum("cnt").over(
+                           Window.orderBy(F.lit(1))
+                           .rowsBetween(Window.unboundedPreceding,
+                                        Window.unboundedFollowing))))
+    pdf = docs.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in ps])).alias("p"))
+    ranked = (pdf.crossJoin(F.broadcast(cum))
+              .withColumn("r", F.expr("(p * n_total + 99) DIV 100"))
+              .where((F.col("cum_before") < F.col("r"))
+                     & (F.col("r") <= F.col("cum_before") + F.col("cnt"))))
+    width = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT))")
+    return (ranked.select(
+        F.col("p").cast("long"),
+        F.col("n_total").cast("long"),
+        "bin",
+        (width + F.call_function(
+            "div", (F.col("r") - F.col("cum_before") - 1) * width,
+            F.col("cnt"))).cast("long").alias("est")))
+
+
+def ta_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantile_sketch(load(spark, sf_dir, "documents"))
+
+
+TA_QS_SQL = f"""
+WITH hist AS (
+  SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM documents GROUP BY 1),
+cum AS (
+  SELECT bin, cnt,
+         CAST(coalesce(sum(cnt) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n_total
+  FROM hist),
+ps AS (SELECT unnest([{", ".join(str(p) for p in QS_PS)}]) AS p)
+SELECT CAST(p.p AS BIGINT) AS p,
+       c.n_total,
+       c.bin,
+       CAST((CAST(1 AS BIGINT) << CAST(c.bin AS INT))
+            + ((p.p * c.n_total + 99) // 100 - c.cum_before - 1)
+              * (CAST(1 AS BIGINT) << CAST(c.bin AS INT)) // c.cnt
+            AS BIGINT) AS est
+FROM ps p JOIN cum c
+  ON c.cum_before < (p.p * c.n_total + 99) // 100
+ AND (p.p * c.n_total + 99) // 100 <= c.cum_before + c.cnt
+"""
+
+
 QUERIES: dict = {
     "ta_kmv_distinct": (ta_kmv_distinct, TA_KMV_SQL),
+    "ta_quantile_sketch": (ta_quantile_sketch, TA_QS_SQL),
     "dd_bloom_membership": (dd_bloom_membership, DD_BLOOM_SQL),
     # completes the sketch trio (distinct / membership / frequency);
     # registered beyond the driver's fully-allocated 50-row window —

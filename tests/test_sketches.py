@@ -380,3 +380,67 @@ def test_cms_grid_is_bounded(spark):
     total = sketch.agg(F.sum("cnt")).collect()[0][0]
     n_occ = toks.count()
     assert total == CMS_D * n_occ   # every occurrence lands in every row
+
+
+# --- exponential-histogram quantile sketch -----------------------------------
+
+def _python_quantiles():
+    import duckdb
+    import math
+    from ocr_platform_spark.operators.sketches import QS_PS
+    vals = [v for (v,) in duckdb.connect().execute(
+        f"SELECT n_chars FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')").fetchall()]
+    hist: dict[int, int] = {}
+    for v in vals:
+        b = v.bit_length() - 1          # == length(bin(v)) - 1
+        hist[b] = hist.get(b, 0) + 1
+    n = len(vals)
+    out = {}
+    for p in QS_PS:
+        r = math.ceil(p * n / 100)
+        cum = 0
+        for b in sorted(hist):
+            if cum < r <= cum + hist[b]:
+                out[p] = (n, b, (1 << b) + (r - cum - 1) * (1 << b) // hist[b])
+                break
+            cum += hist[b]
+    return out
+
+
+def test_quantile_sketch_matches_python_replica(spark):
+    from ocr_platform_spark.operators.sketches import ta_quantile_sketch
+    got = {r["p"]: (r["n_total"], r["bin"], r["est"])
+           for r in ta_quantile_sketch(spark, SF_DIR).collect()}
+    assert got == _python_quantiles()
+
+
+def test_quantile_sketch_within_bin_of_truth(spark):
+    # the estimate must land in the same power-of-two bin as the true
+    # quantile — the histogram's accuracy contract (exact WITHIN a bin is
+    # not promised; the bin is)
+    import duckdb
+    import math
+    from ocr_platform_spark.operators.sketches import (
+        QS_PS, ta_quantile_sketch)
+    vals = sorted(v for (v,) in duckdb.connect().execute(
+        f"SELECT n_chars FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')").fetchall())
+    rows = {r["p"]: r for r in ta_quantile_sketch(spark, SF_DIR).collect()}
+    assert set(rows) == set(QS_PS)      # exactly one row per percentile
+    for p in QS_PS:
+        true_q = vals[math.ceil(p * len(vals) / 100) - 1]
+        assert rows[p]["bin"] == true_q.bit_length() - 1
+        assert (1 << rows[p]["bin"]) <= rows[p]["est"] \
+            < (1 << (rows[p]["bin"] + 1))
+
+
+def test_quantile_histogram_is_bounded(spark):
+    # the histogram aggregate is <=64 rows for any int64 column at any
+    # corpus size — the property that makes the sketch the scale path
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    hist = (docs.select((F.length(F.bin(F.col("n_chars"))) - 1)
+                        .alias("bin"))
+            .groupBy("bin").agg(F.count("*")))
+    assert hist.count() <= 64
