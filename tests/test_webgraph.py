@@ -115,3 +115,99 @@ def test_harmonic_tiny_chain(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
     got = {r["h"]: r["harm"] for r in harmonic_ranks(edges, 6).collect()}
     assert got == {1: 0, 2: 1_000_000, 3: 1_500_000}
+
+
+# --- connected components (alternating two-star) ---------------------------
+
+def _cc_edges_from_parquet() -> set:
+    import duckdb
+
+    from ocr_platform_spark.operators.webgraph import (
+        CC_CLASSES, CC_NODES_PER_CLASS)
+
+    rows = duckdb.connect().execute(
+        f"""SELECT DISTINCT
+                (o_custkey % {CC_CLASSES})
+                  + {CC_CLASSES} * (o_custkey % {CC_NODES_PER_CLASS}),
+                (o_custkey % {CC_CLASSES})
+                  + {CC_CLASSES} * ((o_orderkey * 7 + 3)
+                                    % {CC_NODES_PER_CLASS})
+            FROM read_parquet('{SF_DIR}/orders.parquet')
+            WHERE o_orderkey % 11 < 2""").fetchall()
+    return {(int(a), int(b)) for a, b in rows if a != b}
+
+
+def _union_find(edges: set) -> dict:
+    """Independent replica: classic path-compressed union-find, then the
+    min node id of each set as the component label."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict = {}
+    for n in list(parent):
+        comps.setdefault(find(n), []).append(n)
+    return {n: min(members)
+            for root, members in comps.items() for n in members}
+
+
+def test_components_match_union_find(spark):
+    from ocr_platform_spark.operators.webgraph import wg_components
+
+    got = {r["host"]: (r["component_id"], r["n_nodes"])
+           for r in wg_components(spark, SF_DIR).collect()}
+    labels = _union_find(_cc_edges_from_parquet())
+    sizes: dict = {}
+    for n, c in labels.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    want = {f"h{n}": (c, sizes[c]) for n, c in labels.items()}
+    assert got == want
+
+
+def test_components_never_span_residue_classes(spark):
+    # every edge stays inside its class ⇒ node ≡ component_id (mod 16)
+    from ocr_platform_spark.operators.webgraph import (
+        CC_CLASSES, wg_components)
+
+    for r in wg_components(spark, SF_DIR).collect():
+        node = int(r["host"][1:])
+        assert node % CC_CLASSES == r["component_id"] % CC_CLASSES
+
+
+def test_two_star_log_rounds_on_long_path(spark):
+    # a permuted 200-node path has diameter 199: min-label propagation
+    # (dd_clusters) needs ~199 shuffle rounds; two-star must finish in
+    # O(log n) — the scale property this kernel exists for. Empirically 8
+    # rounds; the bound leaves headroom without admitting linear behavior.
+    from ocr_platform_spark.operators.webgraph import _two_star_rounds
+
+    ids = [(i * 97) % 211 for i in range(200)]
+    assert len(set(ids)) == 200
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(199)], "src long, dst long")
+    labels, rounds = _two_star_rounds(edges)
+    assert rounds <= 14
+    rows = labels.collect()
+    assert len(rows) == 200
+    assert {r["component_id"] for r in rows} == {0}
+
+
+def test_two_star_isolated_pair_and_empty(spark):
+    from ocr_platform_spark.operators.webgraph import two_star_components
+
+    pair = spark.createDataFrame([(7, 3)], "src long, dst long")
+    got = {r["node"]: r["component_id"]
+           for r in two_star_components(pair).collect()}
+    assert got == {7: 3, 3: 3}
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert two_star_components(empty).count() == 0
