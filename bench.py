@@ -48,8 +48,9 @@ QUERY_SET = [
     # round-5 wave-4/5 additions (sketches + mirror detection)
     "ta_kmv_distinct", "dd_bloom_membership", "dd_mirror_hosts",
     "ta_cms_heavy_hitters",
-    # round-5 wave-9 additions (quantile sketch + two-star components)
-    "ta_quantile_sketch", "wg_components",
+    # round-5 wave-9 additions (quantile sketch + two-star components
+    # + sketch-driven length-band curation)
+    "ta_quantile_sketch", "wg_components", "cx_length_band",
 ]
 
 

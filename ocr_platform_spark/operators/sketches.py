@@ -436,9 +436,82 @@ FROM ps p JOIN cum c
 """
 
 
+# --- sketch-driven length-band curation ------------------------------------
+# The composition that makes the quantile sketch a CURATION operator and
+# not a report: "drop the shortest quartile and the >p99 tail" is the
+# standard length-cutoff rule, and at 10^12 docs the cutoffs must come
+# from the sketch (an exact percentile is a global sort). Plan shape:
+# the sketch collapses the corpus to <=64 bin rows, the two estimates
+# reduce to ONE bounds row that broadcasts back into a corpus-wide
+# projection — the corpus is scanned twice and shuffled only for the
+# final per-source aggregate; no percentile state ever leaves the plan.
+
+_BAND_LO_P, _BAND_HI_P = 25, 99
+
+
+def cx_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → per-source (n_docs, n_below, n_kept, n_above) under
+    the sketch-estimated [p25, p99] length band."""
+    docs = load(spark, sf_dir, "documents")
+    qs = quantile_sketch(docs, ps=(_BAND_LO_P, _BAND_HI_P))
+    bounds = qs.agg(
+        F.max(F.when(F.col("p") == _BAND_LO_P, F.col("est"))).alias("lo"),
+        F.max(F.when(F.col("p") == _BAND_HI_P, F.col("est"))).alias("hi"))
+    below = F.col("n_chars") < F.col("lo")
+    above = F.col("n_chars") > F.col("hi")
+    return (docs.crossJoin(F.broadcast(bounds))
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(below.cast("long")).cast("long").alias("n_below"),
+                 F.sum((~below & ~above).cast("long")).cast("long")
+                 .alias("n_kept"),
+                 F.sum(above.cast("long")).cast("long").alias("n_above"))
+            .orderBy("source"))
+
+
+CX_BAND_SQL = f"""
+WITH hist AS (
+  SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM documents GROUP BY 1),
+cum AS (
+  SELECT bin, cnt,
+         CAST(coalesce(sum(cnt) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n_total
+  FROM hist),
+est AS (
+  SELECT p.p,
+         CAST((CAST(1 AS BIGINT) << CAST(c.bin AS INT))
+              + ((p.p * c.n_total + 99) // 100 - c.cum_before - 1)
+                * (CAST(1 AS BIGINT) << CAST(c.bin AS INT)) // c.cnt
+              AS BIGINT) AS est
+  FROM (SELECT unnest([{_BAND_LO_P}, {_BAND_HI_P}]) AS p) p JOIN cum c
+    ON c.cum_before < (p.p * c.n_total + 99) // 100
+   AND (p.p * c.n_total + 99) // 100 <= c.cum_before + c.cnt),
+bounds AS (
+  SELECT max(CASE WHEN p = {_BAND_LO_P} THEN est END) AS lo,
+         max(CASE WHEN p = {_BAND_HI_P} THEN est END) AS hi
+  FROM est)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN d.n_chars < b.lo THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_below,
+       CAST(sum(CASE WHEN d.n_chars >= b.lo AND d.n_chars <= b.hi
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN d.n_chars > b.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above
+FROM documents d CROSS JOIN bounds b
+GROUP BY d.source
+"""
+
+
 QUERIES: dict = {
     "ta_kmv_distinct": (ta_kmv_distinct, TA_KMV_SQL),
     "ta_quantile_sketch": (ta_quantile_sketch, TA_QS_SQL),
+    # wave 9: the sketch composed into the curation rule it exists for
+    "cx_length_band": (cx_length_band, CX_BAND_SQL),
     "dd_bloom_membership": (dd_bloom_membership, DD_BLOOM_SQL),
     # completes the sketch trio (distinct / membership / frequency);
     # registered beyond the driver's fully-allocated 50-row window —

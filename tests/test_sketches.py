@@ -444,3 +444,73 @@ def test_quantile_histogram_is_bounded(spark):
                         .alias("bin"))
             .groupBy("bin").agg(F.count("*")))
     assert hist.count() <= 64
+
+
+# --- sketch-driven length-band curation -------------------------------------
+
+def _python_length_band():
+    """Pure-Python replica: power-of-two histogram → p25/p99 estimates →
+    per-source classification, independent of both engines' SQL."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT source, n_chars
+            FROM read_parquet('{SF_DIR}/documents.parquet')""").fetchall()
+    vals = sorted(n for _, n in rows)
+    hist: dict = {}
+    for n in vals:
+        hist[n.bit_length() - 1] = hist.get(n.bit_length() - 1, 0) + 1
+    n_total = len(vals)
+    ests = {}
+    for p in (25, 99):
+        r = (p * n_total + 99) // 100
+        cum = 0
+        for b in sorted(hist):
+            if cum < r <= cum + hist[b]:
+                ests[p] = (1 << b) + (r - cum - 1) * (1 << b) // hist[b]
+                break
+            cum += hist[b]
+    lo, hi = ests[25], ests[99]
+    out: dict = {}
+    for src, n in rows:
+        d = out.setdefault(src, [0, 0, 0, 0])
+        d[0] += 1
+        if n < lo:
+            d[1] += 1
+        elif n > hi:
+            d[3] += 1
+        else:
+            d[2] += 1
+    return {s: tuple(v) for s, v in out.items()}
+
+
+def test_length_band_matches_python_replica(spark):
+    from ocr_platform_spark.operators.sketches import cx_length_band
+
+    got = {r["source"]: (r["n_docs"], r["n_below"], r["n_kept"],
+                         r["n_above"])
+           for r in cx_length_band(spark, SF_DIR).collect()}
+    assert got == _python_length_band()
+
+
+def test_length_band_partitions_every_doc(spark):
+    # below + kept + above must account for every document, and the
+    # lower cutoff must actually bind (the p25 rule drops ~a quarter)
+    from ocr_platform_spark.operators.sketches import cx_length_band
+
+    rows = cx_length_band(spark, SF_DIR).collect()
+    for r in rows:
+        assert r["n_below"] + r["n_kept"] + r["n_above"] == r["n_docs"]
+    total = sum(r["n_docs"] for r in rows)
+    below = sum(r["n_below"] for r in rows)
+    assert 0 < below <= total * 30 // 100
+
+
+def test_length_band_plan_broadcasts_bounds(spark):
+    # the 1-row bounds relation must enter as a broadcast, never an
+    # exchange of the corpus keyed on anything percentile-related
+    from ocr_platform_spark.operators.sketches import cx_length_band
+
+    plan = cx_length_band(spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
