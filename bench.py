@@ -51,6 +51,9 @@ QUERY_SET = [
     # round-5 wave-9 additions (quantile sketch + two-star components
     # + sketch-driven length-band curation)
     "ta_quantile_sketch", "wg_components", "cx_length_band",
+    # round-5 wave-10 additions (triangle census + pointer-doubling
+    # redirect resolution)
+    "wg_triangles", "wg_redirects",
 ]
 
 

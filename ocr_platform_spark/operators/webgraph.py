@@ -525,6 +525,248 @@ FROM labels l JOIN sizes s ON s.comp = l.comp
 """
 
 
+# --- Triangle counting (degree-oriented wedge closure) ----------------------
+# The local-structure statistic next to the global ones above: per-host
+# triangle participation + clustering coefficient — the classic link-spam
+# / link-farm discriminator (farms are near-bipartite: high degree, few
+# triangles; genuine communities close their wedges). The naive plan
+# (join the edge list with itself on a shared endpoint, then close) fans
+# out quadratically on hub hosts — a 10^6-degree hub alone contributes
+# 10^12 wedges. The scale form (Suri & Vassilvitskii, WWW'11; Cohen 2009)
+# orients every edge from its lower-(degree, id) endpoint to its higher
+# one: each triangle survives as exactly one wedge at its lowest-ranked
+# vertex, and every node's ORIENTED out-degree is O(sqrt(m)) on any graph
+# — so the wedge stage emits at most m^1.5 rows total and a hub's
+# inbound millions never pair up (its out-neighborhood after orientation
+# is tiny). Both stages are plain equi hash joins on node ids.
+
+
+def _und_edges(edges: DataFrame) -> DataFrame:
+    """Directed edge list → canonical undirected (a < b, distinct)."""
+    return (edges.select(F.least("src", "dst").alias("a"),
+                         F.greatest("src", "dst").alias("b"))
+            .distinct())
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """edges(src, dst) → (h, deg, n_tri) per node of the undirected
+    simple graph. Each triangle is counted once at the wedge stage and
+    credited to all three corners via one tiny explode-free union."""
+    und = _und_edges(edges)
+    deg = (und.select(F.col("a").alias("h"))
+           .unionAll(und.select(F.col("b").alias("h")))
+           .groupBy("h").agg(F.count("*").alias("deg")))
+
+    da = deg.select(F.col("h").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("h").alias("b"), F.col("deg").alias("degb"))
+    withdeg = und.join(da, "a").join(db, "b")
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b")))
+    oriented = withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("x"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("y"),
+        F.when(a_first, F.col("degb")).otherwise(F.col("dega"))
+        .alias("ydeg")).persist()
+
+    o1 = oriented.select("x", F.col("y").alias("p"), F.col("ydeg")
+                         .alias("pdeg"))
+    o2 = oriented.select("x", F.col("y").alias("q"), F.col("ydeg")
+                         .alias("qdeg"))
+    # wedge pair ordered by the SAME (deg, id) rank that oriented the
+    # edges, so the closing edge — if present — is oriented p → q
+    wedges = (o1.join(o2, "x")
+              .filter((F.col("pdeg") < F.col("qdeg")) | (
+                  (F.col("pdeg") == F.col("qdeg"))
+                  & (F.col("p") < F.col("q"))))
+              .select("x", "p", "q"))
+    closing = oriented.select(F.col("x").alias("p"), F.col("y").alias("q"))
+    tri = wedges.join(closing, ["p", "q"])
+
+    per = (tri.select(F.col("x").alias("h"))
+           .unionAll(tri.select(F.col("p").alias("h")))
+           .unionAll(tri.select(F.col("q").alias("h")))
+           .groupBy("h").agg(F.count("*").alias("n_tri")))
+    out = (deg.join(per, "h", "left")
+           .select("h", "deg",
+                   F.coalesce("n_tri", F.lit(0)).cast("long")
+                   .alias("n_tri")))
+    out = out.localCheckpoint(eager=True)
+    oriented.unpersist()
+    return out
+
+
+def wg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle census over the same synthetic host graph the
+    rank queries use, with the clustering coefficient in x1e4 fixed
+    point (floor(20000 * T / (d * (d-1))) — exact integer both engines).
+    Oracle = an id-ordered three-way self-join (x < y < z), a DIFFERENT
+    counting scheme from the degree orientation, so agreement checks the
+    algorithm and not the implementation."""
+    orders = load(spark, sf_dir, "orders")
+    stats = triangle_stats(_edges(orders))
+    return stats.select(
+        F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
+        F.col("deg").cast("long").alias("deg"),
+        F.col("n_tri").alias("n_triangles"),
+        F.when(F.col("deg") >= 2,
+               F.expr("(20000 * n_tri) div (deg * (deg - 1))"))
+        .otherwise(F.lit(0)).cast("long").alias("clustering_x10k"))
+
+
+WG_TRIANGLES_SQL = f"""
+WITH dedges AS (
+  SELECT DISTINCT o_custkey % {N_HOSTS} AS src,
+                  (o_orderkey * 7 + 3) % {N_HOSTS} AS dst
+  FROM orders
+  WHERE o_orderkey < 5000
+    AND o_custkey % {N_HOSTS} <> (o_orderkey * 7 + 3) % {N_HOSTS}),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM dedges),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+per AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS t FROM (
+    SELECT x AS h FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri) GROUP BY h),
+deg AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS h FROM e UNION ALL SELECT b FROM e) GROUP BY h)
+SELECT 'h' || CAST(deg.h AS VARCHAR) AS host,
+       deg.d AS deg,
+       CAST(coalesce(per.t, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN deg.d >= 2
+                 THEN (20000 * coalesce(per.t, 0)) // (deg.d * (deg.d - 1))
+                 ELSE 0 END AS BIGINT) AS clustering_x10k
+FROM deg LEFT JOIN per ON per.h = deg.h
+"""
+
+
+# --- Redirect-chain resolution (pointer doubling) ---------------------------
+# Every crawl holds millions of 3xx rows; the corpus wants each source
+# url labeled with its FINAL destination (or flagged as a redirect
+# loop). Following chains one hop per round is O(longest chain) shuffle
+# rounds — a 1000-hop spam chain stalls the whole job. Pointer doubling
+# (pointer jumping — the PRAM classic; the same trick CC in MapReduce
+# papers use for list ranking) squares the reach every round: after k
+# rounds every pointer has jumped 2^k hops, so ANY chain shorter than
+# 2^k is fully resolved in k self-joins. Terminal urls carry a
+# self-pointer with hop 0, so a resolved pointer composed with its
+# terminal is a fixpoint — no done-flag bookkeeping, the algebra
+# absorbs. Nodes still unresolved after the round budget are exactly
+# the ones that feed a cycle.
+
+R_NODES = 240
+R_MOD = 16
+R_ROUNDS = 5        # 2^5 = 32 > the longest possible chain (13 hops)
+
+
+def _redirect_map(spark: SparkSession) -> DataFrame:
+    """The deterministic url-alias map (u → v), total over the id space
+    except terminals (residue 0). Residue 15 forms one 15-node cycle,
+    residue 14 feeds into it, residues 1..13 chain down to a terminal."""
+    u = F.col("id")
+    r = u % R_MOD
+    v = (F.when(r == R_MOD - 1, (u + R_MOD) % R_NODES)
+         .when(r == R_MOD - 2, u + 1)
+         .otherwise(u - 1))
+    return (spark.range(R_NODES).filter(r != 0)
+            .select(u.cast("long").alias("u"), v.cast("long").alias("v")))
+
+
+def resolve_redirects(rmap: DataFrame, rounds: int = R_ROUNDS) -> DataFrame:
+    """rmap(u, v) functional (≤1 outgoing edge per u) → one row per node
+    of the map's universe: (u, cur, hops, resolved). After ``rounds``
+    doubling steps cur is the terminal (resolved, hops = exact chain
+    length) for every chain ≤ 2^rounds; unresolved rows reach a cycle."""
+    spark = rmap.sparkSession
+    has_ckpt_dir = spark.sparkContext.getCheckpointDir() is not None
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if has_ckpt_dir \
+            else df.localCheckpoint(eager=True)
+
+    term = (rmap.select(F.col("v").alias("u"))
+            .subtract(rmap.select("u")).distinct())
+    p = _cut(rmap.select("u", F.col("v").alias("cur"),
+                         F.lit(1).cast("long").alias("hops"))
+             .union(term.select("u", F.col("u").alias("cur"),
+                                F.lit(0).cast("long").alias("hops"))))
+    for _ in range(rounds):
+        q = p.select(F.col("u").alias("qu"), F.col("cur").alias("qcur"),
+                     F.col("hops").alias("qhops"))
+        p = _cut(p.join(q, p["cur"] == q["qu"])
+                 .select("u", F.col("qcur").alias("cur"),
+                         (F.col("hops") + F.col("qhops")).alias("hops")))
+    is_term = term.select(F.col("u").alias("cur"),
+                          F.lit(True).alias("is_term"))
+    return (p.join(is_term, "cur", "left")
+            .select("u", "cur", "hops",
+                    F.coalesce("is_term", F.lit(False)).alias("resolved")))
+
+
+def wg_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve every crawl-observed url (ids from orders) through the
+    alias map: final url + exact hop count, or status='cycle'. Oracle =
+    a DuckDB recursive CTE walking the SAME map one hop at a time —
+    O(chain) sequential steps, exactly the plan shape the doubling
+    kernel exists to avoid at scale."""
+    observed = (load(spark, sf_dir, "orders")
+                .select(F.pmod(F.col("o_orderkey"), F.lit(R_NODES))
+                        .cast("long").alias("u"))
+                .distinct())
+    res = resolve_redirects(_redirect_map(spark))
+    return (observed.join(res, "u", "left")
+            .select(
+                F.concat(F.lit("u"), F.col("u").cast("string")).alias("url"),
+                F.when(F.coalesce("resolved", F.lit(True)), F.lit("ok"))
+                .otherwise(F.lit("cycle")).alias("status"),
+                F.when(F.coalesce("resolved", F.lit(True)),
+                       F.concat(F.lit("u"),
+                                F.coalesce(F.col("cur"), F.col("u"))
+                                .cast("string")))
+                .otherwise(F.lit(None).cast("string")).alias("final_url"),
+                F.when(F.coalesce("resolved", F.lit(True)),
+                       F.coalesce(F.col("hops"), F.lit(0)))
+                .otherwise(F.lit(None).cast("long")).alias("n_hops")))
+
+
+WG_REDIRECTS_SQL = f"""
+WITH RECURSIVE obs AS (
+  SELECT DISTINCT o_orderkey % {R_NODES} AS u FROM orders),
+walk AS (
+  SELECT u AS u0, u AS cur, 0 AS hops FROM obs
+  UNION ALL
+  SELECT w.u0,
+         CASE WHEN w.cur % {R_MOD} = {R_MOD - 1}
+                THEN (w.cur + {R_MOD}) % {R_NODES}
+              WHEN w.cur % {R_MOD} = {R_MOD - 2} THEN w.cur + 1
+              ELSE w.cur - 1 END,
+         w.hops + 1
+  FROM walk w
+  WHERE w.cur % {R_MOD} <> 0 AND w.hops < 40),
+res AS (
+  SELECT u0, CAST(min(hops) AS BIGINT) AS n_hops
+  FROM walk WHERE cur % {R_MOD} = 0 GROUP BY u0),
+fin AS (
+  SELECT w.u0, w.cur
+  FROM walk w JOIN res r ON r.u0 = w.u0 AND r.n_hops = w.hops
+  WHERE w.cur % {R_MOD} = 0)
+SELECT 'u' || CAST(o.u AS VARCHAR) AS url,
+       CASE WHEN r.u0 IS NULL THEN 'cycle' ELSE 'ok' END AS status,
+       CASE WHEN r.u0 IS NULL THEN NULL
+            ELSE 'u' || CAST(f.cur AS VARCHAR) END AS final_url,
+       r.n_hops AS n_hops
+FROM obs o
+LEFT JOIN res r ON r.u0 = o.u
+LEFT JOIN fin f ON f.u0 = o.u
+"""
+
+
 QUERIES: dict = {
     "wg_pagerank": (wg_pagerank, WG_PAGERANK_SQL),
     "wg_harmonic": (wg_harmonic, WG_HARMONIC_SQL),
@@ -532,4 +774,8 @@ QUERIES: dict = {
     # round-5 continuation wave 9: registered beyond the driver's
     # fully-allocated 50-row window — the local gate is its record
     "wg_components": (wg_components, WG_COMPONENTS_SQL),
+    # wave 10: triangle census + redirect resolution, beyond-window
+    # (same local-gate-record reasoning as wg_components)
+    "wg_triangles": (wg_triangles, WG_TRIANGLES_SQL),
+    "wg_redirects": (wg_redirects, WG_REDIRECTS_SQL),
 }

@@ -211,3 +211,163 @@ def test_two_star_isolated_pair_and_empty(spark):
 
     empty = spark.createDataFrame([], "src long, dst long")
     assert two_star_components(empty).count() == 0
+
+
+# --- wave 10: triangle census + redirect resolution -------------------------
+
+def _brute_triangles(edges: set) -> tuple[dict, dict]:
+    """Independent O(n^3) replica: per-node degree + triangle count."""
+    und = {tuple(sorted(e)) for e in edges}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {h: len(ns) for h, ns in adj.items()}
+    tri = {h: 0 for h in adj}
+    nodes = sorted(adj)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            if y not in adj[x]:
+                continue
+            for z in nodes:
+                if z > y and z in adj[x] and z in adj[y]:
+                    tri[x] += 1
+                    tri[y] += 1
+                    tri[z] += 1
+    return deg, tri
+
+
+def test_triangles_match_brute_force(spark):
+    from ocr_platform_spark.operators.webgraph import wg_triangles
+
+    got = {r["host"]: (r["deg"], r["n_triangles"], r["clustering_x10k"])
+           for r in wg_triangles(spark, SF_DIR).collect()}
+    deg, tri = _brute_triangles(_edges_from_parquet())
+    want = {f"h{h}": (deg[h], tri[h],
+                      (20000 * tri[h]) // (deg[h] * (deg[h] - 1))
+                      if deg[h] >= 2 else 0)
+            for h in deg}
+    assert got == want
+
+
+def test_triangles_planted_shapes(spark):
+    from ocr_platform_spark.operators.webgraph import triangle_stats
+
+    # K4 (4 triangles, each node in 3) + a disjoint star (0 triangles)
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    star = [(100, 100 + i) for i in range(1, 8)]
+    edges = spark.createDataFrame(k4 + star, "src long, dst long")
+    got = {r["h"]: (r["deg"], r["n_tri"])
+           for r in triangle_stats(edges).collect()}
+    for n in range(4):
+        assert got[n] == (3, 4 - 1)  # each K4 node closes C(3,2)=3 triangles
+    assert got[100] == (7, 0)
+    for i in range(1, 8):
+        assert got[100 + i] == (1, 0)
+
+
+def test_triangle_orientation_bounds_hub_fanout(spark):
+    # a 300-leaf hub: naive wedge generation pairs its neighbors
+    # (C(300,2) ≈ 45k rows); degree orientation points every edge AT the
+    # hub, so the hub's oriented out-degree — and the wedge count — is 0.
+    from ocr_platform_spark.operators.webgraph import (
+        _und_edges, triangle_stats)
+
+    hub = spark.createDataFrame(
+        [(0, i) for i in range(1, 301)], "src long, dst long")
+    und = _und_edges(hub)
+    deg = (und.select(F.col("a").alias("h"))
+           .unionAll(und.select(F.col("b").alias("h")))
+           .groupBy("h").count())
+    # sanity: the hub really is the max-degree node
+    assert {r["h"]: r["count"] for r in deg.collect()}[0] == 300
+    got = triangle_stats(hub)
+    rows = got.collect()
+    assert all(r["n_tri"] == 0 for r in rows)
+    # duplicate + reversed edges collapse to the same simple graph
+    doubled = hub.unionAll(hub.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+    rows2 = {r["h"]: (r["deg"], r["n_tri"])
+             for r in triangle_stats(doubled).collect()}
+    assert rows2 == {r["h"]: (r["deg"], r["n_tri"]) for r in rows}
+
+
+def _python_resolve(u: int) -> tuple[str, int | None, int | None]:
+    """Independent sequential walk of the alias map."""
+    from ocr_platform_spark.operators.webgraph import R_MOD, R_NODES
+
+    cur, hops = u, 0
+    while cur % R_MOD != 0:
+        if hops > R_NODES:
+            return "cycle", None, None
+        if cur % R_MOD == R_MOD - 1:
+            cur = (cur + R_MOD) % R_NODES
+        elif cur % R_MOD == R_MOD - 2:
+            cur = cur + 1
+        else:
+            cur = cur - 1
+        hops += 1
+    return "ok", cur, hops
+
+
+def test_redirects_match_sequential_walk(spark):
+    import duckdb
+
+    from ocr_platform_spark.operators.webgraph import R_NODES, wg_redirects
+
+    observed = {int(r[0]) for r in duckdb.connect().execute(
+        f"SELECT DISTINCT o_orderkey % {R_NODES} FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')").fetchall()}
+    got = {r["url"]: (r["status"], r["final_url"], r["n_hops"])
+           for r in wg_redirects(spark, SF_DIR).collect()}
+    assert set(got) == {f"u{u}" for u in observed}
+    for u in observed:
+        status, fin, hops = _python_resolve(u)
+        want = (status, f"u{fin}" if fin is not None else None, hops)
+        assert got[f"u{u}"] == want, u
+
+
+def test_redirect_doubling_resolves_long_chain_in_log_rounds(spark):
+    # a 30-hop chain resolves with 5 doubling rounds (2^5 = 32 > 30);
+    # with 4 rounds (2^4 = 16) it must NOT — the doubling really is the
+    # mechanism, not a linear walk in disguise.
+    from ocr_platform_spark.operators.webgraph import resolve_redirects
+
+    chain = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 31)], "u long, v long")
+    res5 = {r["u"]: (r["resolved"], r["cur"], r["hops"])
+            for r in resolve_redirects(chain, rounds=5).collect()}
+    assert res5[30] == (True, 0, 30)
+    assert res5[1] == (True, 0, 1)
+    res4 = {r["u"]: r["resolved"]
+            for r in resolve_redirects(chain, rounds=4).collect()}
+    assert res4[30] is False
+
+
+def test_redirect_cycle_nodes_never_resolve(spark):
+    from ocr_platform_spark.operators.webgraph import resolve_redirects
+
+    # 3-cycle plus a tail feeding it and a clean chain to a terminal
+    edges = [(1, 2), (2, 3), (3, 1), (9, 1), (20, 21)]
+    rmap = spark.createDataFrame(edges, "u long, v long")
+    got = {r["u"]: (r["resolved"], r["hops"] if r["resolved"] else None)
+           for r in resolve_redirects(rmap).collect()}
+    assert got[1] == (False, None)
+    assert got[2] == (False, None)
+    assert got[3] == (False, None)
+    assert got[9] == (False, None)
+    assert got[20] == (True, 1)
+    assert got[21] == (True, 0)   # terminal: self-resolved at hop 0
+
+
+def test_triangle_and_redirect_plans_have_no_cartesian(spark):
+    # both kernels must stay pure equi-join: a slipped join condition
+    # (e.g. the wedge-order filter absorbed into the join) would
+    # degenerate to a nested-loop/cartesian and die at web scale
+    from ocr_platform_spark.operators.webgraph import (
+        wg_redirects, wg_triangles)
+
+    for df in (wg_triangles(spark, SF_DIR), wg_redirects(spark, SF_DIR)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
