@@ -54,6 +54,8 @@ QUERY_SET = [
     # round-5 wave-10 additions (triangle census + pointer-doubling
     # redirect resolution)
     "wg_triangles", "wg_redirects",
+    # round-5 wave-11 addition (k-core via h-index fixpoint)
+    "wg_kcore",
 ]
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ocr_platform_spark.operators.tables import load
 
@@ -767,6 +768,158 @@ LEFT JOIN fin f ON f.u0 = o.u
 """
 
 
+# --- k-core decomposition (h-index fixpoint) --------------------------------
+# Coreness is the workhorse "how embedded is this host" statistic next
+# to the census above: link farms and freshly-spammed hosts live in the
+# 1-2-core shell, genuine hub communities in the deep core, and corpus
+# curation uses the core number as a cheap authority prior that — unlike
+# PageRank — needs no damping parameter. The textbook algorithm
+# (Batagelj & Zaversnik 2003) peels minimum-degree nodes one at a time:
+# inherently sequential, O(n) rounds distributed (a path graph peels two
+# endpoints per round). The scale form is the h-index fixpoint (Lü,
+# Chen, Ren, Zhang, Zhou & Stanley, Nature Communications 2016): start
+# every node at its degree and repeatedly replace c(v) with the h-index
+# of its neighbours' values. The operator is monotone and H(deg) ≤ deg,
+# so the sequence is pointwise non-increasing and absorbs at the
+# coreness — running EXTRA rounds past the fixpoint changes nothing,
+# which is what lets a fixed round count be bit-identical across
+# engines. Per round the plan is one equi-join (neighbour values) + one
+# map-side-combined (node, value) histogram + a per-node window whose
+# partition holds DISTINCT VALUES, not neighbours — a 10^6-degree hub
+# contributes at most max-coreness rows to its window, because the
+# histogram collapsed the fan-in before the exchange.
+
+KC_ROUNDS = 12   # fixpoint reached in <= 6 on the synthetic graph at
+                 # every shipped sf (pinned by one-extra-round tests);
+                 # 2x headroom costs only absorbed no-op rounds
+
+
+def _h_index(vals: list[int]) -> int:
+    """max h such that at least h of ``vals`` are >= h."""
+    h = 0
+    for i, x in enumerate(sorted(vals, reverse=True), 1):
+        if x >= i:
+            h = i
+    return h
+
+
+def python_coreness(pairs) -> dict[int, int]:
+    """Batagelj–Zaversnik min-degree peel — a genuinely DIFFERENT
+    algorithm from the h-index fixpoint the distributed kernel runs, so
+    test agreement checks the algorithm, not the implementation."""
+    adj: dict[int, set] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    remaining = set(adj)
+    core: dict[int, int] = {}
+    k = 0
+    while remaining:
+        v = min(remaining, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        remaining.remove(v)
+        for u in adj[v]:
+            if u in remaining:
+                deg[u] -= 1
+    return core
+
+
+def kcore_ranks(edges: DataFrame, rounds: int = KC_ROUNDS) -> DataFrame:
+    """edges(src, dst) → (node, deg, coreness) of the undirected simple
+    graph after ``rounds`` synchronous h-index sweeps (exact coreness
+    once the fixpoint is inside the budget; extra rounds absorb)."""
+    spark = edges.sparkSession
+    has_ckpt_dir = spark.sparkContext.getCheckpointDir() is not None
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if has_ckpt_dir \
+            else df.localCheckpoint(eager=True)
+
+    # simple graph: a self-loop would count itself as a neighbour twice
+    # (once per direction of bid) and inflate both degree and h-index
+    und = _und_edges(edges).where(F.col("a") != F.col("b"))
+    bid = (und.select(F.col("a").alias("node"), F.col("b").alias("nb"))
+           .unionAll(und.select(F.col("b").alias("node"),
+                                F.col("a").alias("nb")))
+           .persist())
+    deg = _cut(bid.groupBy("node")
+               .agg(F.count("*").cast("long").alias("c")))
+    c = deg
+    w = Window.partitionBy("node").orderBy(F.col("cv").desc())
+    for _ in range(rounds):
+        nbval = bid.join(c.select(F.col("node").alias("nb"),
+                                  F.col("c").alias("cv")), "nb")
+        # histogram first: the per-node window below then sees one row
+        # per DISTINCT neighbour value — hub fan-in collapses map-side
+        hist = (nbval.groupBy("node", "cv")
+                .agg(F.count("*").cast("long").alias("cnt")))
+        cum = hist.select(
+            "node", "cv", F.sum("cnt").over(w).alias("ge"))
+        c = _cut(cum.groupBy("node")
+                 .agg(F.max(F.least(F.col("cv"), F.col("ge")))
+                      .cast("long").alias("c")))
+    out = (deg.withColumnRenamed("c", "deg")
+           .join(c.withColumnRenamed("c", "coreness"), "node"))
+    out = out.localCheckpoint(eager=True)
+    bid.unpersist()
+    return out
+
+
+def wg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host core number over the same synthetic host graph the rank
+    queries use. Oracle = the same fixed-round recurrence unrolled into
+    SQL (the wg_pagerank pattern); the INDEPENDENT check is pytest's
+    Batagelj–Zaversnik peel replica (test_webgraph.py)."""
+    orders = load(spark, sf_dir, "orders")
+    ranks = kcore_ranks(_edges(orders))
+    return ranks.select(
+        F.concat(F.lit("h"), F.col("node").cast("string")).alias("host"),
+        F.col("deg").cast("long").alias("deg"),
+        F.col("coreness").cast("long").alias("coreness"))
+
+
+def _kcore_sql(rounds: int = KC_ROUNDS) -> str:
+    parts = [f"""
+WITH dedges AS (
+  SELECT DISTINCT o_custkey % {N_HOSTS} AS src,
+                  (o_orderkey * 7 + 3) % {N_HOSTS} AS dst
+  FROM orders
+  WHERE o_orderkey < 5000
+    AND o_custkey % {N_HOSTS} <> (o_orderkey * 7 + 3) % {N_HOSTS}),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM dedges),
+bid AS (SELECT a AS node, b AS nb FROM e
+        UNION ALL SELECT b, a FROM e),
+c0 AS (SELECT node, CAST(count(*) AS BIGINT) AS c FROM bid GROUP BY node)"""]
+    for r in range(rounds):
+        # sum() OVER would widen to HUGEINT — cast back (driver hasher)
+        parts.append(f""",
+h{r} AS (
+  SELECT bid.node, cr.c AS cv, CAST(count(*) AS BIGINT) AS cnt
+  FROM bid JOIN c{r} cr ON cr.node = bid.nb
+  GROUP BY bid.node, cr.c),
+c{r + 1} AS (
+  SELECT node, CAST(max(least(cv, ge)) AS BIGINT) AS c FROM (
+    SELECT node, cv,
+           CAST(sum(cnt) OVER (PARTITION BY node ORDER BY cv DESC)
+                AS BIGINT) AS ge
+    FROM h{r}) GROUP BY node)""")
+    parts.append(f"""
+SELECT 'h' || CAST(c0.node AS VARCHAR) AS host,
+       c0.c AS deg,
+       c{rounds}.c AS coreness
+FROM c0 JOIN c{rounds} ON c{rounds}.node = c0.node""")
+    return "".join(parts)
+
+
+WG_KCORE_SQL = _kcore_sql()
+
+
 QUERIES: dict = {
     "wg_pagerank": (wg_pagerank, WG_PAGERANK_SQL),
     "wg_harmonic": (wg_harmonic, WG_HARMONIC_SQL),
@@ -778,4 +931,6 @@ QUERIES: dict = {
     # (same local-gate-record reasoning as wg_components)
     "wg_triangles": (wg_triangles, WG_TRIANGLES_SQL),
     "wg_redirects": (wg_redirects, WG_REDIRECTS_SQL),
+    # wave 11: k-core decomposition, beyond-window (local-gate record)
+    "wg_kcore": (wg_kcore, WG_KCORE_SQL),
 }

@@ -371,3 +371,112 @@ def test_triangle_and_redirect_plans_have_no_cartesian(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
+
+
+# --- k-core (h-index fixpoint) ----------------------------------------------
+
+def test_h_index_unit():
+    from ocr_platform_spark.operators.webgraph import _h_index
+
+    assert _h_index([]) == 0
+    assert _h_index([5]) == 1
+    assert _h_index([5, 1]) == 1
+    assert _h_index([3, 3, 3]) == 3
+    assert _h_index([10, 8, 5, 4, 3]) == 4
+
+
+def test_kcore_matches_bz_peel(spark):
+    # distributed h-index fixpoint vs the Batagelj–Zaversnik min-degree
+    # peel — a genuinely different algorithm, so agreement checks the
+    # algorithm, not the implementation
+    from ocr_platform_spark.operators.webgraph import (
+        python_coreness, wg_kcore)
+
+    got = {r["host"]: (r["deg"], r["coreness"])
+           for r in wg_kcore(spark, SF_DIR).collect()}
+    pairs = _edges_from_parquet()
+    want_core = python_coreness(pairs)
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    want_deg: dict = {}
+    for a, b in und:
+        want_deg[a] = want_deg.get(a, 0) + 1
+        want_deg[b] = want_deg.get(b, 0) + 1
+    assert got == {f"h{n}": (want_deg[n], want_core[n]) for n in want_core}
+
+
+def test_kcore_planted_shapes(spark):
+    # K5 (coreness 4) with a path tail (coreness 1) hanging off it, plus
+    # a disjoint triangle (coreness 2); duplicate/reversed/self-loop
+    # input rows must not change the simple-graph answer
+    from ocr_platform_spark.operators.webgraph import kcore_ranks
+
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    tail = [(4, 10), (10, 11), (11, 12)]
+    tri = [(20, 21), (21, 22), (22, 20)]
+    noise = [(1, 0), (2, 0), (20, 20)]          # dup reversed + self-loop
+    edges = spark.createDataFrame(
+        k5 + tail + tri + noise, "src long, dst long")
+    got = {r["node"]: (r["deg"], r["coreness"])
+           for r in kcore_ranks(edges, rounds=6).collect()}
+    assert got[0] == (4, 4) and got[1] == (4, 4)
+    assert got[4] == (5, 4)                     # K5 member + tail anchor
+    assert got[10] == (2, 1) and got[12] == (1, 1)
+    assert got[20] == (2, 2) and got[22] == (2, 2)
+
+
+def test_kcore_fixpoint_absorbs_extra_rounds(spark):
+    # the h-index operator is monotone non-increasing and absorbs at the
+    # coreness: KC_ROUNDS and KC_ROUNDS+2 must be bit-identical on the
+    # shipped graph (this is what makes a FIXED round budget exact), and
+    # a deliberately starved budget must still be pointwise >= coreness
+    # (the sequence approaches from above, never overshoots below)
+    from ocr_platform_spark.operators.webgraph import (
+        KC_ROUNDS, _edges, kcore_ranks, python_coreness)
+    from ocr_platform_spark.operators.tables import load
+
+    edges = _edges(load(spark, SF_DIR, "orders"))
+    at = {r["node"]: r["coreness"]
+          for r in kcore_ranks(edges, rounds=KC_ROUNDS).collect()}
+    extra = {r["node"]: r["coreness"]
+             for r in kcore_ranks(edges, rounds=KC_ROUNDS + 2).collect()}
+    assert at == extra
+    core = python_coreness(_edges_from_parquet())
+    starved = {r["node"]: r["coreness"]
+               for r in kcore_ranks(edges, rounds=1).collect()}
+    assert all(starved[n] >= core[n] for n in starved)
+
+
+def test_kcore_long_path_needs_rounds(spark):
+    # a path of length L needs ~L/2 h-index sweeps to drain to coreness 1
+    # from the inside out — pin that rounds=1 is NOT yet converged while
+    # the shipped budget is: the fixed budget is a real mechanism, and a
+    # regression that silently dropped the loop would fail here
+    from ocr_platform_spark.operators.webgraph import kcore_ranks
+
+    path = [(i, i + 1) for i in range(12)]
+    edges = spark.createDataFrame(path, "src long, dst long")
+    one = {r["node"]: r["coreness"]
+           for r in kcore_ranks(edges, rounds=1).collect()}
+    assert any(v > 1 for v in one.values())
+    done = {r["node"]: r["coreness"]
+            for r in kcore_ranks(edges, rounds=8).collect()}
+    assert set(done.values()) == {1}
+
+
+def test_kcore_hub_star_is_one_core_and_equi_join(spark):
+    # a 300-leaf star is a 1-core everywhere (hub included): the hub's
+    # 300-neighbour fan-in must collapse to ONE histogram row before the
+    # per-node window, and the whole plan stays pure equi-join
+    from ocr_platform_spark.operators.webgraph import kcore_ranks, wg_kcore
+
+    star = [(0, i) for i in range(1, 301)]
+    edges = spark.createDataFrame(star, "src long, dst long")
+    res = kcore_ranks(edges, rounds=4)
+    got = {r["node"]: (r["deg"], r["coreness"]) for r in res.collect()}
+    assert got[0] == (300, 1)
+    assert all(v == (1, 1) for n, v in got.items() if n != 0)
+
+    plan = wg_kcore(spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
