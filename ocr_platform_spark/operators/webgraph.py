@@ -920,6 +920,222 @@ FROM c0 JOIN c{rounds} ON c{rounds}.node = c0.node""")
 WG_KCORE_SQL = _kcore_sql()
 
 
+# --- TrustRank: seed-biased PageRank (spam demotion) ------------------------
+# TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB'04) is the classic
+# link-spam countermeasure: identical recurrence to PageRank except the
+# teleport mass lands ONLY on a hand-vetted trusted seed set, so trust
+# can reach a host exclusively through a seed-rooted link path — a spam
+# farm with no inbound path from any seed converges to EXACTLY zero
+# (integer arithmetic makes that sharp, not asymptotic). Curation joins
+# the trust score back onto documents as the spam prior next to the
+# popularity prior wg_pagerank provides; the divergence between the two
+# (high rank, zero trust) is itself the published spam-mass signal.
+#
+# Same scale shape as pagerank_ranks: per iteration one shuffle join
+# (rank on src) + one map-side-combined aggregate (sum on dst); the
+# static edges ⋈ outdeg relation is persisted once; lineage cut per
+# round. Seeds are a deterministic id-rule (h % 10 == 3) so both
+# engines select them with a literal predicate — no seed list crosses
+# the driver. Seed base mass is a module constant (x1e6, one seed per
+# ~10 hosts carries 10x the per-node PageRank base) so no normalization
+# depends on a data-driven seed count.
+
+TR_ITERS = 10
+_SEED_MOD, _SEED_RES = 10, 3       # trusted seeds: h % 10 == 3
+_SEED_BASE_X1E6 = 1_500_000        # (1 - d) * 1e6 * (hosts per seed)
+
+
+def _seed_col(col):
+    return F.pmod(col, F.lit(_SEED_MOD)) == F.lit(_SEED_RES)
+
+
+def trustrank_ranks(edges: DataFrame, iters: int = TR_ITERS) -> DataFrame:
+    """edges(src, dst) → (h, trust) after ``iters`` exact-integer damped
+    iterations of the seed-teleport recurrence. Hosts with no directed
+    path from a seed hold trust == 0 at every iteration."""
+    spark = edges.sparkSession
+    hosts = (edges.select(F.col("src").alias("h"))
+             .union(edges.select(F.col("dst").alias("h")))
+             .distinct())
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    esrc = edges.join(outdeg, "src").persist()
+
+    has_ckpt_dir = spark.sparkContext.getCheckpointDir() is not None
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if has_ckpt_dir \
+            else df.localCheckpoint(eager=True)
+
+    base = F.when(_seed_col(F.col("h")), F.lit(_SEED_BASE_X1E6)) \
+        .otherwise(F.lit(0)).cast("long")
+    trust = hosts.withColumn("trust", base)
+    for _ in range(iters):
+        insum = (esrc.join(trust, esrc["src"] == trust["h"])
+                 .select(F.col("dst"),
+                         F.expr("trust DIV deg").alias("c"))
+                 .groupBy("dst").agg(F.sum("c").alias("in_sum")))
+        trust = _cut(
+            hosts.join(insum, hosts["h"] == insum["dst"], "left")
+            .select(
+                "h",
+                (base
+                 + F.expr(f"({_DAMP_NUM} * coalesce(in_sum, 0))"
+                          f" DIV {_DAMP_DEN}"))
+                .cast("long").alias("trust")))
+    esrc.unpersist()
+    return trust
+
+
+def wg_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host trust over the synthetic host graph, plus the spam-mass
+    discriminator: rank mass NOT explained by trust, x1e4 of rank
+    (max(0, rank - trust) scaled) — the VLDB'04 demotion signal."""
+    orders = load(spark, sf_dir, "orders")
+    edges = _edges(orders)
+    rank = pagerank_ranks(edges)
+    trust = trustrank_ranks(edges)
+    joined = rank.join(trust, "h")
+    return joined.select(
+        F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
+        F.col("trust").alias("trust_x1e6"),
+        F.expr("(greatest(rank - trust, 0L) * 10000) DIV rank")
+        .cast("long").alias("spam_mass_x1e4"))
+
+
+def _trustrank_sql(iters: int = TR_ITERS) -> str:
+    seed = f"h % {_SEED_MOD} = {_SEED_RES}"
+    sql = f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey % {N_HOSTS} AS src,
+                  (o_orderkey * 7 + 3) % {N_HOSTS} AS dst
+  FROM orders
+  WHERE o_orderkey < 5000
+    AND o_custkey % {N_HOSTS} <> (o_orderkey * 7 + 3) % {N_HOSTS}),
+hosts AS (
+  SELECT DISTINCT h FROM (
+    SELECT src AS h FROM edges UNION SELECT dst FROM edges)),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+t0 AS (SELECT h, CAST(CASE WHEN {seed} THEN {_SEED_BASE_X1E6}
+                           ELSE 0 END AS BIGINT) AS trust FROM hosts),
+p0 AS (SELECT h, CAST({_INIT_X1E6} AS BIGINT) AS rank FROM hosts)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+t{i} AS (
+  SELECT h.h,
+         CAST(CASE WHEN {seed.replace('h %', 'h.h %')}
+                   THEN {_SEED_BASE_X1E6} ELSE 0 END
+              + ({_DAMP_NUM} * coalesce(s.in_sum, 0))
+              // {_DAMP_DEN} AS BIGINT) AS trust
+  FROM hosts h LEFT JOIN (
+    SELECT e.dst AS h, sum(t.trust // d.deg) AS in_sum
+    FROM edges e
+    JOIN t{i - 1} t ON t.h = e.src
+    JOIN outdeg d ON d.src = e.src
+    GROUP BY e.dst) s ON s.h = h.h),
+p{i} AS (
+  SELECT h.h,
+         CAST({_BASE_X1E6} + ({_DAMP_NUM} * coalesce(s.in_sum, 0))
+              // {_DAMP_DEN} AS BIGINT) AS rank
+  FROM hosts h LEFT JOIN (
+    SELECT e.dst AS h, sum(p.rank // d.deg) AS in_sum
+    FROM edges e
+    JOIN p{i - 1} p ON p.h = e.src
+    JOIN outdeg d ON d.src = e.src
+    GROUP BY e.dst) s ON s.h = h.h)"""
+    sql += (f"""
+SELECT 'h' || CAST(t.h AS VARCHAR) AS host,
+       t.trust AS trust_x1e6,
+       CAST((greatest(p.rank - t.trust, 0) * 10000) // p.rank AS BIGINT)
+         AS spam_mass_x1e4
+FROM t{iters} t JOIN p{iters} p ON p.h = t.h""")
+    return sql
+
+
+WG_TRUSTRANK_SQL = _trustrank_sql()
+
+
+# --- seed distance: multi-source BFS from the trusted set -------------------
+# "Link distance from a trusted seed set" is the other half of the
+# spam-demotion toolkit (and a standard crawl-frontier prioritization
+# feature): hosts many hops from every vetted seed are crawled later
+# and weighted down in curation. Multi-source BFS as plain DataFrame
+# ops — the distance table unions with (edges ⋈ frontier)+1 and a
+# map-side-combined MIN per host collapses both; rounds = hop budget,
+# and once every reachable host holds its true distance the MIN is a
+# no-op, so the fixed budget ABSORBS exactly like the k-core sweep
+# (extra rounds are bit-identical, which is what lets both engines run
+# the same literal round count).
+
+SD_ROUNDS = 8    # hop budget; the synthetic graph's seed eccentricity
+                 # is <= 4 at every shipped sf (absorption pinned)
+
+
+def seed_distances(edges: DataFrame, rounds: int = SD_ROUNDS) -> DataFrame:
+    """edges(src, dst) → (h, seed_dist) min-hop distance from any seed
+    (h % 10 == 3) following edge direction; unreachable hosts -1."""
+    spark = edges.sparkSession
+    hosts = (edges.select(F.col("src").alias("h"))
+             .union(edges.select(F.col("dst").alias("h")))
+             .distinct())
+    has_ckpt_dir = spark.sparkContext.getCheckpointDir() is not None
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if has_ckpt_dir \
+            else df.localCheckpoint(eager=True)
+
+    dist = _cut(hosts.where(_seed_col(F.col("h")))
+                .withColumn("d", F.lit(0).cast("long")))
+    for _ in range(rounds):
+        stepped = (edges.join(dist, edges["src"] == dist["h"])
+                   .select(F.col("dst").alias("h"),
+                           (F.col("d") + 1).alias("d")))
+        dist = _cut(dist.unionAll(stepped)
+                    .groupBy("h").agg(F.min("d").cast("long").alias("d")))
+    return (hosts.join(dist, "h", "left")
+            .select("h", F.coalesce("d", F.lit(-1))
+                    .cast("long").alias("seed_dist")))
+
+
+def wg_seed_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (seed_distances(_edges(orders))
+            .select(F.concat(F.lit("h"), F.col("h").cast("string"))
+                    .alias("host"),
+                    F.col("seed_dist")))
+
+
+def _seed_dist_sql(rounds: int = SD_ROUNDS) -> str:
+    sql = f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey % {N_HOSTS} AS src,
+                  (o_orderkey * 7 + 3) % {N_HOSTS} AS dst
+  FROM orders
+  WHERE o_orderkey < 5000
+    AND o_custkey % {N_HOSTS} <> (o_orderkey * 7 + 3) % {N_HOSTS}),
+hosts AS (
+  SELECT DISTINCT h FROM (
+    SELECT src AS h FROM edges UNION SELECT dst FROM edges)),
+d0 AS (SELECT h, CAST(0 AS BIGINT) AS d FROM hosts
+       WHERE h % {_SEED_MOD} = {_SEED_RES})"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+d{i} AS (
+  SELECT h, CAST(min(d) AS BIGINT) AS d FROM (
+    SELECT h, d FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS h, r.d + 1 AS d
+    FROM edges e JOIN d{i - 1} r ON r.h = e.src)
+  GROUP BY h)"""
+    sql += (f"""
+SELECT 'h' || CAST(hosts.h AS VARCHAR) AS host,
+       CAST(coalesce(d.d, -1) AS BIGINT) AS seed_dist
+FROM hosts LEFT JOIN d{rounds} d ON d.h = hosts.h""")
+    return sql
+
+
+WG_SEED_DIST_SQL = _seed_dist_sql()
+
+
 QUERIES: dict = {
     "wg_pagerank": (wg_pagerank, WG_PAGERANK_SQL),
     "wg_harmonic": (wg_harmonic, WG_HARMONIC_SQL),
@@ -933,4 +1149,8 @@ QUERIES: dict = {
     "wg_redirects": (wg_redirects, WG_REDIRECTS_SQL),
     # wave 11: k-core decomposition, beyond-window (local-gate record)
     "wg_kcore": (wg_kcore, WG_KCORE_SQL),
+    # wave 12: spam demotion — TrustRank + seed BFS distance,
+    # beyond-window (local-gate record)
+    "wg_trustrank": (wg_trustrank, WG_TRUSTRANK_SQL),
+    "wg_seed_dist": (wg_seed_dist, WG_SEED_DIST_SQL),
 }

@@ -480,3 +480,118 @@ def test_kcore_hub_star_is_one_core_and_equi_join(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+# --- TrustRank + seed distance (spam demotion) -------------------------------
+
+def _python_trustrank(edges: set, iters: int) -> dict:
+    from ocr_platform_spark.operators.webgraph import (
+        _DAMP_DEN, _DAMP_NUM, _SEED_BASE_X1E6, _SEED_MOD, _SEED_RES)
+
+    hosts = {h for e in edges for h in e}
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = {h: _SEED_BASE_X1E6 if h % _SEED_MOD == _SEED_RES else 0
+            for h in hosts}
+    trust = dict(base)
+    for _ in range(iters):
+        in_sum = {h: 0 for h in hosts}
+        for s, d in edges:
+            in_sum[d] += trust[s] // outdeg[s]
+        trust = {h: base[h] + (_DAMP_NUM * in_sum[h]) // _DAMP_DEN
+                 for h in hosts}
+    return trust
+
+
+def test_trustrank_matches_python_replica(spark):
+    from ocr_platform_spark.operators.webgraph import TR_ITERS, wg_trustrank
+
+    got = {r["host"]: r["trust_x1e6"]
+           for r in wg_trustrank(spark, SF_DIR).collect()}
+    edges = _edges_from_parquet()
+    trust = _python_trustrank(edges, TR_ITERS)
+    rank = _python_pagerank(edges)
+    assert got == {f"h{h}": t for h, t in trust.items()}
+    # and the spam-mass discriminator agrees with the two replicas
+    got_sm = {r["host"]: r["spam_mass_x1e4"]
+              for r in wg_trustrank(spark, SF_DIR).collect()}
+    want_sm = {f"h{h}": (max(rank[h] - trust[h], 0) * 10000) // rank[h]
+               for h in trust}
+    assert got_sm == want_sm
+
+
+def test_trustrank_spam_island_gets_exactly_zero(spark):
+    # trust reaches a host ONLY through a seed-rooted path: an island
+    # with no inbound path from any seed converges to exactly 0 (integer
+    # arithmetic makes this sharp), while PageRank still grants it its
+    # teleport base — that divergence IS the spam-mass signal
+    from ocr_platform_spark.operators.webgraph import (
+        pagerank_ranks, trustrank_ranks)
+
+    edges = spark.createDataFrame(
+        [(3, 1), (1, 2),            # seed 3 feeds 1 and transitively 2
+         (100, 101), (101, 100),    # spam island, no seed path in
+         (100, 2)],                 # island links OUT (classic farm)
+        "src long, dst long")
+    trust = {r["h"]: r["trust"] for r in trustrank_ranks(edges).collect()}
+    rank = {r["h"]: r["rank"] for r in pagerank_ranks(edges).collect()}
+    assert trust[100] == 0 and trust[101] == 0
+    assert trust[3] > 0 and trust[1] > 0 and trust[2] > 0
+    assert rank[100] > 0 and rank[101] > 0
+
+
+def test_seed_dist_matches_bfs_replica(spark):
+    from ocr_platform_spark.operators.webgraph import (
+        _SEED_MOD, _SEED_RES, wg_seed_dist)
+
+    edges = _edges_from_parquet()
+    hosts = {h for e in edges for h in e}
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    dist = {h: 0 for h in hosts if h % _SEED_MOD == _SEED_RES}
+    frontier = list(dist)
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    want = {f"h{h}": dist.get(h, -1) for h in hosts}
+    got = {r["host"]: r["seed_dist"]
+           for r in wg_seed_dist(spark, SF_DIR).collect()}
+    assert got == want
+
+
+def test_seed_dist_directionality_island_and_absorption(spark):
+    # hops follow edge direction (an edge INTO a seed confers nothing),
+    # unreachable hosts are -1, and extra rounds past convergence are
+    # bit-identical (the absorbing MIN is what lets both engines run a
+    # literal round budget)
+    from ocr_platform_spark.operators.webgraph import (
+        SD_ROUNDS, seed_distances)
+
+    edges = spark.createDataFrame(
+        [(3, 1), (1, 2), (2, 4),    # chain out of seed 3
+         (5, 3),                    # points AT the seed: 5 stays -1
+         (7, 8), (8, 7)],           # island
+        "src long, dst long")
+    got = {r["h"]: r["seed_dist"]
+           for r in seed_distances(edges).collect()}
+    assert got == {3: 0, 1: 1, 2: 2, 4: 3, 5: -1, 7: -1, 8: -1}
+    extra = {r["h"]: r["seed_dist"]
+             for r in seed_distances(edges, rounds=SD_ROUNDS + 2).collect()}
+    assert extra == got
+
+
+def test_trustrank_seed_dist_plans_pure_equi_join(spark):
+    from ocr_platform_spark.operators.webgraph import (
+        wg_seed_dist, wg_trustrank)
+
+    for df in (wg_trustrank(spark, SF_DIR), wg_seed_dist(spark, SF_DIR)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
