@@ -56,6 +56,10 @@ QUERY_SET = [
     "wg_triangles", "wg_redirects",
     # round-5 wave-11 addition (k-core via h-index fixpoint)
     "wg_kcore",
+    # round-5 wave-12 additions (TrustRank spam demotion + seed BFS)
+    "wg_trustrank", "wg_seed_dist",
+    # round-5 wave-13 addition (CCNet-style bigram LM quality score)
+    "ta_lm_score",
 ]
 
 

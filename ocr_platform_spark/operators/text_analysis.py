@@ -568,6 +568,115 @@ FROM uni JOIN bi USING (doc_id)
 """
 
 
+# --- n-gram LM quality score (the CCNet perplexity stage) -------------------
+# CCNet (Wenzek et al., LREC 2020) buckets web documents by the
+# perplexity of a per-language n-gram LM trained on a clean reference
+# corpus — the single most-used model-based quality filter before
+# classifier-era scoring. Rebuilt engine-side: a per-language bigram
+# model TRAINED on a deterministic held-in slice (doc_id % 10 == 0 —
+# an id rule, so both engines select the training set with a literal
+# predicate) and APPLIED to every document as its mean bigram
+# probability in x1e6 integer fixed point (floor at both divisions) —
+# monotone in the same direction as negative perplexity, but exact, so
+# the score is hash-comparable across engines without a transcendental
+# log.
+#
+# Shape at scale: training is two map-side-combined counts (bigram,
+# prefix) over the reference slice; scoring joins the corpus's exploded
+# bigrams against the model on (lang, w1, w2) — a plain shuffle
+# equi-join, because at corpus scale the model itself is too large to
+# broadcast (vocabulary² upper bound, corpus-token-count in practice).
+# Bigrams are built JVM-side with slice+arrays_zip (no Python, no
+# self-join on token position). Hot bigrams ("of the") hit the COUNT
+# aggregates, which partial-combine map-side; the scoring join probes
+# with them, which hash joins handle without skew amplification.
+# int64 bound: p_x1e6 multiplies a bigram count by 1e6, exact while a
+# single (lang, w1, w2) training count stays < 9.2e12 — at larger
+# reference slices drop the fixed-point to x1e3 or pre-scale counts.
+
+_LM_TRAIN_MOD, _LM_TRAIN_RES = 10, 0    # held-in reference slice
+
+
+def _bigram_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, text) → one row per adjacent token pair, built
+    with slice+arrays_zip so the pairing never leaves the JVM row."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    pairs = F.arrays_zip(F.slice(toks, 1, n - 1).alias("w1"),
+                         F.slice(toks, 2, n - 1).alias("w2"))
+    return (docs.select("doc_id", "lang", pairs.alias("bg"))
+            .select("doc_id", "lang", F.explode("bg").alias("p"))
+            .select("doc_id", "lang",
+                    F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
+
+
+def lm_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, text) → (doc_id, n_bigrams, lm_score_x1e6): mean
+    probability of the document's bigrams under the per-language model
+    trained on the doc_id % 10 == 0 slice; bigrams the model never saw
+    contribute 0 (the CCNet out-of-domain signal)."""
+    bg = _bigram_rows(docs)
+    train = bg.where(
+        F.pmod(F.col("doc_id"), F.lit(_LM_TRAIN_MOD)) == _LM_TRAIN_RES)
+    bi = (train.groupBy("lang", "w1", "w2")
+          .agg(F.count("*").alias("c_bi")))
+    uni = (train.groupBy("lang", "w1")
+           .agg(F.count("*").alias("c_uni")))
+    model = bi.join(uni, ["lang", "w1"]).select(
+        "lang", "w1", "w2",
+        F.expr("(c_bi * 1000000) DIV c_uni").alias("p_x1e6"))
+    scored = (bg.join(model, ["lang", "w1", "w2"], "left")
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.sum(F.coalesce("p_x1e6", F.lit(0))).alias("s")))
+    return (docs.join(scored, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_bigrams", F.lit(0))
+                .cast("long").alias("n_bigrams"),
+                F.coalesce(F.expr("s DIV n_bigrams"), F.lit(0))
+                .cast("long").alias("lm_score_x1e6")))
+
+
+def ta_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_scores(load(spark, sf_dir, "documents"))
+
+
+TA_LM_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents),
+bg AS (
+  -- two same-length unnests in one SELECT zip positionally in DuckDB:
+  -- (t[i], t[i+1]) for i = 1 .. len-1, exactly Spark's arrays_zip pair
+  SELECT doc_id, lang,
+         unnest(t[1:len(t) - 1]) AS w1,
+         unnest(t[2:len(t)]) AS w2
+  FROM toks),
+train AS (SELECT * FROM bg
+          WHERE doc_id % {_LM_TRAIN_MOD} = {_LM_TRAIN_RES}),
+bi AS (SELECT lang, w1, w2, count(*) AS c_bi
+       FROM train GROUP BY lang, w1, w2),
+uni AS (SELECT lang, w1, count(*) AS c_uni
+        FROM train GROUP BY lang, w1),
+model AS (
+  SELECT bi.lang, bi.w1, bi.w2,
+         (c_bi * 1000000) // c_uni AS p_x1e6
+  FROM bi JOIN uni ON uni.lang = bi.lang AND uni.w1 = bi.w1),
+scored AS (
+  SELECT bg.doc_id, count(*) AS n_bigrams,
+         sum(coalesce(m.p_x1e6, 0)) AS s
+  FROM bg LEFT JOIN model m
+    ON m.lang = bg.lang AND m.w1 = bg.w1 AND m.w2 = bg.w2
+  GROUP BY bg.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(sc.s // sc.n_bigrams, 0) AS BIGINT) AS lm_score_x1e6
+FROM documents d LEFT JOIN scored sc ON sc.doc_id = d.doc_id
+"""
+
+
 QUERIES: dict = {
     "ta_token_stats": (ta_token_stats, TA_TOKEN_SQL),
     "ta_quality_flags": (ta_quality_flags, TA_QUALITY_SQL),
@@ -582,4 +691,7 @@ QUERIES: dict = {
         _fixture_sql("langid_pages.parquet", "url, lang, lang_detected")),
     "ta_pii_scrub": (ta_pii_scrub, TA_PII_SQL),
     "ta_repetition": (ta_repetition, TA_REPETITION_SQL),
+    # wave 13: CCNet-style n-gram LM quality score, beyond-window
+    # (local-gate record)
+    "ta_lm_score": (ta_lm_score, TA_LM_SQL),
 }
