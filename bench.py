@@ -60,6 +60,8 @@ QUERY_SET = [
     "wg_trustrank", "wg_seed_dist",
     # round-5 wave-13 addition (CCNet-style bigram LM quality score)
     "ta_lm_score",
+    # round-5 wave-14 addition (OpenGraph/canonical/JSON-LD extraction)
+    "extract_metadata",
 ]
 
 

@@ -495,6 +495,84 @@ def extract_links_fixture() -> None:
     }))
 
 
+def extract_metadata_fixture() -> None:
+    """Independent replica of operators/pagemeta.py: the same augmented
+    pages re-parsed with stdlib html.parser (a different tokenizer) and
+    independently written first-wins collection, so fixture agreement
+    checks the production scanner's tag/attr/CDATA semantics."""
+    from html.parser import HTMLParser
+
+    from ocr_platform_spark.operators.pagemeta import (
+        _JSONLD_TYPE, META_DOCS, augment_html)
+
+    class Collector(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.metas: list[dict] = []
+            self.links: list[dict] = []
+            self.titles: list[str] = []
+            self.lds: list[str] = []
+            self._grab: tuple[str, list[str]] | None = None
+
+        def handle_starttag(self, tag, attrs):
+            amap: dict = {}
+            for k, v in attrs:          # first occurrence wins
+                amap.setdefault(k, v)
+            if tag == "meta":
+                self.metas.append(amap)
+            elif tag == "link":
+                self.links.append(amap)
+            elif tag == "title" and self._grab is None:
+                self._grab = ("title", [])
+            elif (tag == "script" and self._grab is None
+                  and amap.get("type") == "application/ld+json"):
+                self._grab = ("ld", [])
+
+        def handle_endtag(self, tag):
+            if self._grab is None:
+                return
+            kind, buf = self._grab
+            if (tag, kind) in (("title", "title"), ("script", "ld")):
+                (self.titles if kind == "title" else self.lds) \
+                    .append("".join(buf))
+                self._grab = None
+
+        def handle_data(self, data):
+            if self._grab is not None:
+                self._grab[1].append(data)
+
+    rows = []
+    for i in range(META_DOCS):
+        d = gen_document(i, seed=SEED)
+        html = augment_html(d["url"], d["html"])
+        c = Collector()
+        if html is not None:
+            c.feed(bytes(html).decode("utf-8", "replace"))
+            c.close()
+        rows.append((
+            d["url"],
+            next((t.strip() for t in c.titles if t.strip()), None),
+            next((m.get("content") for m in c.metas
+                  if m.get("property") == "og:title"), None),
+            next((m.get("content") for m in c.metas
+                  if m.get("property") == "og:type"), None),
+            next((lk.get("href") for lk in c.links
+                  if lk.get("rel") == "canonical"), None),
+            next((m.group(1) for m in map(_JSONLD_TYPE.search, c.lds)
+                  if m), None),
+            len(c.metas)))
+    cols = list(zip(*rows))
+    _write("extract_metadata.parquet", pa.table({
+        "url": pa.array(cols[0], pa.string()),
+        "title": pa.array(cols[1], pa.string()),
+        "og_title": pa.array(cols[2], pa.string()),
+        "og_type": pa.array(cols[3], pa.string()),
+        "canonical_url": pa.array(cols[4], pa.string()),
+        "jsonld_type": pa.array(cols[5], pa.string()),
+        "n_meta": pa.array(cols[6], pa.int64()),
+    }))
+
+
 if __name__ == "__main__":
     flagship_pages()
     langid_pages()
@@ -513,3 +591,4 @@ if __name__ == "__main__":
     ml_fit_apply()
     ml_kmeans()
     extract_links_fixture()
+    extract_metadata_fixture()
