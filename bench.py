@@ -62,6 +62,8 @@ QUERY_SET = [
     "ta_lm_score",
     # round-5 wave-14 addition (OpenGraph/canonical/JSON-LD extraction)
     "extract_metadata",
+    # round-5 wave-15 addition (retrieval-prep passage chunking)
+    "cx_chunk_passages",
 ]
 
 

@@ -616,6 +616,78 @@ FROM urls
 """
 
 
+# --- retrieval-prep passage chunking ----------------------------------------
+# The RAG-side twin of cx_pack_sequences: where packing concatenates
+# docs into training rows, chunking SPLITS each doc into overlapping
+# fixed-size passages with stable ids — the unit every embedding index
+# and BM25 passage store is built over. Sliding window of _CHUNK_TOK
+# tokens with stride _CHUNK_STRIDE (adjacent chunks share
+# _CHUNK_TOK - _CHUNK_STRIDE tokens so answers spanning a boundary
+# survive in at least one passage).
+#
+# Shape at scale: pure projection + explode (the D1 fan-out pattern) —
+# ZERO shuffle, chunk count is derived per row with integer ceil
+# arithmetic and materialized by sequence()+explode, the chunk body by
+# slice()+array_join, all inside whole-stage codegen. The emitted md5
+# is the chunk's content address (what the index stores); text itself
+# never leaves the stage.
+
+_CHUNK_TOK = 64      # passage length (tokens)
+_CHUNK_STRIDE = 48   # overlap 16: boundary answers survive
+
+
+def chunk_passages(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → one row per overlapping passage: (doc_id,
+    chunk_idx, n_chunk_tokens, chunk_md5). Every doc emits >= 1 chunk
+    (never-drop); the last chunk is the only one shorter than
+    _CHUNK_TOK."""
+    toks = _toks()
+    last_idx = F.expr(          # ceil((n_tok - CHUNK) / STRIDE), >= 0
+        f"(greatest(n_tok - {_CHUNK_TOK}, 0) + {_CHUNK_STRIDE - 1})"
+        f" DIV {_CHUNK_STRIDE}")
+    per = (docs.select("doc_id", toks.alias("tk"),
+                       F.size(toks).alias("n_tok"))
+           .select("doc_id", "tk", "n_tok",
+                   F.explode(F.sequence(F.lit(0), last_idx.cast("int")))
+                   .alias("chunk_idx")))
+    start = F.col("chunk_idx") * _CHUNK_STRIDE
+    length = F.least(F.lit(_CHUNK_TOK), F.col("n_tok") - start)
+    return per.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        length.cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(F.slice("tk", start + 1, length), " "))
+        .alias("chunk_md5"))
+
+
+def cx_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_passages(load(spark, sf_dir, "documents"))
+
+
+CX_CHUNK_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents),
+per AS (
+  SELECT doc_id, tk, len(tk) AS n_tok,
+         unnest(generate_series(
+             0, (greatest(len(tk) - {_CHUNK_TOK}, 0)
+                 + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE})) AS chunk_idx
+  FROM toks)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(least({_CHUNK_TOK}, n_tok - chunk_idx * {_CHUNK_STRIDE})
+            AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(
+           tk[chunk_idx * {_CHUNK_STRIDE} + 1
+              : chunk_idx * {_CHUNK_STRIDE}
+                + least({_CHUNK_TOK},
+                        n_tok - chunk_idx * {_CHUNK_STRIDE})],
+           ' ')) AS chunk_md5
+FROM per
+"""
+
+
 QUERIES: dict = {
     "ta_host_stats": (ta_host_stats, TA_HOST_STATS_SQL),
     "cx_domain_cap": (cx_domain_cap, CX_DOMAIN_CAP_SQL),
@@ -627,4 +699,7 @@ QUERIES: dict = {
     "cx_mix": (cx_mix, CX_MIX_SQL),
     "cx_pack_sequences": (cx_pack_sequences, CX_PACK_SQL),
     "cx_url_filter": (cx_url_filter, CX_URL_FILTER_SQL),
+    # wave 15: retrieval-prep passage chunking, beyond-window
+    # (local-gate record)
+    "cx_chunk_passages": (cx_chunk_passages, CX_CHUNK_SQL),
 }

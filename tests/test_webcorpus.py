@@ -308,3 +308,58 @@ def test_quality_model_is_pure_projection(spark):
     """Per-row scoring must not shuffle."""
     p = plan_of(ta_quality_model(spark, SF_DIR))
     assert "Exchange" not in p
+
+
+# --- passage chunking (retrieval prep) --------------------------------------
+
+def test_chunk_passages_replica_and_coverage(spark):
+    """Sliding-window replica over planted docs: ids, lengths, hashes,
+    overlap, and the every-token-covered guarantee."""
+    import hashlib
+
+    from ocr_platform_spark.operators.webcorpus import (
+        _CHUNK_STRIDE, _CHUNK_TOK, chunk_passages)
+
+    texts = {
+        1: " ".join(f"w{i}" for i in range(200)),   # 200 toks → 4 chunks
+        2: " ".join(f"w{i}" for i in range(64)),    # exactly one window
+        3: " ".join(f"w{i}" for i in range(65)),    # one token over
+        4: "solo",
+        5: "",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string")
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"],
+                                           r["chunk_md5"])
+           for r in chunk_passages(docs).collect()}
+
+    for doc_id, text in texts.items():
+        toks = text.strip().split() if text.strip() else [""]
+        extra = max(len(toks) - _CHUNK_TOK, 0)
+        n_chunks = 1 + -(-extra // _CHUNK_STRIDE)
+        covered = set()
+        for i in range(n_chunks):
+            seg = toks[i * _CHUNK_STRIDE: i * _CHUNK_STRIDE + _CHUNK_TOK]
+            covered.update(range(i * _CHUNK_STRIDE,
+                                 i * _CHUNK_STRIDE + len(seg)))
+            md5 = hashlib.md5(" ".join(seg).encode()).hexdigest()
+            assert got[(doc_id, i)] == (len(seg), md5)
+        assert covered == set(range(len(toks)))     # no token dropped
+        assert {k for k in got if k[0] == doc_id} \
+            == {(doc_id, i) for i in range(n_chunks)}
+
+    # adjacent chunks overlap by exactly CHUNK - STRIDE tokens on the
+    # full-window doc
+    assert _CHUNK_TOK - _CHUNK_STRIDE == 16
+    assert got[(2, 0)][0] == 64 and (2, 1) not in got
+    assert got[(3, 1)][0] == 65 - _CHUNK_STRIDE
+
+
+def test_chunk_passages_zero_shuffle_plan(spark):
+    """Chunking is the D1 explode fan-out: projection only, no Exchange
+    anywhere — the property that makes it free at corpus scale."""
+    from ocr_platform_spark.operators.webcorpus import cx_chunk_passages
+
+    p = plan_of(cx_chunk_passages(spark, SF_DIR))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

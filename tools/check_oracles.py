@@ -103,9 +103,16 @@ def main() -> int:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    # A filter that matches nothing would print "ALL OK" having checked
+    # nothing — a typo'd (or not-yet-registered) query name must FAIL.
+    matched = [n for n in qs
+               if any(n.startswith(p) for p in prefixes)]
+    if not matched:
+        print(f"FAIL: no registered query matches {prefixes}")
+        return 1
     n_fail = 0
     for name, fn in sorted(qs.items()):
-        if not any(name.startswith(p) for p in prefixes):
+        if name not in matched:
             continue
         t0 = time.time()
         try:
