@@ -139,13 +139,14 @@ _META_ATTR = re.compile(
 def _attr_map(attrstr: str) -> dict:
     out: dict = {}
     for m in _META_ATTR.finditer(attrstr):
-        if m.group(1) not in out:       # first occurrence wins
-            val = m.group(2)
-            if val is None:
-                val = m.group(3)
-            if val is None:
+        name = m.group(1).lower()
+        if name not in out:             # first occurrence wins, and the
+            val = m.group(2)            # membership check must use the
+            if val is None:             # SAME lowercased key it stores
+                val = m.group(3)        # (PROPERTY= after property= is
+            if val is None:             # a duplicate, not a new attr)
                 val = m.group(4)
-            out[m.group(1).lower()] = val
+            out[name] = val
     return out
 
 
@@ -159,23 +160,46 @@ class _PageMeta:
         self.n_meta = 0
 
 
+# CDATA ends only at a WELL-FORMED close tag of the same element —
+# </scripted> or </scriptx> inside a script body is data and the body
+# continues (html.parser's cdata_elem check does exactly this)
+_CDATA_CLOSE = {t: re.compile(rf"</\s*{t}\s*>", re.I)
+                for t in ("script", "style")}
+
+
 def _scan_head_meta(text: str) -> _PageMeta:
     """First-wins metadata scan (the WHATWG processing model takes the
-    first og:* / canonical / title). Whole-document, single pass."""
+    first og:* / canonical / title). Whole-document, single pass.
+
+    Title is a NORMAL element here exactly as in html.parser: tags
+    inside an (ill-formed) title still tokenize, and the title text is
+    the inter-tag data collected until its close tag — an unterminated
+    title at EOF is never committed. Script/style bodies are CDATA:
+    skipped to the matching close tag, never tokenized, but still
+    counted as data for an enclosing title buffer (html.parser routes
+    CDATA through handle_data the same way)."""
     from html import unescape
 
     out = _PageMeta()
     text = _META_COMMENT.sub("", text)
-    low = text.lower()
     pos = 0
+    tbuf: list[str] | None = None       # active <title> data buffer
+    tpos = 0                            # where its pending data starts
     while True:
         m = _META_TAG.search(text, pos)
         if m is None:
-            break
+            break                       # EOF: open title never commits
+        if tbuf is not None:
+            tbuf.append(text[tpos:m.start()])
         pos = m.end()
-        if m.group(1):                  # end tag: nothing to collect
-            continue
+        tpos = pos
         tag = m.group(2).lower()
+        if m.group(1):                  # end tag
+            if tag == "title" and tbuf is not None:
+                t = unescape("".join(tbuf)).strip()
+                out.title = t or None
+                tbuf = None
+            continue
         if tag == "meta":
             out.n_meta += 1
             a = _attr_map(m.group(3))
@@ -189,26 +213,27 @@ def _scan_head_meta(text: str) -> _PageMeta:
             if a.get("rel") == "canonical" and out.canonical is None:
                 out.canonical = a.get("href")
         elif tag == "title":
-            close = low.find("</title", pos)
-            if close < 0:               # unterminated at EOF: no title
-                break
-            if out.title is None:
-                t = unescape(text[pos:close]).strip()
-                out.title = t or None
-            pos = close
+            if out.title is None and tbuf is None:
+                tbuf = []
         elif tag in ("script", "style"):
             if m.group(3).rstrip().endswith("/"):
                 continue                # self-closed: no CDATA body
-            close = low.find(f"</{tag}", pos)
-            if close < 0:
+            cm = _CDATA_CLOSE[tag].search(text, pos)
+            if cm is None:
                 break       # unterminated CDATA at EOF: never committed
             if (tag == "script" and out.jsonld_type is None
+                    and tbuf is None    # inside a title the body is
+                                        # title data, not a committed
+                                        # ld payload (stdlib parity)
                     and _attr_map(m.group(3)).get("type")
                     == "application/ld+json"):
-                jm = _JSONLD_TYPE.search(text[pos:close])
+                jm = _JSONLD_TYPE.search(text[pos:cm.start()])
                 if jm:
                     out.jsonld_type = jm.group(1)
-            pos = close
+            # resume AT the close tag: the next loop iteration consumes
+            # it as an end tag, and an enclosing title buffer picks the
+            # raw body up as inter-tag data (html.parser parity)
+            pos = cm.start()
     return out
 
 

@@ -44,40 +44,59 @@ def _edges(orders: DataFrame) -> DataFrame:
             .distinct())
 
 
-def pagerank_ranks(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
-    """edges(src, dst) of any equi-joinable host type → (h, rank) after
-    ``iters`` exact-integer damped iterations. The generic kernel: the
-    driver query (wg_pagerank) feeds it the synthetic orders graph, the
-    linkgraph plan (plans/linkgraph_job.py) the crawl's extracted hosts."""
-    spark = edges.sparkSession
-    hosts = (edges.select(F.col("src").alias("h"))
-             .union(edges.select(F.col("dst").alias("h")))
-             .distinct())
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    esrc = edges.join(outdeg, "src").persist()
-
+def _cutter(spark: SparkSession):
+    """Per-iteration lineage cut: reliable checkpoint when a checkpoint
+    dir exists, else localCheckpoint — one shared closure for every
+    iterative kernel in this module."""
     has_ckpt_dir = spark.sparkContext.getCheckpointDir() is not None
 
     def _cut(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=True) if has_ckpt_dir \
             else df.localCheckpoint(eager=True)
 
-    rank = hosts.withColumn("rank", F.lit(_INIT_X1E6).cast("long"))
+    return _cut
+
+
+def _damped_ranks(edges: DataFrame, base, init, iters: int,
+                  out: str) -> DataFrame:
+    """The damped link-mass recurrence shared by PageRank and TrustRank:
+    x_{i+1}(v) = base(v) + (85 * Σ_{u→v} x_i(u) DIV outdeg(u)) DIV 100,
+    all int64. ``base``/``init`` are Columns over host column ``h`` —
+    PageRank passes uniform constants, TrustRank a seed-conditional
+    base (and init == base, so unlinked hosts hold exactly 0)."""
+    spark = edges.sparkSession
+    hosts = (edges.select(F.col("src").alias("h"))
+             .union(edges.select(F.col("dst").alias("h")))
+             .distinct())
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    esrc = edges.join(outdeg, "src").persist()
+    _cut = _cutter(spark)
+
+    rank = hosts.withColumn(out, init.cast("long"))
     for _ in range(iters):
         insum = (esrc.join(rank, esrc["src"] == rank["h"])
                  .select(F.col("dst"),
-                         F.expr("rank DIV deg").alias("c"))
+                         F.expr(f"{out} DIV deg").alias("c"))
                  .groupBy("dst").agg(F.sum("c").alias("in_sum")))
         rank = _cut(
             hosts.join(insum, hosts["h"] == insum["dst"], "left")
             .select(
                 "h",
-                (F.lit(_BASE_X1E6)
+                (base
                  + F.expr(f"({_DAMP_NUM} * coalesce(in_sum, 0))"
                           f" DIV {_DAMP_DEN}"))
-                .cast("long").alias("rank")))
+                .cast("long").alias(out)))
     esrc.unpersist()
     return rank
+
+
+def pagerank_ranks(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """edges(src, dst) of any equi-joinable host type → (h, rank) after
+    ``iters`` exact-integer damped iterations. The generic kernel: the
+    driver query (wg_pagerank) feeds it the synthetic orders graph, the
+    linkgraph plan (plans/linkgraph_job.py) the crawl's extracted hosts."""
+    return _damped_ranks(edges, F.lit(_BASE_X1E6), F.lit(_INIT_X1E6),
+                         iters, "rank")
 
 
 HC_ITERS = 6   # BFS radius; covers the synthetic graph's full diameter
@@ -105,11 +124,7 @@ def harmonic_ranks(edges: DataFrame, iters: int = HC_ITERS) -> DataFrame:
     hosts = (edges.select(F.col("src").alias("h"))
              .union(edges.select(F.col("dst").alias("h")))
              .distinct())
-    has_ckpt_dir = spark.sparkContext.getCheckpointDir() is not None
-
-    def _cut(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if has_ckpt_dir \
-            else df.localCheckpoint(eager=True)
+    _cut = _cutter(spark)
 
     frontier = _cut(edges.select(
         F.col("src").alias("u"), F.col("dst").alias("v"),
@@ -261,11 +276,7 @@ def hits_ranks(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
              .distinct())
     e = edges.persist()
 
-    has_ckpt_dir = spark.sparkContext.getCheckpointDir() is not None
-
-    def _cut(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if has_ckpt_dir \
-            else df.localCheckpoint(eager=True)
+    _cut = _cutter(spark)
 
     def _normalize(raw: DataFrame, col: str) -> DataFrame:
         """(h, raw) → (h, score) with score = raw * 1e6 DIV max(raw);
@@ -411,11 +422,7 @@ def _two_star_rounds(edges: DataFrame,
     round, not per edge).
     """
     spark = edges.sparkSession
-    has_ckpt_dir = spark.sparkContext.getCheckpointDir() is not None
-
-    def _cut(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if has_ckpt_dir \
-            else df.localCheckpoint(eager=True)
+    _cut = _cutter(spark)
 
     nodes = _cut(edges.select(F.col("src").alias("node"))
                  .union(edges.select(F.col("dst").alias("node")))
@@ -685,11 +692,7 @@ def resolve_redirects(rmap: DataFrame, rounds: int = R_ROUNDS) -> DataFrame:
     doubling steps cur is the terminal (resolved, hops = exact chain
     length) for every chain ≤ 2^rounds; unresolved rows reach a cycle."""
     spark = rmap.sparkSession
-    has_ckpt_dir = spark.sparkContext.getCheckpointDir() is not None
-
-    def _cut(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if has_ckpt_dir \
-            else df.localCheckpoint(eager=True)
+    _cut = _cutter(spark)
 
     term = (rmap.select(F.col("v").alias("u"))
             .subtract(rmap.select("u")).distinct())
@@ -794,15 +797,6 @@ KC_ROUNDS = 12   # fixpoint reached in <= 6 on the synthetic graph at
                  # 2x headroom costs only absorbed no-op rounds
 
 
-def _h_index(vals: list[int]) -> int:
-    """max h such that at least h of ``vals`` are >= h."""
-    h = 0
-    for i, x in enumerate(sorted(vals, reverse=True), 1):
-        if x >= i:
-            h = i
-    return h
-
-
 def python_coreness(pairs) -> dict[int, int]:
     """Batagelj–Zaversnik min-degree peel — a genuinely DIFFERENT
     algorithm from the h-index fixpoint the distributed kernel runs, so
@@ -833,11 +827,7 @@ def kcore_ranks(edges: DataFrame, rounds: int = KC_ROUNDS) -> DataFrame:
     graph after ``rounds`` synchronous h-index sweeps (exact coreness
     once the fixpoint is inside the budget; extra rounds absorb)."""
     spark = edges.sparkSession
-    has_ckpt_dir = spark.sparkContext.getCheckpointDir() is not None
-
-    def _cut(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if has_ckpt_dir \
-            else df.localCheckpoint(eager=True)
+    _cut = _cutter(spark)
 
     # simple graph: a self-loop would count itself as a neighbour twice
     # (once per direction of bid) and inflate both degree and h-index
@@ -951,39 +941,12 @@ def _seed_col(col):
 
 def trustrank_ranks(edges: DataFrame, iters: int = TR_ITERS) -> DataFrame:
     """edges(src, dst) → (h, trust) after ``iters`` exact-integer damped
-    iterations of the seed-teleport recurrence. Hosts with no directed
-    path from a seed hold trust == 0 at every iteration."""
-    spark = edges.sparkSession
-    hosts = (edges.select(F.col("src").alias("h"))
-             .union(edges.select(F.col("dst").alias("h")))
-             .distinct())
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    esrc = edges.join(outdeg, "src").persist()
-
-    has_ckpt_dir = spark.sparkContext.getCheckpointDir() is not None
-
-    def _cut(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if has_ckpt_dir \
-            else df.localCheckpoint(eager=True)
-
+    iterations of the seed-teleport recurrence (the shared _damped_ranks
+    kernel with a seed-conditional base). Hosts with no directed path
+    from a seed hold trust == 0 at every iteration."""
     base = F.when(_seed_col(F.col("h")), F.lit(_SEED_BASE_X1E6)) \
         .otherwise(F.lit(0)).cast("long")
-    trust = hosts.withColumn("trust", base)
-    for _ in range(iters):
-        insum = (esrc.join(trust, esrc["src"] == trust["h"])
-                 .select(F.col("dst"),
-                         F.expr("trust DIV deg").alias("c"))
-                 .groupBy("dst").agg(F.sum("c").alias("in_sum")))
-        trust = _cut(
-            hosts.join(insum, hosts["h"] == insum["dst"], "left")
-            .select(
-                "h",
-                (base
-                 + F.expr(f"({_DAMP_NUM} * coalesce(in_sum, 0))"
-                          f" DIV {_DAMP_DEN}"))
-                .cast("long").alias("trust")))
-    esrc.unpersist()
-    return trust
+    return _damped_ranks(edges, base, base, iters, "trust")
 
 
 def wg_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1074,14 +1037,13 @@ def seed_distances(edges: DataFrame, rounds: int = SD_ROUNDS) -> DataFrame:
     """edges(src, dst) → (h, seed_dist) min-hop distance from any seed
     (h % 10 == 3) following edge direction; unreachable hosts -1."""
     spark = edges.sparkSession
+    edges = edges.persist()     # static relation probed every round —
+                                # without this each round re-runs the
+                                # source scan + distinct shuffle
     hosts = (edges.select(F.col("src").alias("h"))
              .union(edges.select(F.col("dst").alias("h")))
              .distinct())
-    has_ckpt_dir = spark.sparkContext.getCheckpointDir() is not None
-
-    def _cut(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if has_ckpt_dir \
-            else df.localCheckpoint(eager=True)
+    _cut = _cutter(spark)
 
     dist = _cut(hosts.where(_seed_col(F.col("h")))
                 .withColumn("d", F.lit(0).cast("long")))
@@ -1091,9 +1053,12 @@ def seed_distances(edges: DataFrame, rounds: int = SD_ROUNDS) -> DataFrame:
                            (F.col("d") + 1).alias("d")))
         dist = _cut(dist.unionAll(stepped)
                     .groupBy("h").agg(F.min("d").cast("long").alias("d")))
-    return (hosts.join(dist, "h", "left")
-            .select("h", F.coalesce("d", F.lit(-1))
-                    .cast("long").alias("seed_dist")))
+    out = (hosts.join(dist, "h", "left")
+           .select("h", F.coalesce("d", F.lit(-1))
+                   .cast("long").alias("seed_dist")))
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
 
 
 def wg_seed_dist(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -111,3 +111,42 @@ def test_augment_passthrough_without_head():
                        b"<html><head><title>t</title></head>")
     assert out is not None and b"<head>" in out
     assert meta_block("https://h/book/1/page/2").encode() in out
+
+
+def test_scanner_case_duplicate_attr_first_wins():
+    # PROPERTY= after property= is the SAME attribute: first wins, the
+    # lowercased key must be checked, not the raw spelling
+    pm = _scan_head_meta(
+        '<meta property="og:title" content="real" PROPERTY="og:fake">')
+    assert pm.og_title == "real"
+
+
+def test_scanner_unterminated_title_keeps_tokenizing():
+    # html.parser parity: title is a NORMAL element — an unterminated
+    # <title> never commits, but tags after it still tokenize
+    pm = _scan_head_meta(
+        '<head><title>oops <meta property="og:type" content="x"></head>')
+    assert pm.title is None
+    assert pm.og_type == "x"
+    assert pm.n_meta == 1
+    # and a TERMINATED title collects only inter-tag data
+    pm2 = _scan_head_meta(
+        '<title>a <meta property="og:type" content="y"> b</title>')
+    assert pm2.title == "a  b"
+    assert pm2.og_type == "y"
+
+
+def test_scanner_cdata_close_requires_name_boundary():
+    # </scripty> inside a script body is data, not a close tag — the
+    # body continues to the real </script> (html.parser cdata_elem
+    # semantics); a meta inside stays CDATA
+    pm = _scan_head_meta(
+        '<script>var s="</scripty>"; var t="<meta property=\'og:type\' '
+        'content=\'fake\'>";</script>'
+        '<meta property="og:type" content="real">')
+    assert pm.og_type == "real"
+    assert pm.n_meta == 1
+    # whitespace inside the close tag is still a close: </script >
+    pm2 = _scan_head_meta(
+        '<script type="application/ld+json">{"@type": "Book"}</script >')
+    assert pm2.jsonld_type == "Book"

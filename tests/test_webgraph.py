@@ -375,9 +375,32 @@ def test_triangle_and_redirect_plans_have_no_cartesian(spark):
 
 # --- k-core (h-index fixpoint) ----------------------------------------------
 
-def test_h_index_unit():
-    from ocr_platform_spark.operators.webgraph import _h_index
+def _h_index(vals):
+    """Reference formula: max h such that at least h of vals are >= h —
+    the per-node operator the distributed window recurrence (cv/ge in
+    kcore_ranks) must reproduce; lives here because only tests use the
+    sequential form."""
+    h = 0
+    for i, x in enumerate(sorted(vals, reverse=True), 1):
+        if x >= i:
+            h = i
+    return h
 
+
+def test_h_index_window_recurrence_equivalence():
+    # the kernel computes max over distinct values cv of min(cv, ge)
+    # where ge = #neighbours with value >= cv; pin that this equals the
+    # sorted-prefix h-index definition on exhaustive small multisets
+    import itertools
+
+    for n in range(0, 5):
+        for vals in itertools.product(range(1, 6), repeat=n):
+            ge = {cv: sum(1 for x in vals if x >= cv) for cv in set(vals)}
+            windowed = max((min(cv, g) for cv, g in ge.items()), default=0)
+            assert windowed == _h_index(list(vals)), vals
+
+
+def test_h_index_unit():
     assert _h_index([]) == 0
     assert _h_index([5]) == 1
     assert _h_index([5, 1]) == 1
