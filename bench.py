@@ -64,6 +64,8 @@ QUERY_SET = [
     "extract_metadata",
     # round-5 wave-15 addition (retrieval-prep passage chunking)
     "cx_chunk_passages",
+    # round-5 wave-17 addition (canonical-URL family dedup composition)
+    "cx_canonical_dedup",
 ]
 
 

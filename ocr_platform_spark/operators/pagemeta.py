@@ -44,6 +44,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (LongType, StringType, StructField,
                                StructType)
 
@@ -266,12 +267,55 @@ def extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page_metadata(augment_meta(pages_df(spark, META_DOCS)))
 
 
+def cx_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition canonical extraction exists FOR: collapse URL
+    families onto their declared canonical before dedup. Every page
+    joins its family key (declared canonical, else its own url); one
+    representative per family is kept (min url — keep-first as a MIN
+    AGGREGATE joined back, the repo's no-global-window pattern, so a
+    million-member family costs one combine-able aggregate row, never a
+    million-row window partition). Pages without a canonical are their
+    own family of one and always survive (never-drop).
+
+    Oracle = SQL over the extract_metadata fixture (the corpus_pages
+    pattern: the fixture pins only what SQL cannot express — the
+    scanner; the dedup composition itself is live SQL)."""
+    meta = extract_metadata(spark, sf_dir)
+    keyed = meta.select(
+        "url",
+        F.coalesce("canonical_url", "url").alias("canonical_key"))
+    keepers = keyed.groupBy("canonical_key").agg(
+        F.min("url").alias("keeper"),
+        F.count("*").cast("long").alias("family_size"))
+    # shuffle join on the family key — the family table is corpus-sized
+    # (one row per family), so broadcast would be wrong at scale; the
+    # aggregate side is already hash-partitioned by canonical_key from
+    # its own groupBy, so only the probe side exchanges
+    return (keyed.join(keepers, "canonical_key")
+            .select("url", "canonical_key", "family_size",
+                    (F.col("url") == F.col("keeper")).alias("is_kept")))
+
+
 from ocr_platform_spark.operators.registry import \
     fixture_sql as _fixture_sql  # noqa: E402  (registry has no back-import)
+
+CX_CANONICAL_SQL = (
+    "WITH keyed AS (SELECT url, coalesce(canonical_url, url)"
+    "  AS canonical_key FROM ("
+    + _fixture_sql("extract_metadata.parquet") + ") m),\n"
+    "fam AS (SELECT canonical_key, min(url) AS keeper,"
+    "  CAST(count(*) AS BIGINT) AS family_size"
+    "  FROM keyed GROUP BY canonical_key)\n"
+    "SELECT k.url, k.canonical_key, f.family_size,"
+    "  k.url = f.keeper AS is_kept\n"
+    "FROM keyed k JOIN fam f USING (canonical_key)")
 
 QUERIES: dict = {
     # wave 14: head-metadata extraction, beyond-window (local-gate
     # record)
     "extract_metadata": (
         extract_metadata, _fixture_sql("extract_metadata.parquet")),
+    # wave 17: canonical-URL family dedup composed on top of the
+    # extracted metadata, beyond-window (local-gate record)
+    "cx_canonical_dedup": (cx_canonical_dedup, CX_CANONICAL_SQL),
 }

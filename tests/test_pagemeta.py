@@ -150,3 +150,28 @@ def test_scanner_cdata_close_requires_name_boundary():
     pm2 = _scan_head_meta(
         '<script type="application/ld+json">{"@type": "Book"}</script >')
     assert pm2.jsonld_type == "Book"
+
+
+def test_canonical_dedup_families(spark):
+    # replica over the fixture-equivalent metadata: families collapse on
+    # the declared canonical, exactly one keeper per family (min url),
+    # canonical-less pages are singleton families, and no row is dropped
+    from ocr_platform_spark.operators.pagemeta import cx_canonical_dedup
+
+    rows = cx_canonical_dedup(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == META_DOCS                      # never-drop
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["canonical_key"], []).append(r)
+    multi = 0
+    for key, members in by_key.items():
+        assert all(r["family_size"] == len(members) for r in members)
+        keepers = [r["url"] for r in members if r["is_kept"]]
+        assert keepers == [min(r["url"] for r in members)]
+        if len(members) > 1:
+            multi += 1
+    # the menu's /page/N-stripping canonical must actually create
+    # multi-member families (pages of one book share a canonical)
+    assert multi > 5
+    kept = sum(r["is_kept"] for r in rows)
+    assert kept == len(by_key)
