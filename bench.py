@@ -66,6 +66,8 @@ QUERY_SET = [
     "cx_chunk_passages",
     # round-5 wave-17 addition (canonical-URL family dedup composition)
     "cx_canonical_dedup",
+    # round-5 wave-18 addition (CCNet head/middle/tail LM buckets)
+    "cx_ppl_buckets",
 ]
 
 

@@ -507,6 +507,74 @@ GROUP BY d.source
 """
 
 
+# --- CCNet perplexity buckets: LM score × quantile sketch ------------------
+# CCNet's signature move: score every document with the reference LM,
+# then split the corpus into head/middle/tail TERTILES of the score
+# distribution — head feeds training, middle is kept under caps, tail
+# is dropped or down-sampled. Composed here from two already-oracled
+# engines: the wave-13 bigram LM score (text_analysis.lm_scores, high
+# score == reference-like == head) and the exponential-histogram
+# quantile sketch estimating the 33rd/67th percentiles. The sketch
+# collapses the corpus to <=64 bin rows, the two estimates reduce to
+# ONE bounds row broadcast back into a corpus-wide projection — no
+# percentile state ever crosses an exchange (cx_length_band's shape).
+
+_PPL_LO_P, _PPL_HI_P = 33, 67    # tertile cut points
+
+
+def cx_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_platform_spark.operators.text_analysis import lm_scores
+
+    scored = lm_scores(load(spark, sf_dir, "documents"))
+    qs = quantile_sketch(scored, value_col="lm_score_x1e6",
+                         ps=(_PPL_LO_P, _PPL_HI_P))
+    bounds = qs.agg(
+        F.max(F.when(F.col("p") == _PPL_LO_P, F.col("est"))).alias("lo"),
+        F.max(F.when(F.col("p") == _PPL_HI_P, F.col("est"))).alias("hi"))
+    bucket = (F.when(F.col("lm_score_x1e6") > F.col("hi"), "head")
+              .when(F.col("lm_score_x1e6") >= F.col("lo"), "middle")
+              .otherwise("tail"))
+    return (scored.crossJoin(F.broadcast(bounds))
+            .select("doc_id", "lm_score_x1e6", bucket.alias("bucket")))
+
+
+def _ppl_buckets_sql() -> str:
+    from ocr_platform_spark.operators.text_analysis import TA_LM_SQL
+
+    return f"""
+WITH scored AS ({TA_LM_SQL}),
+hist AS (
+  SELECT CAST(length(bin(lm_score_x1e6)) - 1 AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM scored GROUP BY 1),
+cum AS (
+  SELECT bin, cnt,
+         CAST(coalesce(sum(cnt) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n_total
+  FROM hist),
+est AS (
+  SELECT p.p,
+         CAST((CAST(1 AS BIGINT) << CAST(c.bin AS INT))
+              + ((p.p * c.n_total + 99) // 100 - c.cum_before - 1)
+                * (CAST(1 AS BIGINT) << CAST(c.bin AS INT)) // c.cnt
+              AS BIGINT) AS est
+  FROM (SELECT unnest([{_PPL_LO_P}, {_PPL_HI_P}]) AS p) p JOIN cum c
+    ON c.cum_before < (p.p * c.n_total + 99) // 100
+   AND (p.p * c.n_total + 99) // 100 <= c.cum_before + c.cnt),
+bounds AS (
+  SELECT max(CASE WHEN p = {_PPL_LO_P} THEN est END) AS lo,
+         max(CASE WHEN p = {_PPL_HI_P} THEN est END) AS hi
+  FROM est)
+SELECT s.doc_id, s.lm_score_x1e6,
+       CASE WHEN s.lm_score_x1e6 > b.hi THEN 'head'
+            WHEN s.lm_score_x1e6 >= b.lo THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s CROSS JOIN bounds b
+"""
+
+
 QUERIES: dict = {
     "ta_kmv_distinct": (ta_kmv_distinct, TA_KMV_SQL),
     "ta_quantile_sketch": (ta_quantile_sketch, TA_QS_SQL),
@@ -517,4 +585,7 @@ QUERIES: dict = {
     # registered beyond the driver's fully-allocated 50-row window —
     # the local gate is its record
     "ta_cms_heavy_hitters": (ta_cms_heavy_hitters, TA_CMS_SQL),
+    # wave 18: CCNet head/middle/tail buckets — the LM score composed
+    # with the quantile sketch; beyond-window (local-gate record)
+    "cx_ppl_buckets": (cx_ppl_buckets, _ppl_buckets_sql()),
 }

@@ -514,3 +514,57 @@ def test_length_band_plan_broadcasts_bounds(spark):
     plan = cx_length_band(spark, SF_DIR)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# --- CCNet perplexity buckets (LM score × quantile sketch) -------------------
+
+def test_ppl_buckets_match_python_composition(spark):
+    """Bounds recomputed in pure Python from the (already replica-
+    pinned) LM scores via the same bin-histogram estimate; every doc's
+    bucket must match, and buckets must be score-monotone."""
+    import math
+
+    from ocr_platform_spark.operators.sketches import (
+        _PPL_HI_P, _PPL_LO_P, cx_ppl_buckets)
+    from ocr_platform_spark.operators.tables import load
+    from ocr_platform_spark.operators.text_analysis import lm_scores
+
+    scores = {r["doc_id"]: r["lm_score_x1e6"]
+              for r in lm_scores(load(spark, SF_DIR, "documents"))
+              .collect()}
+    hist: dict[int, int] = {}
+    for v in scores.values():
+        b = max(v.bit_length() - 1, 0)  # bin(0) == '0' -> bin 0
+        hist[b] = hist.get(b, 0) + 1
+    n = len(scores)
+    bounds = {}
+    for p in (_PPL_LO_P, _PPL_HI_P):
+        r = math.ceil(p * n / 100)
+        cum = 0
+        for b in sorted(hist):
+            if cum < r <= cum + hist[b]:
+                bounds[p] = (1 << b) + (r - cum - 1) * (1 << b) // hist[b]
+                break
+            cum += hist[b]
+    lo, hi = bounds[_PPL_LO_P], bounds[_PPL_HI_P]
+
+    got = {r["doc_id"]: (r["lm_score_x1e6"], r["bucket"])
+           for r in cx_ppl_buckets(spark, SF_DIR).collect()}
+    assert set(got) == set(scores)                  # never-drop
+    for doc_id, (s, bucket) in got.items():
+        assert s == scores[doc_id]
+        want = "head" if s > hi else "middle" if s >= lo else "tail"
+        assert bucket == want, (doc_id, s, lo, hi)
+
+    # buckets are score-monotone partitions and all three are live
+    by = {"head": [], "middle": [], "tail": []}
+    for s, bucket in got.values():
+        by[bucket].append(s)
+    assert all(by.values()), {k: len(v) for k, v in by.items()}
+    assert min(by["head"]) > max(by["middle"]) >= min(by["middle"]) \
+        > max(by["tail"])
+    # tertiles: the power-of-two-bin sketch is coarse where the score
+    # distribution is tight (most mass in 2-3 bins), so the cuts land
+    # off the exact 33/67 marks — each bucket must still hold a real
+    # share of the corpus (observed at sf0.01: 22% / 65% / 13%)
+    assert all(len(v) >= n * 0.10 for v in by.values())
