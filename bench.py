@@ -68,6 +68,8 @@ QUERY_SET = [
     "cx_canonical_dedup",
     # round-5 wave-18 addition (CCNet head/middle/tail LM buckets)
     "cx_ppl_buckets",
+    # round-5 wave-19 addition (quality-argmax keeper per near-dup cluster)
+    "dd_keep_best",
 ]
 
 

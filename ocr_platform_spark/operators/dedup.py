@@ -701,6 +701,79 @@ def dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cluster_id", "doc_id"))
 
 
+# --- quality-argmax keeper per near-dup cluster ----------------------------
+# Production pipelines (FineWeb, RefinedWeb, Gopher's dedup stage) do NOT
+# keep the min-id member of a near-dup cluster — they keep the BEST one,
+# ranked by the quality classifier, so dedup never deletes the cleanest
+# capture of a page in favor of a boilerplate-ridden mirror that merely
+# crawled first. The keeper is a quality-argmax AGGREGATE per cluster
+# (min(struct(-score, doc_id)) — tie-break lowest doc_id), never a global
+# window: a million-member cluster collapses map-side to one combine-able
+# row, and the decision joins back on the already-hash-partitioned
+# cluster_id. Reference parity: keep-first unique-key semantics
+# (schema.prisma:100) upgraded to keep-best, the curation decision the
+# reference's single-node pipeline defers to a human.
+
+
+def keep_best_per_cluster(labels: DataFrame, scores: DataFrame) -> DataFrame:
+    """labels(doc_id, cluster_id) × scores(doc_id, score_x10k) →
+    (doc_id, cluster_id, score_x10k, keep). Exactly one keep=true per
+    cluster: highest score, tie-break lowest doc_id. Docs missing from
+    ``labels`` are singleton clusters (cluster_id = doc_id) and always
+    keep themselves."""
+    full = (scores.join(labels, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+                    "score_x10k"))
+    keeper = (full.groupBy("cluster_id")
+              .agg(F.min(F.struct((-F.col("score_x10k")).alias("ns"),
+                                  F.col("doc_id").alias("doc_id")))
+                   .alias("k"))
+              .select("cluster_id", F.col("k.doc_id").alias("keeper_id")))
+    return (full.join(keeper, "cluster_id")
+            .select("doc_id", "cluster_id", "score_x10k",
+                    (F.col("doc_id") == F.col("keeper_id")).alias("keep")))
+
+
+def dd_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus near-dup resolution: MinHash-LSH pairs → connected
+    components → quality-argmax keeper per cluster. Every document gets a
+    row (never-drop); singletons keep themselves."""
+    from ocr_platform_spark.operators.webcorpus import ta_quality_model
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    labels = (duplicate_clusters(docs.select("doc_id"), pairs)
+              .select("doc_id", "cluster_id"))
+    scores = ta_quality_model(spark, sf_dir).select("doc_id", "score_x10k")
+    return keep_best_per_cluster(labels, scores)
+
+
+def _keep_best_sql() -> str:
+    from ocr_platform_spark.operators.webcorpus import TA_QUALITY_MODEL_SQL
+
+    return ("WITH RECURSIVE " + _minhash_pair_ctes() + f""",
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM verified
+  UNION SELECT b_id, a_id FROM verified),
+reach AS (
+  SELECT s AS node, d AS lbl FROM edges
+  UNION
+  SELECT r.node, e.d FROM reach r JOIN edges e ON e.s = r.lbl),
+lbl AS (
+  SELECT node AS doc_id, least(node, min(lbl)) AS cluster_id
+  FROM reach GROUP BY node),
+q AS (SELECT doc_id, score_x10k FROM ({TA_QUALITY_MODEL_SQL})),
+fullset AS (
+  SELECT q.doc_id, coalesce(l.cluster_id, q.doc_id) AS cluster_id,
+         q.score_x10k
+  FROM q LEFT JOIN lbl l USING (doc_id))
+SELECT doc_id, cluster_id, score_x10k,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY score_x10k DESC, doc_id) = 1 AS keep
+FROM fullset""")
+
+
 # --- mirror-host detection --------------------------------------------------
 # Mirrors (the same site served from several hosts) are a host-LEVEL dup
 # problem document dedup can't see: every page pair is an exact dup, but
@@ -849,4 +922,7 @@ QUERIES: dict = {
     "dd_embedding_near": (dd_embedding_near, DD_EMBED_SQL),
     "dd_embedding_lsh": (dd_embedding_lsh, _dd_embedding_lsh_sql()),
     "dd_clusters": (dd_clusters, DD_CLUSTERS_SQL),
+    # wave 19: quality-argmax keeper per near-dup cluster — beyond the
+    # driver's 50-row window; the local gate is its record
+    "dd_keep_best": (dd_keep_best, _keep_best_sql()),
 }

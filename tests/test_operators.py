@@ -366,3 +366,63 @@ def test_lsh_bucket_np_matches_expression(spark):
         bucket_array_np("v", LSH_TABLES, LSH_PLANES).alias("np_b"))
     diff = both.filter(F.col("expr_b") != F.col("np_b")).count()
     assert diff == 0
+
+
+# --- quality-argmax keeper per near-dup cluster ------------------------------
+
+def test_keep_best_kernel_argmax_and_singletons(spark):
+    """Keeper = highest score, tie-break lowest doc_id; docs absent from
+    the label set are singletons that keep themselves."""
+    from ocr_platform_spark.operators.dedup import keep_best_per_cluster
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1),          # cluster 1: argmax is doc 3
+         (10, 10), (11, 10)],             # cluster 10: tie -> min id 10
+        "doc_id long, cluster_id long")
+    scores = spark.createDataFrame(
+        [(1, 50), (2, 70), (3, 90),
+         (10, 40), (11, 40),
+         (99, 5)],                        # 99 has no label row: singleton
+        "doc_id long, score_x10k long")
+    rows = {r["doc_id"]: r for r in
+            keep_best_per_cluster(labels, scores).collect()}
+    assert set(rows) == {1, 2, 3, 10, 11, 99}        # never-drop
+    assert [rows[i]["keep"] for i in (1, 2, 3)] == [False, False, True]
+    assert [rows[i]["keep"] for i in (10, 11)] == [True, False]
+    assert rows[99]["keep"] and rows[99]["cluster_id"] == 99
+
+
+def test_dd_keep_best_on_testdata(spark):
+    """Full-corpus run: one keeper per cluster, keeper is the score-argmax
+    (pure-Python recompute), and the fixture actually EXERCISES the
+    argmax — some cluster's keeper must differ from the min-id member
+    (else the query would be indistinguishable from dd_clusters)."""
+    from ocr_platform_spark.operators.dedup import dd_keep_best
+    from ocr_platform_spark.operators.tables import load
+
+    sf = "/root/testdata/sf0.01"
+    rows = dd_keep_best(spark, sf).collect()
+    n_docs = load(spark, sf, "documents").count()
+    assert len(rows) == n_docs                        # never-drop
+
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        keepers = [m for m in members if m["keep"]]
+        assert len(keepers) == 1, (cid, members)
+        want = min(members, key=lambda m: (-m["score_x10k"], m["doc_id"]))
+        assert keepers[0]["doc_id"] == want["doc_id"]
+    assert any(m["keep"] and m["doc_id"] != cid
+               for cid, ms in by_cluster.items() for m in ms), \
+        "fixture never exercises the argmax (keeper always min-id)"
+
+
+def test_dd_keep_best_is_aggregate_not_window(spark):
+    """The keeper decision must be an aggregate join-back, not a global
+    window — a million-member cluster must collapse map-side."""
+    from ocr_platform_spark.operators.dedup import dd_keep_best
+
+    plan = dd_keep_best(spark, "/root/testdata/sf0.001")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Window" not in plan
