@@ -70,6 +70,8 @@ QUERY_SET = [
     "cx_ppl_buckets",
     # round-5 wave-19 addition (quality-argmax keeper per near-dup cluster)
     "dd_keep_best",
+    # round-5 wave-20 addition (spec'd-layout HyperLogLog)
+    "ta_hll_distinct",
 ]
 
 

@@ -3,9 +3,10 @@
 At 10^12 documents, per-host ``COUNT(DISTINCT token)`` is the classic
 scale-killer: the exact answer shuffles every distinct (host, token) pair.
 Production engines answer it with bounded-memory sketches (Spark's
-``approx_count_distinct`` is HyperLogLog++) — but HLL register layouts are
-engine-specific, so an HLL estimate can never participate in a
-cross-engine value-hashed oracle. The K-minimum-values sketch (Bar-Yossef
+``approx_count_distinct`` is HyperLogLog++) — but ENGINE-BUILTIN HLL
+register layouts are engine-specific, so those estimates can never
+participate in a cross-engine value-hashed oracle (a spec'd-layout HLL
+can — see ``hll_distinct`` below). The K-minimum-values sketch (Bar-Yossef
 et al. 2002; Beyer et al., SIGMOD 2007) CAN: its state is just the K
 smallest values of a shared deterministic hash, and its estimator
 ``(K-1) * H / h_K`` (H = hash-space size, h_K = the Kth smallest) is exact
@@ -575,6 +576,113 @@ FROM scored s CROSS JOIN bounds b
 """
 
 
+# --- HyperLogLog with a SPEC'D register layout -----------------------------
+# The module docstring's argument against HLL — engine-specific register
+# layouts can't cross-engine-hash — applies to ENGINE-BUILTIN HLL
+# (approx_count_distinct). It does not apply to a layout we specify
+# ourselves: register index = top 6 bits of the shared 56-bit md5 hash,
+# rho = leading-zero run of the remaining 50 bits + 1, estimator in pure
+# int64 fixed point, linear-counting correction via a 64-entry
+# PRECOMPUTED integer table (math.log runs once at import, on the
+# driver; both engines receive the same literals — no runtime floats
+# anywhere, the round-4 lesson). This is the industry-standard sketch
+# (Flajolet et al. 2007, m=64 → ~13% std error) next to its KMV cousin:
+# same hash, same per-host universe, radically smaller state (64 ints vs
+# SALTS*K), mergeable by register-wise MAX — the partial aggregate
+# combines map-side and the merge width is 64 rows per host, period.
+
+HLL_B = 6                       # register-index bits
+HLL_M = 1 << HLL_B              # 64 registers
+_HLL_WBITS = _HASH_BITS - HLL_B            # 50 suffix bits
+_HLL_WMASK = (1 << _HLL_WBITS) - 1
+_HLL_L = 40                     # fixed-point exponent for 2^-M terms
+# alpha_64 = 0.709 (Flajolet et al. 2007, Fig. 3) in x1000 fixed point;
+# the whole numerator is one exact int64 literal shared with the SQL
+_HLL_EST_NUM = (709 * HLL_M * HLL_M * (1 << _HLL_L)) // 1000
+_HLL_LC_THRESH = (5 * HLL_M) // 2          # raw <= 160 → linear counting
+# linear counting m*ln(m/V) for V = 1..64 zero registers, floored
+import math as _math  # noqa: E402  (module-scope on purpose: literals)
+
+HLL_LC_TABLE = tuple(int(HLL_M * _math.log(HLL_M / v)) for v in
+                     range(1, HLL_M + 1))
+
+
+def hll_distinct(docs: DataFrame) -> DataFrame:
+    """documents(source, text) → (source, n_reg_hit, hll_est): per-host
+    token-vocabulary cardinality estimate. Two aggregates: (source,
+    register) max-rho (map-side combinable), then a 64-row-per-host
+    fold into the estimator — no distinct-token stream ever shuffles."""
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+    h = _h56("tok")
+    w = h.bitwiseAND(F.lit(_HLL_WMASK))
+    # bit_length(w) via minimal binary-string conv; w == 0 handled first
+    rho = (F.when(w == 0, F.lit(_HLL_WBITS + 1))
+           .otherwise(F.lit(_HLL_WBITS + 1)
+                      - F.length(F.conv(w, 10, 2))).cast("int"))
+    reg = (toks.select("source", F.shiftright(h, _HLL_WBITS).alias("j"),
+                       rho.alias("rho"))
+           .groupBy("source", "j").agg(F.max("rho").alias("mj")))
+    # F.shiftleft's python wrapper wants a literal numBits; the SQL
+    # function itself takes a column
+    term = F.call_function(
+        "shiftleft", F.lit(1).cast("long"),
+        F.greatest(F.lit(_HLL_L) - F.col("mj"), F.lit(0)))
+    folded = reg.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_reg_hit"),
+        F.sum(term).cast("long").alias("s_hit"))
+    n_zero = F.lit(HLL_M) - F.col("n_reg_hit")
+    s_total = (F.col("s_hit")
+               + n_zero * F.lit(1 << _HLL_L).cast("long"))
+    raw = F.call_function("div", F.lit(_HLL_EST_NUM).cast("long"), s_total)
+    lc = F.element_at(F.array(*[F.lit(v).cast("long")
+                                for v in HLL_LC_TABLE]),
+                      n_zero.cast("int"))
+    return folded.select(
+        "source", "n_reg_hit",
+        F.when((n_zero > 0) & (raw <= _HLL_LC_THRESH), lc)
+        .otherwise(raw).cast("long").alias("hll_est"))
+
+
+def ta_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_distinct(load(spark, sf_dir, "documents"))
+
+
+TA_HLL_SQL = rf"""
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents),
+h AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) AS h
+  FROM tok),
+reg AS (
+  SELECT source, h >> {_HLL_WBITS} AS j,
+         max(CASE WHEN (h & {_HLL_WMASK}) = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(h & {_HLL_WMASK}))
+             END) AS mj
+  FROM h GROUP BY source, j),
+folded AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_reg_hit,
+         CAST(sum(CAST(1 AS BIGINT)
+                  << greatest({_HLL_L} - mj, 0)) AS BIGINT) AS s_hit
+  FROM reg GROUP BY source),
+est AS (
+  SELECT source, n_reg_hit,
+         {HLL_M} - n_reg_hit AS n_zero,
+         {_HLL_EST_NUM} // (s_hit + ({HLL_M} - n_reg_hit)
+                            * (CAST(1 AS BIGINT) << {_HLL_L})) AS raw
+  FROM folded)
+SELECT source, n_reg_hit,
+       CAST(CASE WHEN n_zero > 0 AND raw <= {_HLL_LC_THRESH}
+                 THEN ([{", ".join(str(v) for v in HLL_LC_TABLE)}])[n_zero]
+                 ELSE raw END AS BIGINT) AS hll_est
+FROM est
+"""
+
+
 QUERIES: dict = {
     "ta_kmv_distinct": (ta_kmv_distinct, TA_KMV_SQL),
     "ta_quantile_sketch": (ta_quantile_sketch, TA_QS_SQL),
@@ -588,4 +696,6 @@ QUERIES: dict = {
     # wave 18: CCNet head/middle/tail buckets — the LM score composed
     # with the quantile sketch; beyond-window (local-gate record)
     "cx_ppl_buckets": (cx_ppl_buckets, _ppl_buckets_sql()),
+    # wave 20: HyperLogLog with a spec'd register layout — beyond-window
+    "ta_hll_distinct": (ta_hll_distinct, TA_HLL_SQL),
 }

@@ -568,3 +568,77 @@ def test_ppl_buckets_match_python_composition(spark):
     # off the exact 33/67 marks — each bucket must still hold a real
     # share of the corpus (observed at sf0.01: 22% / 65% / 13%)
     assert all(len(v) >= n * 0.10 for v in by.values())
+
+
+# --- HyperLogLog (spec'd register layout) ------------------------------------
+
+def _py_hll(tokens):
+    """Pure-Python recompute of the spec: registers, fold, estimate."""
+    import hashlib
+
+    from ocr_platform_spark.operators.sketches import (
+        _HLL_EST_NUM, _HLL_L, _HLL_LC_THRESH, _HLL_WBITS, _HLL_WMASK,
+        HLL_LC_TABLE, HLL_M)
+
+    regs = {}
+    for t in tokens:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:14], 16)
+        j, w = h >> _HLL_WBITS, h & _HLL_WMASK
+        rho = (_HLL_WBITS + 1) - (w.bit_length() if w else 0)
+        regs[j] = max(regs.get(j, 0), rho)
+    s = sum(1 << max(_HLL_L - m, 0) for m in regs.values()) \
+        + (HLL_M - len(regs)) * (1 << _HLL_L)
+    raw = _HLL_EST_NUM // s
+    n_zero = HLL_M - len(regs)
+    if n_zero > 0 and raw <= _HLL_LC_THRESH:
+        return len(regs), HLL_LC_TABLE[n_zero - 1]
+    return len(regs), raw
+
+
+def test_hll_matches_python_recompute(spark):
+    """Every host's (n_reg_hit, hll_est) must equal the pure-Python spec
+    recompute over the same token stream."""
+    from pyspark.sql import functions as F
+
+    from ocr_platform_spark.operators.sketches import hll_distinct
+    from ocr_platform_spark.operators.tables import load
+
+    docs = load(spark, SF_DIR, "documents")
+    toks = {}
+    for r in docs.select("source", "text").collect():
+        toks.setdefault(r["source"], []).extend(r["text"].split())
+    got = {r["source"]: (r["n_reg_hit"], r["hll_est"])
+           for r in hll_distinct(docs).collect()}
+    assert set(got) == set(toks)
+    for src, tk in toks.items():
+        assert got[src] == _py_hll(tk), src
+
+
+def test_hll_raw_branch_accuracy(spark):
+    """A 5000-distinct-token host leaves linear counting and must land
+    within 3 sigma (1.04/sqrt(64) ~ 13%) of the truth via the RAW
+    integer estimator."""
+    from ocr_platform_spark.operators.sketches import (
+        _HLL_LC_THRESH, hll_distinct)
+
+    n = 5000
+    docs = spark.createDataFrame(
+        [("big", " ".join(f"tok{i}" for i in range(n)))],
+        "source string, text string")
+    row = hll_distinct(docs).collect()[0]
+    assert row["hll_est"] > _HLL_LC_THRESH          # raw branch, not LC
+    assert abs(row["hll_est"] - n) <= 0.39 * n, row["hll_est"]
+    # and the pure-Python spec agrees exactly
+    assert (row["n_reg_hit"], row["hll_est"]) == \
+        _py_hll([f"tok{i}" for i in range(n)])
+
+
+def test_hll_plan_two_aggregates_no_window(spark):
+    """Shape at scale: register build + fold are hash aggregates (map-side
+    combinable); no window, no distinct-token shuffle survives."""
+    from ocr_platform_spark.operators.sketches import ta_hll_distinct
+
+    plan = ta_hll_distinct(spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
