@@ -72,6 +72,8 @@ QUERY_SET = [
     "dd_keep_best",
     # round-5 wave-20 addition (spec'd-layout HyperLogLog)
     "ta_hll_distinct",
+    # round-5 wave-21 addition (HTML table extraction)
+    "extract_tables",
 ]
 
 

@@ -49,8 +49,8 @@ def _modules():
     from ocr_platform_spark.operators import (
         asof, crawldelta, curation, dedup, incremental, pagemeta,
         pdf_extract, relational, robots, scalar_queries, search,
-        similarity, sitemap, sketches, text_analysis, webcorpus,
-        webgraph, weblinks)
+        similarity, sitemap, sketches, tablex, text_analysis,
+        webcorpus, webgraph, weblinks)
     from ocr_platform_spark.plans import corpus_job
     from ocr_platform_spark.streaming import sessions, windowed
     # corpus_job last: a round-4 late addition — it must NOT displace any
@@ -62,7 +62,7 @@ def _modules():
     return (relational, scalar_queries, text_analysis, dedup, incremental,
             similarity, curation, pdf_extract, windowed, sessions,
             webcorpus, webgraph, weblinks, corpus_job, search, robots,
-            asof, sitemap, crawldelta, sketches, pagemeta)
+            asof, sitemap, crawldelta, sketches, pagemeta, tablex)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -573,6 +573,103 @@ def extract_metadata_fixture() -> None:
     }))
 
 
+def extract_tables_fixture() -> None:
+    """Independent replica of operators/tablex.py: the same augmented
+    pages re-parsed with stdlib html.parser (a different tokenizer)
+    driving an independently written collection state machine, so
+    fixture agreement checks the implied-close/nesting/CDATA spec."""
+    from html.parser import HTMLParser
+
+    from ocr_platform_spark.operators.tablex import (TABLE_DOCS,
+                                                     augment_html_tables)
+
+    class Collector(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.out: list[tuple] = []
+            self.tdepth = 0
+            self.ti = -1
+            self.ri = self.ci = -1
+            self.in_row = False
+            self.cell: tuple[bool, list[str]] | None = None
+
+        def _flush(self) -> None:
+            if self.cell is not None:
+                hd, parts = self.cell
+                self.out.append(
+                    (self.ti, self.ri, self.ci, hd,
+                     " ".join("".join(parts).split())))
+            self.cell = None
+
+        def handle_starttag(self, tag, attrs):
+            if self.tdepth == 0:
+                if tag == "table":
+                    self.tdepth = 1
+                    self.ti += 1
+                    self.ri = self.ci = -1
+                    self.in_row = False
+                    self.cell = None
+                return
+            if tag == "table":
+                self.tdepth += 1
+                return
+            if self.tdepth != 1:
+                return
+            if tag == "tr":
+                self._flush()
+                self.in_row = True
+                self.ri += 1
+                self.ci = -1
+            elif tag in ("td", "th"):
+                self._flush()
+                if not self.in_row:       # implied row
+                    self.in_row = True
+                    self.ri += 1
+                    self.ci = -1
+                self.ci += 1
+                self.cell = (tag == "th", [])
+
+        def handle_endtag(self, tag):
+            if self.tdepth == 0:
+                return
+            if tag == "table":
+                if self.tdepth > 1:
+                    self.tdepth -= 1
+                else:
+                    self._flush()
+                    self.in_row = False
+                    self.tdepth = 0
+            elif self.tdepth == 1 and tag in ("td", "th", "tr"):
+                self._flush()
+                if tag == "tr":
+                    self.in_row = False
+
+        def handle_data(self, data):
+            if self.cell is not None:
+                self.cell[1].append(data)
+
+    rows = []
+    for i in range(TABLE_DOCS):
+        d = gen_document(i, seed=SEED)
+        html = augment_html_tables(d["url"], d["html"])
+        if html is None:
+            continue
+        c = Collector()
+        c.feed(bytes(html).decode("utf-8", "replace"))
+        c.close()                     # EOF: open cell never flushed
+        for (ti, ri, ci, hd, tx) in c.out:
+            rows.append((d["url"], ti, ri, ci, hd, tx))
+    cols = list(zip(*rows))
+    _write("extract_tables.parquet", pa.table({
+        "url": pa.array(cols[0], pa.string()),
+        "table_idx": pa.array(cols[1], pa.int64()),
+        "row_idx": pa.array(cols[2], pa.int64()),
+        "col_idx": pa.array(cols[3], pa.int64()),
+        "is_header": pa.array(cols[4], pa.bool_()),
+        "cell_text": pa.array(cols[5], pa.string()),
+    }))
+
+
 if __name__ == "__main__":
     flagship_pages()
     langid_pages()
@@ -592,3 +689,4 @@ if __name__ == "__main__":
     ml_kmeans()
     extract_links_fixture()
     extract_metadata_fixture()
+    extract_tables_fixture()
