@@ -74,6 +74,8 @@ QUERY_SET = [
     "ta_hll_distinct",
     # round-5 wave-21 addition (HTML table extraction)
     "extract_tables",
+    # round-5 wave-22 addition (DSIR importance weighting)
+    "cx_dsir_select",
 ]
 
 

@@ -642,6 +642,69 @@ def ta_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_scores(load(spark, sf_dir, "documents"))
 
 
+# --- DSIR importance weighting (target LM vs source LM) --------------------
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+# ranks raw documents by how much MORE a target-domain n-gram model
+# likes them than the raw-source distribution does: weight = log
+# p_target - log p_source, estimated from hashed n-gram counts. Rebuilt
+# here in the repo's exact-integer idiom: both models are the bigram
+# estimator above — the TARGET trained on the held-in reference slice
+# (doc_id % 10 == 0, the lm_scores model), the SOURCE trained on the
+# WHOLE corpus (the raw distribution DSIR contrasts against) — and the
+# weight is the difference of the two mean-bigram-probability scores
+# (monotone stand-in for the log-ratio; exact, hash-comparable).
+# Selection keeps weight > 0: the document is likelier under the target
+# model than the source distribution predicts — DSIR's keep signal with
+# a deterministic threshold instead of Gumbel sampling.
+#
+# Shape at scale: two count-model builds (map-side-combined aggregates;
+# the source model scans the same exploded bigrams as the target, one
+# pass), then ONE scoring pass joining each corpus bigram against both
+# models — plain shuffle equi-joins on (lang, w1, w2), models too big
+# to broadcast at corpus scale. No window, no driver state; the
+# threshold is a literal. Same int64 bound as lm_scores (count * 1e6).
+
+
+def dsir_weights(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, text) → (doc_id, n_bigrams, target_x1e6,
+    source_x1e6, weight_x1e6, selected)."""
+    bg = _bigram_rows(docs)
+
+    def model(rows: DataFrame) -> DataFrame:
+        bi = rows.groupBy("lang", "w1", "w2").agg(
+            F.count("*").alias("c_bi"))
+        uni = rows.groupBy("lang", "w1").agg(F.count("*").alias("c_uni"))
+        return bi.join(uni, ["lang", "w1"]).select(
+            "lang", "w1", "w2",
+            F.expr("(c_bi * 1000000) DIV c_uni").alias("p_x1e6"))
+
+    target = model(bg.where(
+        F.pmod(F.col("doc_id"), F.lit(_LM_TRAIN_MOD)) == _LM_TRAIN_RES))
+    source = model(bg)
+    scored = (bg
+              .join(target.withColumnRenamed("p_x1e6", "pt"),
+                    ["lang", "w1", "w2"], "left")
+              .join(source.withColumnRenamed("p_x1e6", "ps"),
+                    ["lang", "w1", "w2"], "left")
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.sum(F.coalesce("pt", F.lit(0))).alias("st"),
+                   F.sum(F.coalesce("ps", F.lit(0))).alias("ss")))
+    t = F.coalesce(F.expr("st DIV n_bigrams"), F.lit(0)).cast("long")
+    s = F.coalesce(F.expr("ss DIV n_bigrams"), F.lit(0)).cast("long")
+    return (docs.join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                    .alias("n_bigrams"),
+                    t.alias("target_x1e6"), s.alias("source_x1e6"),
+                    (t - s).alias("weight_x1e6"),
+                    (t - s > 0).alias("selected")))
+
+
+def cx_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_weights(load(spark, sf_dir, "documents"))
+
+
 TA_LM_SQL = rf"""
 WITH toks AS (
   SELECT doc_id, lang,
@@ -677,6 +740,59 @@ FROM documents d LEFT JOIN scored sc ON sc.doc_id = d.doc_id
 """
 
 
+CX_DSIR_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents),
+bg AS (
+  SELECT doc_id, lang,
+         unnest(t[1:len(t) - 1]) AS w1,
+         unnest(t[2:len(t)]) AS w2
+  FROM toks),
+train AS (SELECT * FROM bg
+          WHERE doc_id % {_LM_TRAIN_MOD} = {_LM_TRAIN_RES}),
+t_bi AS (SELECT lang, w1, w2, count(*) AS c_bi
+         FROM train GROUP BY lang, w1, w2),
+t_uni AS (SELECT lang, w1, count(*) AS c_uni
+          FROM train GROUP BY lang, w1),
+t_model AS (
+  SELECT t_bi.lang, t_bi.w1, t_bi.w2,
+         (c_bi * 1000000) // c_uni AS p_x1e6
+  FROM t_bi JOIN t_uni ON t_uni.lang = t_bi.lang AND t_uni.w1 = t_bi.w1),
+s_bi AS (SELECT lang, w1, w2, count(*) AS c_bi
+         FROM bg GROUP BY lang, w1, w2),
+s_uni AS (SELECT lang, w1, count(*) AS c_uni
+          FROM bg GROUP BY lang, w1),
+s_model AS (
+  SELECT s_bi.lang, s_bi.w1, s_bi.w2,
+         (c_bi * 1000000) // c_uni AS p_x1e6
+  FROM s_bi JOIN s_uni ON s_uni.lang = s_bi.lang AND s_uni.w1 = s_bi.w1),
+scored AS (
+  SELECT bg.doc_id, count(*) AS n_bigrams,
+         sum(coalesce(tm.p_x1e6, 0)) AS st,
+         sum(coalesce(sm.p_x1e6, 0)) AS ss
+  FROM bg
+  LEFT JOIN t_model tm
+    ON tm.lang = bg.lang AND tm.w1 = bg.w1 AND tm.w2 = bg.w2
+  LEFT JOIN s_model sm
+    ON sm.lang = bg.lang AND sm.w1 = bg.w1 AND sm.w2 = bg.w2
+  GROUP BY bg.doc_id),
+fin AS (
+  SELECT d.doc_id,
+         CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         CAST(coalesce(sc.st // sc.n_bigrams, 0) AS BIGINT)
+             AS target_x1e6,
+         CAST(coalesce(sc.ss // sc.n_bigrams, 0) AS BIGINT)
+             AS source_x1e6
+  FROM documents d LEFT JOIN scored sc ON sc.doc_id = d.doc_id)
+SELECT doc_id, n_bigrams, target_x1e6, source_x1e6,
+       target_x1e6 - source_x1e6 AS weight_x1e6,
+       target_x1e6 - source_x1e6 > 0 AS selected
+FROM fin
+"""
+
+
 QUERIES: dict = {
     "ta_token_stats": (ta_token_stats, TA_TOKEN_SQL),
     "ta_quality_flags": (ta_quality_flags, TA_QUALITY_SQL),
@@ -694,4 +810,7 @@ QUERIES: dict = {
     # wave 13: CCNet-style n-gram LM quality score, beyond-window
     # (local-gate record)
     "ta_lm_score": (ta_lm_score, TA_LM_SQL),
+    # wave 22: DSIR importance weighting (target LM vs source LM),
+    # beyond-window (local-gate record)
+    "cx_dsir_select": (cx_dsir_select, CX_DSIR_SQL),
 }

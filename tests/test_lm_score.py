@@ -128,3 +128,84 @@ def test_lm_plan_stays_jvm_side(spark):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
                 "BroadcastNestedLoop"):
         assert bad not in plan
+
+
+# --- DSIR importance weighting ----------------------------------------------
+
+def _python_dsir(rows):
+    """Sequential replica: target model (train slice) + source model
+    (whole corpus), weight = mean target p - mean source p."""
+    from ocr_platform_spark.operators.text_analysis import (
+        _LM_TRAIN_MOD, _LM_TRAIN_RES)
+
+    def bigrams(text):
+        toks = text.strip().split()
+        return list(zip(toks, toks[1:]))
+
+    def build(sel):
+        c_bi, c_uni = {}, {}
+        for doc_id, lang, text in rows:
+            if not sel(doc_id):
+                continue
+            for w1, w2 in bigrams(text):
+                c_bi[(lang, w1, w2)] = c_bi.get((lang, w1, w2), 0) + 1
+                c_uni[(lang, w1)] = c_uni.get((lang, w1), 0) + 1
+        return c_bi, c_uni
+
+    tb, tu = build(lambda d: d % _LM_TRAIN_MOD == _LM_TRAIN_RES)
+    sb, su = build(lambda d: True)
+    out = {}
+    for doc_id, lang, text in rows:
+        bgs = bigrams(text)
+        if not bgs:
+            out[doc_id] = (0, 0, 0, 0, False)
+            continue
+        st = sum((tb[(lang, w1, w2)] * 1_000_000) // tu[(lang, w1)]
+                 if (lang, w1, w2) in tb else 0 for w1, w2 in bgs)
+        ss = sum((sb[(lang, w1, w2)] * 1_000_000) // su[(lang, w1)]
+                 if (lang, w1, w2) in sb else 0 for w1, w2 in bgs)
+        t, s = st // len(bgs), ss // len(bgs)
+        out[doc_id] = (len(bgs), t, s, t - s, t - s > 0)
+    return out
+
+
+def test_dsir_matches_python_replica(spark):
+    import duckdb
+
+    from ocr_platform_spark.operators.text_analysis import cx_dsir_select
+
+    rows = duckdb.connect().execute(
+        f"""SELECT doc_id, lang, text
+            FROM read_parquet('{SF_DIR}/documents.parquet')""").fetchall()
+    want = _python_dsir([(int(d), la, t) for d, la, t in rows])
+    got = {r["doc_id"]: (r["n_bigrams"], r["target_x1e6"],
+                         r["source_x1e6"], r["weight_x1e6"],
+                         r["selected"])
+           for r in cx_dsir_select(spark, SF_DIR).collect()}
+    assert got == want
+
+
+def test_dsir_signal_direction(spark):
+    """The whole point of the weight: reference-slice docs (in-target)
+    must average a HIGHER importance weight than raw-source docs, and
+    both selected and rejected docs must exist."""
+    from ocr_platform_spark.operators.text_analysis import cx_dsir_select
+
+    rows = cx_dsir_select(spark, SF_DIR).collect()
+    train = [r["weight_x1e6"] for r in rows if r["doc_id"] % 10 == 0]
+    rest = [r["weight_x1e6"] for r in rows if r["doc_id"] % 10 != 0]
+    assert sum(train) / len(train) > sum(rest) / len(rest)
+    n_sel = sum(r["selected"] for r in rows)
+    assert 0 < n_sel < len(rows)
+    for r in rows:
+        assert r["weight_x1e6"] == r["target_x1e6"] - r["source_x1e6"]
+        assert r["selected"] == (r["weight_x1e6"] > 0)
+
+
+def test_dsir_plan_no_window_no_python(spark):
+    from ocr_platform_spark.operators.text_analysis import cx_dsir_select
+
+    plan = cx_dsir_select(spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
