@@ -76,6 +76,8 @@ QUERY_SET = [
     "extract_tables",
     # round-5 wave-22 addition (DSIR importance weighting)
     "cx_dsir_select",
+    # round-5 wave-23 addition (domain-level quality filtering)
+    "cx_domain_quality",
 ]
 
 

@@ -688,6 +688,55 @@ FROM per
 """
 
 
+# --- domain-level quality filtering ----------------------------------------
+# RefinedWeb/Dolma curate at the DOMAIN level next to the document
+# level: a host whose pages consistently fail the quality classifier is
+# a content farm, and its occasional passing page is almost always a
+# false positive — so the host's aggregate pass rate, not the page's
+# own score, makes the call. Two hops, both scale-shaped: the per-host
+# (n, passes) aggregate combines map-side to one row per host, and the
+# verdict joins back on source — a shuffle equi-join (the host table is
+# ~10^8 rows at crawl scale, NOT broadcastable; the aggregate side is
+# already hash-partitioned by source from its own groupBy, so only the
+# probe side exchanges — the cx_canonical_dedup reasoning). Never-drop:
+# every document gets a row carrying its host's verdict.
+
+DOMAIN_Q_MIN_X1E4 = 9500      # host pass-rate floor (x1e4 fixed point)
+
+
+def cx_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    q = ta_quality_model(spark, sf_dir).select("doc_id", "quality_pass")
+    per_doc = docs.join(q, "doc_id")
+    host = (per_doc.groupBy("source")
+            .agg(F.count("*").alias("host_n"),
+                 F.sum(F.col("quality_pass").cast("long")).alias("np"))
+            .select("source", F.col("host_n").cast("long").alias("host_n"),
+                    F.expr("(np * 10000) DIV host_n").cast("long")
+                    .alias("host_pass_x1e4")))
+    return (per_doc.join(host, "source")
+            .select("doc_id", "source", "quality_pass", "host_n",
+                    "host_pass_x1e4",
+                    (F.col("host_pass_x1e4") >= DOMAIN_Q_MIN_X1E4)
+                    .alias("host_kept")))
+
+
+CX_DOMAIN_QUALITY_SQL = f"""
+WITH q AS (SELECT doc_id, quality_pass FROM ({TA_QUALITY_MODEL_SQL})),
+per_doc AS (
+  SELECT d.doc_id, d.source, q.quality_pass
+  FROM documents d JOIN q USING (doc_id)),
+host AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS host_n,
+         CAST((sum(CASE WHEN quality_pass THEN 1 ELSE 0 END) * 10000)
+              // count(*) AS BIGINT) AS host_pass_x1e4
+  FROM per_doc GROUP BY source)
+SELECT p.doc_id, p.source, p.quality_pass, h.host_n, h.host_pass_x1e4,
+       h.host_pass_x1e4 >= {DOMAIN_Q_MIN_X1E4} AS host_kept
+FROM per_doc p JOIN host h USING (source)
+"""
+
+
 QUERIES: dict = {
     "ta_host_stats": (ta_host_stats, TA_HOST_STATS_SQL),
     "cx_domain_cap": (cx_domain_cap, CX_DOMAIN_CAP_SQL),
@@ -702,4 +751,7 @@ QUERIES: dict = {
     # wave 15: retrieval-prep passage chunking, beyond-window
     # (local-gate record)
     "cx_chunk_passages": (cx_chunk_passages, CX_CHUNK_SQL),
+    # wave 23: domain-level quality filtering, beyond-window
+    # (local-gate record)
+    "cx_domain_quality": (cx_domain_quality, CX_DOMAIN_QUALITY_SQL),
 }

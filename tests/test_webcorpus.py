@@ -363,3 +363,40 @@ def test_chunk_passages_zero_shuffle_plan(spark):
     p = plan_of(cx_chunk_passages(spark, SF_DIR))
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+# --- domain-level quality filtering ------------------------------------------
+
+def test_domain_quality_verdict_is_host_level(spark):
+    """Every doc on a host shares the host verdict; the fixture splits
+    (kept and dropped hosts both exist); a dropped host's PASSING pages
+    are still dropped (the whole point of domain-level filtering)."""
+    from ocr_platform_spark.operators.webcorpus import (
+        DOMAIN_Q_MIN_X1E4, cx_domain_quality)
+
+    rows = cx_domain_quality(spark, SF_DIR).collect()
+    assert len(rows) == 500                            # never-drop
+    by_host: dict = {}
+    for r in rows:
+        by_host.setdefault(r["source"], []).append(r)
+    kept = {h for h, rs in by_host.items() if rs[0]["host_kept"]}
+    dropped = set(by_host) - kept
+    assert kept and dropped
+    for h, rs in by_host.items():
+        verdicts = {r["host_kept"] for r in rs}
+        assert len(verdicts) == 1                      # host-level
+        n = len(rs)
+        np = sum(1 for r in rs if r["quality_pass"])
+        want = (np * 10000) // n >= DOMAIN_Q_MIN_X1E4
+        assert verdicts == {want}
+        assert all(r["host_n"] == n for r in rs)
+    # the discriminating case: a passing page on a dropped host
+    assert any(r["quality_pass"] and not r["host_kept"] for r in rows)
+
+
+def test_domain_quality_plan_no_window(spark):
+    from ocr_platform_spark.operators.webcorpus import cx_domain_quality
+
+    plan = cx_domain_quality(spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
