@@ -78,6 +78,8 @@ QUERY_SET = [
     "cx_dsir_select",
     # round-5 wave-23 addition (domain-level quality filtering)
     "cx_domain_quality",
+    # (wave 24's ta_compress_ratio is fixture-pinned to sf0.01 — not
+    # timed here at sf0.1, the ta_bpe_tokens precedent)
 ]
 
 

@@ -274,6 +274,56 @@ def ta_bpe_tokens(spark: SparkSession, sf_dir: str, *,
                     .cast("long").alias("bpe_per_word_x10k")))
 
 
+# --- compression-ratio quality signal --------------------------------------
+# Dolma/Gopher-family heuristic orthogonal to every token statistic
+# above: the DEFLATE ratio of the raw utf-8 bytes. Template/boilerplate
+# pages compress far below prose (repeated spans collapse); random or
+# binary-ish payloads sit near 1.0. Both tails are drop signals. zlib
+# level 6 output is deterministic for a given zlib build, and the
+# fixture oracle recomputes with the SAME library in the same container
+# — the pin is the fixture, not cross-engine SQL (DuckDB has no
+# DEFLATE). Arrow-batched pandas UDF (the bpe_count_udf shape): the
+# compression itself is C-speed, the batch transfer is columnar, and
+# the plan stays a pure projection — zero shuffle at any corpus size.
+
+COMPRESS_LOW_X1E4 = 4200     # below: repetitive/templated
+COMPRESS_HIGH_X1E4 = 8500    # above: incompressible (garbage/binary)
+
+
+@F.pandas_udf(LongType())
+def zlib_len_udf(text: pd.Series) -> pd.Series:
+    import zlib
+
+    return text.map(
+        lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+        if t else 0)
+
+
+def compress_ratios(docs: DataFrame) -> DataFrame:
+    n_bytes = F.octet_length("text").cast("long")
+    out = docs.select(
+        "doc_id", n_bytes.alias("n_bytes"),
+        zlib_len_udf("text").alias("n_zlib"))
+    ratio = F.expr("(n_zlib * 10000) DIV greatest(n_bytes, 1)")
+    return out.select(
+        "doc_id", "n_bytes", "n_zlib",
+        ratio.cast("long").alias("ratio_x1e4"),
+        (ratio < COMPRESS_LOW_X1E4).alias("flag_repetitive"),
+        (ratio > COMPRESS_HIGH_X1E4).alias("flag_incompressible"))
+
+
+def ta_compress_ratio(spark: SparkSession, sf_dir: str, *,
+                      enforce_fixture_pin: bool = True) -> DataFrame:
+    # Scale-free plan; the pin protects the driver gate, whose oracle is
+    # a fixture staged from sf0.01 (registry.assert_fixture_scale).
+    if enforce_fixture_pin:
+        from ocr_platform_spark.operators.registry import \
+            assert_fixture_scale
+
+        assert_fixture_scale(sf_dir, "ta_compress_ratio")
+    return compress_ratios(load(spark, sf_dir, "documents"))
+
+
 # --- winnowing fingerprints (rolling-hash doc fingerprinting; SQL) --------
 # Schleimer, Wilkerson, Aiken, "Winnowing: Local Algorithms for Document
 # Fingerprinting" (SIGMOD 2003): hash every k-char gram of the canonical
@@ -813,4 +863,9 @@ QUERIES: dict = {
     # wave 22: DSIR importance weighting (target LM vs source LM),
     # beyond-window (local-gate record)
     "cx_dsir_select": (cx_dsir_select, CX_DSIR_SQL),
+    # wave 24: DEFLATE compression-ratio quality signal, beyond-window
+    # (fixture oracle — DuckDB has no DEFLATE)
+    "ta_compress_ratio": (
+        ta_compress_ratio,
+        _fixture_sql("ta_compress_ratio.sf0.01.parquet")),
 }

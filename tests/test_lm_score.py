@@ -209,3 +209,44 @@ def test_dsir_plan_no_window_no_python(spark):
         .executedPlan().toString()
     assert "Window" not in plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+# --- compression-ratio quality signal ----------------------------------------
+
+def test_compress_ratio_matches_zlib_and_flags(spark):
+    import zlib
+
+    import duckdb
+
+    from ocr_platform_spark.operators.text_analysis import (
+        COMPRESS_HIGH_X1E4, COMPRESS_LOW_X1E4, ta_compress_ratio)
+
+    want = {}
+    for doc_id, text in duckdb.connect().execute(
+            f"""SELECT doc_id, text
+                FROM read_parquet('{SF_DIR}/documents.parquet')""") \
+            .fetchall():
+        b = text.encode("utf-8") if text else b""
+        nz = len(zlib.compress(b, 6)) if b else 0
+        want[int(doc_id)] = (len(b), nz, (nz * 10000) // max(len(b), 1))
+    rows = ta_compress_ratio(spark, SF_DIR).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        nb, nz, ratio = want[r["doc_id"]]
+        assert (r["n_bytes"], r["n_zlib"], r["ratio_x1e4"]) == \
+            (nb, nz, ratio)
+        assert r["flag_repetitive"] == (ratio < COMPRESS_LOW_X1E4)
+        assert r["flag_incompressible"] == (ratio > COMPRESS_HIGH_X1E4)
+    # both drop tails are live at sf0.01
+    assert any(r["flag_repetitive"] for r in rows)
+    assert any(r["flag_incompressible"] for r in rows)
+
+
+def test_compress_ratio_rejects_unpinned_scale(spark):
+    import pytest
+
+    from ocr_platform_spark.operators.text_analysis import \
+        ta_compress_ratio
+
+    with pytest.raises(ValueError, match="fixture"):
+        ta_compress_ratio(spark, "/root/testdata/sf0.001")

@@ -670,6 +670,40 @@ def extract_tables_fixture() -> None:
     }))
 
 
+def ta_compress_ratio() -> None:
+    """Independent pure-Python recompute of the DEFLATE quality signal
+    over the sf0.01 documents table (same zlib build as the UDF — the
+    library IS the spec; DuckDB has no DEFLATE)."""
+    import zlib
+
+    import duckdb
+
+    from ocr_platform_spark.operators.text_analysis import (
+        COMPRESS_HIGH_X1E4, COMPRESS_LOW_X1E4)
+
+    rows = duckdb.connect().execute(
+        f"""SELECT doc_id, text
+            FROM read_parquet('{SF001}/documents.parquet')
+            ORDER BY doc_id""").fetchall()
+    out = []
+    for doc_id, text in rows:
+        b = text.encode("utf-8") if text else b""
+        nz = len(zlib.compress(b, 6)) if b else 0
+        ratio = (nz * 10000) // max(len(b), 1)
+        out.append((int(doc_id), len(b), nz, ratio,
+                    ratio < COMPRESS_LOW_X1E4,
+                    ratio > COMPRESS_HIGH_X1E4))
+    cols = list(zip(*out))
+    _write("ta_compress_ratio.sf0.01.parquet", pa.table({
+        "doc_id": pa.array(cols[0], pa.int64()),
+        "n_bytes": pa.array(cols[1], pa.int64()),
+        "n_zlib": pa.array(cols[2], pa.int64()),
+        "ratio_x1e4": pa.array(cols[3], pa.int64()),
+        "flag_repetitive": pa.array(cols[4], pa.bool_()),
+        "flag_incompressible": pa.array(cols[5], pa.bool_()),
+    }))
+
+
 if __name__ == "__main__":
     flagship_pages()
     langid_pages()
@@ -690,3 +724,4 @@ if __name__ == "__main__":
     extract_links_fixture()
     extract_metadata_fixture()
     extract_tables_fixture()
+    ta_compress_ratio()
