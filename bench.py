@@ -80,6 +80,8 @@ QUERY_SET = [
     "cx_domain_quality",
     # (wave 24's ta_compress_ratio is fixture-pinned to sf0.01 — not
     # timed here at sf0.1, the ta_bpe_tokens precedent)
+    # round-5 wave-25 addition (per-document funnel attribution)
+    "cx_filter_funnel",
 ]
 
 

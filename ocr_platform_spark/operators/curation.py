@@ -74,6 +74,67 @@ WHERE d.doc_id IN (SELECT doc_id FROM ({TA_GOPHER_SQL}) g
 """
 
 
+# --- per-document funnel attribution ---------------------------------------
+# Production curation runs publish a removal FUNNEL (FineWeb's filter
+# stats, Dolma's per-rule counts): every document is attributed to the
+# FIRST stage that removed it, in pipeline order — the number every
+# data card reports, and the debugging handle when a filter change
+# shifts the corpus. Same stage operators as cx_curation_pipeline, but
+# instead of composing semi/anti joins that DISCARD failures, each
+# stage's keep/drop set left-joins a marker and one CASE picks the
+# first failure — never-drop, one row per document. Physical shape
+# unchanged: four hash joins against derived sets orders of magnitude
+# smaller than the corpus; the verdict is a projection.
+
+_FUNNEL_STAGES = ("gopher", "repetition", "exact_dup", "near_dup", "kept")
+
+
+def cx_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def mark(df: DataFrame, name: str) -> DataFrame:
+        return df.select("doc_id", F.lit(True).alias(name))
+
+    gpass = mark(ta_gopher_quality(spark, sf_dir)
+                 .filter(F.expr(_QUALITY_GATE)).select("doc_id"), "g")
+    rfail = mark(ta_repetition(spark, sf_dir)
+                 .filter(F.expr(_REP_FAIL)).select("doc_id"), "r")
+    keeps = mark(dd_exact(spark, sf_dir)
+                 .select(F.col("keep_id").alias("doc_id")), "e")
+    ndrop = mark(dd_clusters(spark, sf_dir)
+                 .filter(~F.col("is_canonical")).select("doc_id"), "n")
+    j = (docs.join(gpass, "doc_id", "left")
+         .join(rfail, "doc_id", "left")
+         .join(keeps, "doc_id", "left")
+         .join(ndrop, "doc_id", "left"))
+    verdict = (F.when(F.col("g").isNull(), "gopher")
+               .when(F.col("r").isNotNull(), "repetition")
+               .when(F.col("e").isNull(), "exact_dup")
+               .when(F.col("n").isNotNull(), "near_dup")
+               .otherwise("kept"))
+    return j.select("doc_id", verdict.alias("verdict"))
+
+
+CX_FUNNEL_SQL = f"""
+SELECT d.doc_id,
+       CASE
+         WHEN d.doc_id NOT IN (SELECT doc_id FROM ({TA_GOPHER_SQL}) g
+                               WHERE {_QUALITY_GATE}) THEN 'gopher'
+         WHEN d.doc_id IN (SELECT doc_id FROM ({TA_REPETITION_SQL}) r
+                           WHERE {_REP_FAIL}) THEN 'repetition'
+         WHEN d.doc_id NOT IN (SELECT keep_id FROM ({DD_EXACT_SQL}) e)
+             THEN 'exact_dup'
+         WHEN d.doc_id IN (SELECT doc_id FROM ({DD_CLUSTERS_SQL}) c
+                           WHERE NOT is_canonical) THEN 'near_dup'
+         ELSE 'kept'
+       END AS verdict
+FROM documents d
+"""
+
+
 QUERIES: dict = {
     "cx_curation_pipeline": (cx_curation_pipeline, CX_CURATION_SQL),
+    # wave 25: per-document funnel attribution, beyond-window
+    # (local-gate record)
+    "cx_filter_funnel": (cx_filter_funnel, CX_FUNNEL_SQL),
 }
