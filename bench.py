@@ -82,6 +82,8 @@ QUERY_SET = [
     # timed here at sf0.1, the ta_bpe_tokens precedent)
     # round-5 wave-25 addition (per-document funnel attribution)
     "cx_filter_funnel",
+    # round-5 wave-26 addition (TF-IDF keyword extraction)
+    "ta_keyword_topk",
 ]
 
 

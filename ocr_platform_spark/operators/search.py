@@ -137,6 +137,83 @@ FROM scored GROUP BY doc_id
 ORDER BY bm25_x DESC, doc_id LIMIT {BM25_K}
 """
 
+# --- TF-IDF keyword extraction (per-doc top-k) -----------------------------
+# The corpus-tagging twin of BM25 retrieval: for every document, the k
+# terms most distinctive of it — tf × the same exact-integer Robertson
+# odds-ratio idf the BM25 scorer uses (the log dropped for bit-exact
+# cross-engine parity; per-term monotone in df, which is all a ranking
+# needs). Standard corpus op: keyword tags feed index summaries, topic
+# clustering, and retrieval-augmented metadata.
+#
+# Shape at scale: tf is THE inverted-index build (explode + map-side-
+# combined groupBy over (doc, term)); df aggregates the postings by
+# term — vocabulary-sized, NOT broadcastable at corpus scale, so the
+# scoring join tf⋈df is a plain shuffle equi-join on term (both sides
+# hash-partition; df is the smaller side everywhere). The per-doc top-k
+# is an AGGREGATE (array_sort + slice over a per-doc collect_list
+# bounded by the document's own vocabulary), never a global window —
+# rank never crosses an exchange.
+
+KEYWORD_K = 5
+
+
+def keyword_topk(docs: DataFrame, k: int = KEYWORD_K) -> DataFrame:
+    """(doc_id, text) → (doc_id, rank, term, tf, score_x1000): the k
+    highest tf·idf terms per document, ties broken lexicographically."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tf = (docs.select("doc_id", F.explode(toks).alias("t"))
+          .groupBy("doc_id", "t").agg(F.count("*").alias("tf")))
+    stats = docs.agg(F.count("*").alias("n_docs"))
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    scored = (tf.join(dfreq, "t")
+              .crossJoin(F.broadcast(stats))
+              .select("doc_id", "t", "tf", F.expr(
+                  "tf * ((1000 * (2*n_docs - 2*df + 1)) div (2*df + 1))")
+                  .alias("score_x1000")))
+    top = scored.groupBy("doc_id").agg(
+        F.slice(F.array_sort(F.collect_list(F.struct(
+            (-F.col("score_x1000")).alias("ns"),
+            F.col("t").alias("t"), F.col("tf").alias("tf"),
+            F.col("score_x1000").alias("s")))), 1, k).alias("a"))
+    return (top.select("doc_id", F.posexplode("a").alias("pos", "c"))
+            .select("doc_id",
+                    (F.col("pos") + 1).cast("long").alias("rank"),
+                    F.col("c.t").alias("term"),
+                    F.col("c.tf").cast("long").alias("tf"),
+                    F.col("c.s").cast("long").alias("score_x1000")))
+
+
+def ta_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return keyword_topk(load(spark, sf_dir, "documents"))
+
+
+TA_KEYWORD_SQL = rf"""
+WITH tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+    FROM documents) GROUP BY doc_id, t),
+stats AS (SELECT count(*) AS n_docs FROM documents),
+dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+scored AS (
+  SELECT f.doc_id, f.t, f.tf,
+         f.tf * ((1000 * (2*s.n_docs - 2*d.df + 1)) // (2*d.df + 1))
+             AS score_x1000
+  FROM tf f JOIN dfq d USING (t) CROSS JOIN stats s),
+ranked AS (
+  SELECT doc_id, t, tf, score_x1000,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_x1000 DESC, t) AS rnk
+  FROM scored)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rank, t AS term,
+       CAST(tf AS BIGINT) AS tf, CAST(score_x1000 AS BIGINT) AS score_x1000
+FROM ranked WHERE rnk <= {KEYWORD_K}
+"""
+
+
 QUERIES: dict = {
     "ta_bm25_search": (ta_bm25_search, TA_BM25_SQL),
+    # wave 26: per-doc TF-IDF keyword extraction, beyond-window
+    # (local-gate record)
+    "ta_keyword_topk": (ta_keyword_topk, TA_KEYWORD_SQL),
 }

@@ -426,3 +426,46 @@ def test_dd_keep_best_is_aggregate_not_window(spark):
     plan = dd_keep_best(spark, "/root/testdata/sf0.001")._jdf \
         .queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+# --- TF-IDF keyword extraction ----------------------------------------------
+
+def test_keyword_topk_matches_python(spark):
+    """Top-k per doc must equal a pure-Python tf·idf recompute with the
+    same integer odds-ratio idf and (score desc, term asc) tie-break."""
+    import duckdb
+
+    from ocr_platform_spark.operators.search import (KEYWORD_K,
+                                                     keyword_topk,
+                                                     ta_keyword_topk)
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    docs = {int(d): t.strip().split() for d, t in rows}
+    n = len(docs)
+    dfreq: dict = {}
+    for toks in docs.values():
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    want = {}
+    for d, toks in docs.items():
+        tf: dict = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        scored = sorted(
+            ((-(c * ((1000 * (2 * n - 2 * dfreq[t] + 1))
+                     // (2 * dfreq[t] + 1))), t, c) for t, c in tf.items()))
+        for i, (ns, t, c) in enumerate(scored[:KEYWORD_K]):
+            want[(d, i + 1)] = (t, c, -ns)
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["score_x1000"])
+           for r in ta_keyword_topk(spark, SF).collect()}
+    assert got == want
+
+
+def test_keyword_topk_is_aggregate_not_window(spark):
+    from ocr_platform_spark.operators.search import ta_keyword_topk
+
+    plan = ta_keyword_topk(spark, SF)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
