@@ -84,6 +84,8 @@ QUERY_SET = [
     "cx_filter_funnel",
     # round-5 wave-26 addition (TF-IDF keyword extraction)
     "ta_keyword_topk",
+    # round-5 wave-27 addition (positional phrase search)
+    "ta_phrase_search",
 ]
 
 

@@ -211,9 +211,66 @@ FROM ranked WHERE rnk <= {KEYWORD_K}
 """
 
 
+# --- positional phrase search ----------------------------------------------
+# The third retrieval primitive next to ranked (BM25) and tagging
+# (keyword) search: exact phrase match over a POSITIONAL inverted
+# index. The classic plan: posting lists carry token positions, each
+# phrase slot's postings shift left by its offset, and an equi-join on
+# (doc_id, aligned_position) intersects the slots — a phrase occurrence
+# is exactly one surviving aligned position. Shape at scale: the
+# posexplode postings are filtered to the phrase's literal terms BEFORE
+# anything shuffles (predicate on the generator output — the corpus
+# never materializes its full position index for a query), and the
+# slot joins are hash equi-joins on (doc_id, p) between term-posting
+# lists orders of magnitude smaller than the corpus.
+
+PHRASE_QUERY = ("slow", "hash", "batch")
+
+
+def phrase_search(docs: DataFrame,
+                  phrase: tuple[str, ...] = PHRASE_QUERY) -> DataFrame:
+    """(doc_id, text) → (doc_id, n_matches) for documents containing the
+    exact token phrase, with the number of occurrences."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    pos = (docs.select("doc_id", F.posexplode(toks).alias("pos", "t"))
+           .filter(F.col("t").isin(*phrase)))
+    m = None
+    for i, w in enumerate(phrase):
+        slot = (pos.filter(F.col("t") == w)
+                .select("doc_id", (F.col("pos") - i).alias("p")))
+        m = slot if m is None else m.join(slot, ["doc_id", "p"])
+    return (m.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_matches")))
+
+
+def ta_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return phrase_search(load(spark, sf_dir, "documents"))
+
+
+def _phrase_sql(phrase: tuple[str, ...] = PHRASE_QUERY) -> str:
+    terms = ", ".join(f"'{w}'" for w in phrase)
+    slots = "\nJOIN ".join(
+        f"(SELECT doc_id, pos - {i} AS p FROM pos WHERE t = '{w}') m{i}"
+        + ("" if i == 0 else " USING (doc_id, p)")
+        for i, w in enumerate(phrase))
+    return rf"""
+WITH pos AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS t FROM (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents), unnest(range(1, len(toks) + 1)) AS r(i)
+  WHERE toks[i] IN ({terms}))
+SELECT m0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM {slots}
+GROUP BY m0.doc_id
+"""
+
+
 QUERIES: dict = {
     "ta_bm25_search": (ta_bm25_search, TA_BM25_SQL),
     # wave 26: per-doc TF-IDF keyword extraction, beyond-window
     # (local-gate record)
     "ta_keyword_topk": (ta_keyword_topk, TA_KEYWORD_SQL),
+    # wave 27: positional phrase search, beyond-window (local-gate
+    # record)
+    "ta_phrase_search": (ta_phrase_search, _phrase_sql()),
 }

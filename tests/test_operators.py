@@ -469,3 +469,43 @@ def test_keyword_topk_is_aggregate_not_window(spark):
     plan = ta_keyword_topk(spark, SF)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Window" not in plan
+
+
+# --- positional phrase search ------------------------------------------------
+
+def test_phrase_search_matches_python(spark):
+    """Counts must equal a pure-Python sliding-window count, and the
+    fixture must exercise a multi-occurrence doc."""
+    import duckdb
+
+    from ocr_platform_spark.operators.search import (PHRASE_QUERY,
+                                                     ta_phrase_search)
+
+    want = {}
+    for d, t in duckdb.connect().execute(
+            f"SELECT doc_id, text FROM "
+            f"read_parquet('{SF}/documents.parquet')").fetchall():
+        toks = t.strip().split()
+        n = sum(1 for i in range(len(toks) - len(PHRASE_QUERY) + 1)
+                if tuple(toks[i:i + len(PHRASE_QUERY)]) == PHRASE_QUERY)
+        if n:
+            want[int(d)] = n
+    got = {r["doc_id"]: r["n_matches"]
+           for r in ta_phrase_search(spark, SF).collect()}
+    assert got == want
+    assert any(n > 1 for n in got.values())
+
+
+def test_phrase_search_overlapping_and_partial(spark):
+    """Overlapping matches each count; a permuted or gapped phrase does
+    not match."""
+    from ocr_platform_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"),           # 2 matches of (a b a)
+         (2, "b a slow x hash batch"),  # gapped: no match
+         (3, "batch hash slow")],       # permuted: no match
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_matches"]
+           for r in phrase_search(docs, ("a", "b", "a")).collect()}
+    assert got == {1: 2}
