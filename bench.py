@@ -86,6 +86,8 @@ QUERY_SET = [
     "ta_keyword_topk",
     # round-5 wave-27 addition (positional phrase search)
     "ta_phrase_search",
+    # (wave 28's ml_outlier_flags is fixture-pinned to sf0.01 like
+    # ml_kmeans — not timed here at sf0.1)
 ]
 
 

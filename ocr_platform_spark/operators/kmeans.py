@@ -146,4 +146,61 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark_kmeans(load(spark, sf_dir, "embeddings"))
 
 
-QUERIES: dict = {}  # registered in registry.py with the fixture oracle
+# --- embedding outlier detection -------------------------------------------
+# The data-poisoning / noise filter clustering exists for: a vector far
+# from its OWN cluster's centroid is mislabeled, corrupted, or
+# adversarial, and embedding-space curation drops or audits it
+# (cluster-then-filter is the standard recipe — e.g. SemDeDup-style
+# embedding curation). Threshold = 1.05x the cluster's mean squared
+# distance, all integer (the synthetic high-dim embeddings concentrate
+# tightly, so 5% above mean is a real tail — 82/500 flagged at sf0.01).
+# Shape at scale: the per-cluster (sum, n) aggregate combines map-side
+# into k rows, which BROADCAST back onto the assignment projection —
+# nothing but the k-row stats ever crosses an exchange twice. Oracle =
+# live SQL over the ml_kmeans fixture (the cx_canonical_dedup pattern:
+# the fixture pins the iterative kernel, the composition stays SQL).
+
+OUTLIER_NUM, OUTLIER_DEN = 21, 20      # threshold = mean * 1.05
+
+
+def outlier_flags(assign: DataFrame) -> DataFrame:
+    """(vec_id, cluster, dist) → + (thr, is_outlier): flag vectors whose
+    squared distance to their own centroid exceeds 1.05x the cluster
+    mean."""
+    stats = (assign.groupBy("cluster")
+             .agg(F.sum("dist").alias("s"), F.count("*").alias("n"))
+             .select("cluster", F.expr(
+                 f"((s DIV n) * {OUTLIER_NUM}) DIV {OUTLIER_DEN}")
+                 .cast("long").alias("thr")))
+    return (assign.join(F.broadcast(stats), "cluster")
+            .select("vec_id", "cluster", "dist", "thr",
+                    (F.col("dist") > F.col("thr")).alias("is_outlier")))
+
+
+def ml_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assert_fixture_scale(sf_dir, "ml_kmeans")
+    return outlier_flags(spark_kmeans(load(spark, sf_dir, "embeddings")))
+
+
+def _outlier_sql() -> str:
+    from ocr_platform_spark.operators.registry import fixture_sql
+
+    return f"""
+WITH a AS ({fixture_sql("ml_kmeans.sf0.01.parquet")}),
+s AS (
+  SELECT cluster,
+         ((CAST(sum(dist) AS BIGINT) // count(*)) * {OUTLIER_NUM})
+             // {OUTLIER_DEN} AS thr
+  FROM a GROUP BY cluster)
+SELECT a.vec_id, a.cluster, a.dist, CAST(s.thr AS BIGINT) AS thr,
+       a.dist > s.thr AS is_outlier
+FROM a JOIN s USING (cluster)
+"""
+
+
+QUERIES: dict = {
+    # wave 28: embedding outlier flags over the k-means assignment,
+    # beyond-window (local-gate record; ml_kmeans itself is registered
+    # in registry.py with the fixture oracle)
+    "ml_outlier_flags": (ml_outlier_flags, _outlier_sql()),
+}

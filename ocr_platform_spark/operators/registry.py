@@ -47,9 +47,9 @@ def assert_fixture_scale(sf_dir: str, query: str,
 
 def _modules():
     from ocr_platform_spark.operators import (
-        asof, crawldelta, curation, dedup, incremental, pagemeta,
-        pdf_extract, relational, robots, scalar_queries, search,
-        similarity, sitemap, sketches, tablex, text_analysis,
+        asof, crawldelta, curation, dedup, incremental, kmeans,
+        pagemeta, pdf_extract, relational, robots, scalar_queries,
+        search, similarity, sitemap, sketches, tablex, text_analysis,
         webcorpus, webgraph, weblinks)
     from ocr_platform_spark.plans import corpus_job
     from ocr_platform_spark.streaming import sessions, windowed
@@ -62,7 +62,8 @@ def _modules():
     return (relational, scalar_queries, text_analysis, dedup, incremental,
             similarity, curation, pdf_extract, windowed, sessions,
             webcorpus, webgraph, weblinks, corpus_job, search, robots,
-            asof, sitemap, crawldelta, sketches, pagemeta, tablex)
+            asof, sitemap, crawldelta, sketches, pagemeta, tablex,
+            kmeans)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:

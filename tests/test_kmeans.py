@@ -89,3 +89,45 @@ def test_assignment_plan_is_pure_projection(spark):
         "vec_id", (F.array_position(darr, F.array_min(darr)) - 1).alias("c"))
     p = asg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "Join" not in p
+
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+# --- embedding outlier flags -------------------------------------------------
+
+def test_outlier_flags_match_python_and_are_live(spark):
+    """Flags must equal a pure-Python recompute over the assignment, and
+    the 1.05x-mean threshold must flag a real tail (both classes live
+    in every cluster's corpus-wide union)."""
+    from ocr_platform_spark.operators.kmeans import (OUTLIER_DEN,
+                                                     OUTLIER_NUM,
+                                                     ml_outlier_flags,
+                                                     ml_kmeans)
+
+    assign = {r["vec_id"]: (r["cluster"], r["dist"])
+              for r in ml_kmeans(spark, SF_DIR).collect()}
+    sums: dict = {}
+    for c, d in assign.values():
+        s, n = sums.get(c, (0, 0))
+        sums[c] = (s + d, n + 1)
+    thr = {c: ((s // n) * OUTLIER_NUM) // OUTLIER_DEN
+           for c, (s, n) in sums.items()}
+    rows = ml_outlier_flags(spark, SF_DIR).collect()
+    assert len(rows) == len(assign)                    # never-drop
+    for r in rows:
+        c, d = assign[r["vec_id"]]
+        assert (r["cluster"], r["dist"], r["thr"]) == (c, d, thr[c])
+        assert r["is_outlier"] == (d > thr[c])
+    n_out = sum(r["is_outlier"] for r in rows)
+    assert 0 < n_out < len(rows)
+
+
+def test_outlier_stats_broadcast(spark):
+    """The k-row cluster stats must broadcast back onto the assignment
+    (no shuffle join against a 10-row table)."""
+    from ocr_platform_spark.operators.kmeans import ml_outlier_flags
+
+    plan = ml_outlier_flags(spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
