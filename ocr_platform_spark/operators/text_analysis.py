@@ -324,6 +324,68 @@ def ta_compress_ratio(spark: SparkSession, sf_dir: str, *,
     return compress_ratios(load(spark, sf_dir, "documents"))
 
 
+# --- readability score (integer Flesch) ------------------------------------
+# Flesch reading ease — the oldest text-difficulty feature still used in
+# corpus quality stacks (surface-form complement to the LM/classifier
+# scores): 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word),
+# here in x100 integer fixed point with floor divisions so both engines
+# agree bit-for-bit. Syllables = vowel-group count per lowercased word
+# (min 1, the standard heuristic; non-Latin tokens floor at 1);
+# sentences = [.!?]+ runs (min 1 — the synthetic corpus is largely
+# unpunctuated, so the whole document counts as one sentence, which the
+# guard makes deterministic rather than divide-by-zero). Pure per-row
+# projection, all JVM-side (split/transform/aggregate) — zero shuffle.
+
+_VOWELS = "[aeiouy]+"
+_SENT_ENDS = "[.!?]+"
+
+
+def readability(docs: DataFrame) -> DataFrame:
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(toks).cast("long")
+    ends = (F.size(F.split(F.col("text"), _SENT_ENDS)) - 1).cast("long")
+    n_sent = F.greatest(ends, F.lit(1).cast("long"))
+    syll = F.aggregate(
+        F.transform(toks, lambda w: F.greatest(
+            F.size(F.split(F.lower(w), _VOWELS)) - 1, F.lit(1))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (docs.select("doc_id", n_words.alias("n_words"),
+                        n_sent.alias("n_sentences"),
+                        syll.alias("n_syllables"))
+            .select("doc_id", "n_words", "n_sentences", "n_syllables",
+                    F.expr(
+                        "20684 - (101 * ((100 * n_words) DIV n_sentences))"
+                        " DIV 100"
+                        " - (8460 * ((100 * n_syllables) DIV n_words))"
+                        " DIV 100").cast("long").alias("flesch_x100")))
+
+
+def ta_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return readability(load(spark, sf_dir, "documents"))
+
+
+TA_READABILITY_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS n_words,
+         CAST(greatest(
+             len(regexp_split_to_array(text, '[.!?]+')) - 1, 1)
+             AS BIGINT) AS n_sentences,
+         CAST(list_sum(list_transform(
+             regexp_split_to_array(trim(text), '\s+'),
+             w -> greatest(len(regexp_split_to_array(
+                      lower(w), '[aeiouy]+')) - 1, 1)))
+             AS BIGINT) AS n_syllables
+  FROM documents)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(20684 - (101 * ((100 * n_words) // n_sentences)) // 100
+                  - (8460 * ((100 * n_syllables) // n_words)) // 100
+            AS BIGINT) AS flesch_x100
+FROM f
+"""
+
+
 # --- winnowing fingerprints (rolling-hash doc fingerprinting; SQL) --------
 # Schleimer, Wilkerson, Aiken, "Winnowing: Local Algorithms for Document
 # Fingerprinting" (SIGMOD 2003): hash every k-char gram of the canonical
@@ -868,4 +930,7 @@ QUERIES: dict = {
     "ta_compress_ratio": (
         ta_compress_ratio,
         _fixture_sql("ta_compress_ratio.sf0.01.parquet")),
+    # wave 29: integer Flesch readability, beyond-window (local-gate
+    # record)
+    "ta_readability": (ta_readability, TA_READABILITY_SQL),
 }

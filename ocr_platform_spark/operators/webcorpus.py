@@ -688,6 +688,126 @@ FROM per
 """
 
 
+# --- URL structure features (spam-classifier inputs) -----------------------
+# The URL-only feature set every crawl spam classifier starts from
+# (host digit density, subdomain depth, path depth, parameter count —
+# content farms and auto-generated link networks light these up before
+# a byte of HTML is fetched). The corpus synthesizes a deterministic
+# messy-URL menu from orders keys (the cx_url_filter pattern) spanning
+# clean news hosts, hyphen-digit blog hosts, digit-stuffed spam hosts,
+# deep subdomains, deep paths, and tracking-parameter tails; the
+# OPERATOR then parses host/path/query back out of the raw url string
+# with shared regexes (both engines run the same extraction — the
+# parse is the operator, the menu is just input). Pure projection,
+# zero shuffle at any corpus size.
+
+_UF_HOST_RE = "https://([^/]+)"
+_UF_PATH_RE = "https://[^/?]+([^?]*)"
+_UF_QUERY_RE = r"\?(.*)$"
+
+
+def _feature_urls(orders: DataFrame) -> DataFrame:
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    host = (F.when(k % 4 == 0, F.lit("news.example.com"))
+            .when(k % 4 == 1, F.concat(F.lit("blog-"), (k % 10).cast("string"),
+                                       F.lit(".example.net")))
+            .when(k % 4 == 2, F.concat(F.lit("a"), (k % 100).cast("string"),
+                                       F.lit("b"), (k % 10).cast("string"),
+                                       F.lit("c.example.org")))
+            .otherwise(F.concat(F.lit("www.sub"), (k % 5).cast("string"),
+                                F.lit(".deep.example.com"))))
+    path = (F.when(k % 3 == 0, F.concat(F.lit("/p/"), ks))
+            .when(k % 3 == 1, F.concat(F.lit("/a/b/c/d/e/f/"), ks))
+            .otherwise(F.concat(F.lit("/item-"), ks, F.lit(".html"))))
+    query = (F.when(k % 6 == 0, F.concat(
+                F.lit("?utm_source=x&ref=y&id="), ks, F.lit("&s=1")))
+             .when(k % 6 == 5, F.lit("?q=1"))
+             .otherwise(F.lit("")))
+    return orders.select(
+        "o_orderkey",
+        F.concat(F.lit("https://"), host, path, query).alias("url"))
+
+
+def cx_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urls = _feature_urls(
+        load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000))
+    host = F.regexp_extract("url", _UF_HOST_RE, 1)
+    path = F.regexp_extract("url", _UF_PATH_RE, 1)
+    query = F.regexp_extract("url", _UF_QUERY_RE, 1)
+    n_digits = (F.length(host)
+                - F.length(F.regexp_replace(host, "[0-9]", "")))
+    n_sub = F.length(host) - F.length(F.regexp_replace(host, r"\.", ""))
+    depth = F.length(path) - F.length(F.regexp_replace(path, "/", ""))
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.length(query) - F.length(F.regexp_replace(query, "&", "")) + 1)
+    out = urls.select(
+        "o_orderkey", "url",
+        F.length(host).cast("long").alias("host_len"),
+        n_sub.cast("long").alias("n_subdomains"),
+        n_digits.cast("long").alias("host_digits"),
+        depth.cast("long").alias("path_depth"),
+        n_params.cast("long").alias("n_params"))
+    return out.withColumn(
+        "suspicious",
+        (F.col("host_digits") >= 3) | (F.col("path_depth") >= 6)
+        | (F.col("n_params") >= 3))
+
+
+CX_URL_FEATURES_SQL = r"""
+WITH urls AS (
+  SELECT o_orderkey,
+         'https://'
+         || CASE WHEN o_orderkey % 4 = 0 THEN 'news.example.com'
+                 WHEN o_orderkey % 4 = 1
+                     THEN 'blog-' || CAST(o_orderkey % 10 AS VARCHAR)
+                          || '.example.net'
+                 WHEN o_orderkey % 4 = 2
+                     THEN 'a' || CAST(o_orderkey % 100 AS VARCHAR) || 'b'
+                          || CAST(o_orderkey % 10 AS VARCHAR)
+                          || 'c.example.org'
+                 ELSE 'www.sub' || CAST(o_orderkey % 5 AS VARCHAR)
+                      || '.deep.example.com' END
+         || CASE WHEN o_orderkey % 3 = 0
+                     THEN '/p/' || CAST(o_orderkey AS VARCHAR)
+                 WHEN o_orderkey % 3 = 1
+                     THEN '/a/b/c/d/e/f/' || CAST(o_orderkey AS VARCHAR)
+                 ELSE '/item-' || CAST(o_orderkey AS VARCHAR) || '.html'
+            END
+         || CASE WHEN o_orderkey % 6 = 0
+                     THEN '?utm_source=x&ref=y&id='
+                          || CAST(o_orderkey AS VARCHAR) || '&s=1'
+                 WHEN o_orderkey % 6 = 5 THEN '?q=1'
+                 ELSE '' END AS url
+  FROM orders WHERE o_orderkey < 2000),
+parts AS (
+  SELECT o_orderkey, url,
+         regexp_extract(url, 'https://([^/]+)', 1) AS host,
+         regexp_extract(url, 'https://[^/?]+([^?]*)', 1) AS path,
+         regexp_extract(url, '\?(.*)$', 1) AS query
+  FROM urls),
+f AS (
+  SELECT o_orderkey, url,
+         CAST(length(host) AS BIGINT) AS host_len,
+         CAST(length(host) - length(replace(host, '.', ''))
+              AS BIGINT) AS n_subdomains,
+         CAST(length(host)
+              - length(regexp_replace(host, '[0-9]', '', 'g'))
+              AS BIGINT) AS host_digits,
+         CAST(length(path) - length(replace(path, '/', ''))
+              AS BIGINT) AS path_depth,
+         CAST(CASE WHEN query = '' THEN 0
+              ELSE length(query) - length(replace(query, '&', '')) + 1
+              END AS BIGINT) AS n_params
+  FROM parts)
+SELECT o_orderkey, url, host_len, n_subdomains, host_digits,
+       path_depth, n_params,
+       host_digits >= 3 OR path_depth >= 6 OR n_params >= 3
+           AS suspicious
+FROM f
+"""
+
+
 # --- domain-level quality filtering ----------------------------------------
 # RefinedWeb/Dolma curate at the DOMAIN level next to the document
 # level: a host whose pages consistently fail the quality classifier is
@@ -754,4 +874,6 @@ QUERIES: dict = {
     # wave 23: domain-level quality filtering, beyond-window
     # (local-gate record)
     "cx_domain_quality": (cx_domain_quality, CX_DOMAIN_QUALITY_SQL),
+    # wave 30: URL structure features, beyond-window (local-gate record)
+    "cx_url_features": (cx_url_features, CX_URL_FEATURES_SQL),
 }

@@ -250,3 +250,53 @@ def test_compress_ratio_rejects_unpinned_scale(spark):
 
     with pytest.raises(ValueError, match="fixture"):
         ta_compress_ratio(spark, "/root/testdata/sf0.001")
+
+
+# --- integer Flesch readability ----------------------------------------------
+
+def _py_flesch(text):
+    import re
+
+    toks = text.strip().split()
+    w = len(toks)
+    s = max(len(re.split(r"[.!?]+", text)) - 1, 1)
+    y = sum(max(len(re.split(r"[aeiouy]+", t.lower())) - 1, 1)
+            for t in toks)
+    score = (20684 - (101 * ((100 * w) // s)) // 100
+             - (8460 * ((100 * y) // w)) // 100)
+    return w, s, y, score
+
+
+def test_readability_matches_python(spark):
+    import duckdb
+
+    from ocr_platform_spark.operators.text_analysis import ta_readability
+
+    want = {int(d): _py_flesch(t) for d, t in duckdb.connect().execute(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')").fetchall()}
+    got = {r["doc_id"]: (r["n_words"], r["n_sentences"],
+                         r["n_syllables"], r["flesch_x100"])
+           for r in ta_readability(spark, SF_DIR).collect()}
+    assert got == want
+    # score must discriminate across the corpus
+    assert len({v[3] for v in got.values()}) > 10
+
+
+def test_readability_planted_cases(spark):
+    from ocr_platform_spark.operators.text_analysis import readability
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"),   # punctuated: 2 sentences
+         (2, "xyzzy brrr"),                  # no vowels: 1 syll each
+         (3, "a")],                          # single token
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in readability(docs).collect()}
+    assert got[1]["n_sentences"] == 2 and got[1]["n_words"] == 6
+    assert got[2]["n_syllables"] == 2
+    assert (got[3]["n_words"], got[3]["n_sentences"],
+            got[3]["n_syllables"]) == (1, 1, 1)
+    for doc_id, (w, s, y, score) in [
+            (1, _py_flesch("The cat sat. The dog ran!")),
+            (2, _py_flesch("xyzzy brrr")), (3, _py_flesch("a"))]:
+        assert got[doc_id]["flesch_x100"] == score

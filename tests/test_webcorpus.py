@@ -456,3 +456,33 @@ def test_filter_funnel_attribution_and_kept_set(spark):
     # fixture change that silently empties the funnel is caught
     got_classes = {r["verdict"] for r in rows}
     assert {"gopher", "near_dup", "kept"} <= got_classes
+
+
+# --- URL structure features --------------------------------------------------
+
+def test_url_features_match_python(spark):
+    """Features must equal a pure-Python parse of the same url strings,
+    and the menu must light up every feature axis."""
+    import re
+
+    from ocr_platform_spark.operators.webcorpus import cx_url_features
+
+    rows = cx_url_features(spark, SF_DIR).collect()
+    assert rows
+    sus = set()
+    for r in rows:
+        m = re.match(r"https://([^/]+)([^?]*)(?:\?(.*))?$", r["url"])
+        host, path, query = m.group(1), m.group(2), m.group(3) or ""
+        assert r["host_len"] == len(host)
+        assert r["n_subdomains"] == host.count(".")
+        assert r["host_digits"] == sum(c.isdigit() for c in host)
+        assert r["path_depth"] == path.count("/")
+        assert r["n_params"] == (query.count("&") + 1 if query else 0)
+        want_sus = (r["host_digits"] >= 3 or r["path_depth"] >= 6
+                    or r["n_params"] >= 3)
+        assert r["suspicious"] == want_sus
+        sus.add(r["suspicious"])
+    assert sus == {True, False}
+    assert any(r["host_digits"] >= 3 for r in rows)       # spam hosts
+    assert any(r["path_depth"] >= 6 for r in rows)        # deep paths
+    assert any(r["n_params"] >= 3 for r in rows)          # tracking tails
