@@ -88,6 +88,8 @@ QUERY_SET = [
     "ta_phrase_search",
     # (wave 28's ml_outlier_flags is fixture-pinned to sf0.01 like
     # ml_kmeans — not timed here at sf0.1)
+    # round-5 wave-29/30 additions (integer Flesch, URL features)
+    "ta_readability", "cx_url_features",
 ]
 
 

@@ -288,12 +288,12 @@ def test_readability_planted_cases(spark):
 
     docs = spark.createDataFrame(
         [(1, "The cat sat. The dog ran!"),   # punctuated: 2 sentences
-         (2, "xyzzy brrr"),                  # no vowels: 1 syll each
+         (2, "xyzzy brrr"),   # y counts as vowel: 2 groups + floor 1
          (3, "a")],                          # single token
         "doc_id long, text string")
     got = {r["doc_id"]: r for r in readability(docs).collect()}
     assert got[1]["n_sentences"] == 2 and got[1]["n_words"] == 6
-    assert got[2]["n_syllables"] == 2
+    assert got[2]["n_syllables"] == 3
     assert (got[3]["n_words"], got[3]["n_sentences"],
             got[3]["n_syllables"]) == (1, 1, 1)
     for doc_id, (w, s, y, score) in [
