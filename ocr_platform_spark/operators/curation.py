@@ -86,9 +86,6 @@ WHERE d.doc_id IN (SELECT doc_id FROM ({TA_GOPHER_SQL}) g
 # unchanged: four hash joins against derived sets orders of magnitude
 # smaller than the corpus; the verdict is a projection.
 
-_FUNNEL_STAGES = ("gopher", "repetition", "exact_dup", "near_dup", "kept")
-
-
 def cx_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
 

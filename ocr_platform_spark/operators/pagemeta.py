@@ -124,14 +124,13 @@ META_SCHEMA = StructType([
 
 # Tag grammar: quotes only protect '>' INSIDE a quoted attribute value,
 # so the attr region consumes quoted runs atomically and everything
-# else stops at '>'. Comments are stripped wholesale first (a '>'
-# inside a comment must not terminate it). Scripts/styles are CDATA —
+# else stops at '>'. Comments are handled inline (a '>'
+# inside a comment must not terminate it; inside CDATA they are data). Scripts/styles are CDATA —
 # their bodies are skipped to the first matching close tag, never
 # tokenized (a '<meta>' inside a script string is data, not a tag).
 _META_TAG = re.compile(
     r"<(/?)([a-zA-Z][a-zA-Z0-9:_-]*)"
     r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>")
-_META_COMMENT = re.compile(r"<!--.*?-->", re.S)
 _META_ATTR = re.compile(
     r"([a-zA-Z][a-zA-Z0-9:_-]*)"
     r"(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>/]*)))?")
@@ -182,12 +181,27 @@ def _scan_head_meta(text: str) -> _PageMeta:
     from html import unescape
 
     out = _PageMeta()
-    text = _META_COMMENT.sub("", text)
     pos = 0
     tbuf: list[str] | None = None       # active <title> data buffer
     tpos = 0                            # where its pending data starts
     while True:
         m = _META_TAG.search(text, pos)
+        c = text.find("<!--", pos)
+        if c != -1 and (m is None or c < m.start()):
+            # comment outside CDATA: invisible, exactly like html.parser
+            # (no data event — a title buffer skips it; its body is
+            # never tokenized). Comments INSIDE script/style bodies are
+            # untouched because the CDATA branch consumes the body
+            # before this scan reaches it (html.parser parity — the
+            # former global pre-strip diverged there).
+            if tbuf is not None:
+                tbuf.append(text[tpos:c])
+            e = text.find("-->", c + 4)
+            if e == -1:
+                break       # unterminated comment swallows the rest
+            pos = e + 3
+            tpos = pos
+            continue
         if m is None:
             break                       # EOF: open title never commits
         if tbuf is not None:

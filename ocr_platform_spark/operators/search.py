@@ -248,9 +248,12 @@ def ta_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _phrase_sql(phrase: tuple[str, ...] = PHRASE_QUERY) -> str:
-    terms = ", ".join(f"'{w}'" for w in phrase)
+    def q(w: str) -> str:
+        return "'" + w.replace("'", "''") + "'"   # SQL-literal escape
+
+    terms = ", ".join(q(w) for w in phrase)
     slots = "\nJOIN ".join(
-        f"(SELECT doc_id, pos - {i} AS p FROM pos WHERE t = '{w}') m{i}"
+        f"(SELECT doc_id, pos - {i} AS p FROM pos WHERE t = {q(w)}) m{i}"
         + ("" if i == 0 else " USING (doc_id, p)")
         for i, w in enumerate(phrase))
     return rf"""

@@ -411,30 +411,53 @@ def ta_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_sketch(load(spark, sf_dir, "documents"))
 
 
-TA_QS_SQL = f"""
-WITH hist AS (
-  SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bin,
+def _hist_cum_ctes(src: str, col: str) -> str:
+    """Shared power-of-two-bin histogram + cumulative-rank CTEs — ONE
+    copy of the bin expression and rank convention for every quantile
+    oracle (TA_QS_SQL, CX_BAND_SQL, _ppl_buckets_sql)."""
+    return f"""hist AS (
+  SELECT CAST(length(bin({col})) - 1 AS BIGINT) AS bin,
          count(*) AS cnt
-  FROM documents GROUP BY 1),
+  FROM {src} GROUP BY 1),
 cum AS (
   SELECT bin, cnt,
          CAST(coalesce(sum(cnt) OVER (ORDER BY bin
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
               AS BIGINT) AS cum_before,
          CAST(sum(cnt) OVER () AS BIGINT) AS n_total
-  FROM hist),
+  FROM hist)"""
+
+
+_QS_EST_EXPR = """CAST((CAST(1 AS BIGINT) << CAST(c.bin AS INT))
+            + ((p.p * c.n_total + 99) // 100 - c.cum_before - 1)
+              * (CAST(1 AS BIGINT) << CAST(c.bin AS INT)) // c.cnt
+            AS BIGINT)"""
+
+_QS_RANK_JOIN = """ON c.cum_before < (p.p * c.n_total + 99) // 100
+ AND (p.p * c.n_total + 99) // 100 <= c.cum_before + c.cnt"""
+
+
+def _est_bounds_ctes(lo: int, hi: int) -> str:
+    """est + 1-row (lo, hi) bounds CTEs over the shared cum relation."""
+    return f"""est AS (
+  SELECT p.p, {_QS_EST_EXPR} AS est
+  FROM (SELECT unnest([{lo}, {hi}]) AS p) p JOIN cum c
+    {_QS_RANK_JOIN}),
+bounds AS (
+  SELECT max(CASE WHEN p = {lo} THEN est END) AS lo,
+         max(CASE WHEN p = {hi} THEN est END) AS hi
+  FROM est)"""
+
+
+TA_QS_SQL = ("WITH " + _hist_cum_ctes("documents", "n_chars") + f""",
 ps AS (SELECT unnest([{", ".join(str(p) for p in QS_PS)}]) AS p)
 SELECT CAST(p.p AS BIGINT) AS p,
        c.n_total,
        c.bin,
-       CAST((CAST(1 AS BIGINT) << CAST(c.bin AS INT))
-            + ((p.p * c.n_total + 99) // 100 - c.cum_before - 1)
-              * (CAST(1 AS BIGINT) << CAST(c.bin AS INT)) // c.cnt
-            AS BIGINT) AS est
+       {_QS_EST_EXPR} AS est
 FROM ps p JOIN cum c
-  ON c.cum_before < (p.p * c.n_total + 99) // 100
- AND (p.p * c.n_total + 99) // 100 <= c.cum_before + c.cnt
-"""
+  {_QS_RANK_JOIN}
+""")
 
 
 # --- sketch-driven length-band curation ------------------------------------
@@ -470,31 +493,9 @@ def cx_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
-CX_BAND_SQL = f"""
-WITH hist AS (
-  SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bin,
-         count(*) AS cnt
-  FROM documents GROUP BY 1),
-cum AS (
-  SELECT bin, cnt,
-         CAST(coalesce(sum(cnt) OVER (ORDER BY bin
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS BIGINT) AS cum_before,
-         CAST(sum(cnt) OVER () AS BIGINT) AS n_total
-  FROM hist),
-est AS (
-  SELECT p.p,
-         CAST((CAST(1 AS BIGINT) << CAST(c.bin AS INT))
-              + ((p.p * c.n_total + 99) // 100 - c.cum_before - 1)
-                * (CAST(1 AS BIGINT) << CAST(c.bin AS INT)) // c.cnt
-              AS BIGINT) AS est
-  FROM (SELECT unnest([{_BAND_LO_P}, {_BAND_HI_P}]) AS p) p JOIN cum c
-    ON c.cum_before < (p.p * c.n_total + 99) // 100
-   AND (p.p * c.n_total + 99) // 100 <= c.cum_before + c.cnt),
-bounds AS (
-  SELECT max(CASE WHEN p = {_BAND_LO_P} THEN est END) AS lo,
-         max(CASE WHEN p = {_BAND_HI_P} THEN est END) AS hi
-  FROM est)
+CX_BAND_SQL = (
+    "WITH " + _hist_cum_ctes("documents", "n_chars") + ",\n"
+    + _est_bounds_ctes(_BAND_LO_P, _BAND_HI_P) + """
 SELECT d.source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN d.n_chars < b.lo THEN 1 ELSE 0 END)
@@ -505,7 +506,7 @@ SELECT d.source,
             AS BIGINT) AS n_above
 FROM documents d CROSS JOIN bounds b
 GROUP BY d.source
-"""
+""")
 
 
 # --- CCNet perplexity buckets: LM score × quantile sketch ------------------
@@ -523,10 +524,34 @@ GROUP BY d.source
 _PPL_LO_P, _PPL_HI_P = 33, 67    # tertile cut points
 
 
+# the LM-scored relation persisted by the most recent cx_ppl_buckets
+# call (two consumers: the sketch's histogram branch AND the final
+# bucketing projection — without a persist the full LM subplan, the
+# most expensive text_analysis pipeline, runs twice). Evict-predecessor
+# pattern (bm25_topk's _last_postings): one cached table per session.
+_last_ppl_scored = None
+
+
+def ppl_release() -> None:
+    global _last_ppl_scored
+    if _last_ppl_scored is not None:
+        try:
+            _last_ppl_scored.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing to release
+        _last_ppl_scored = None
+
+
 def cx_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from ocr_platform_spark.operators.text_analysis import lm_scores
 
-    scored = lm_scores(load(spark, sf_dir, "documents"))
+    scored = (lm_scores(load(spark, sf_dir, "documents"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    ppl_release()               # evict the previous call's cache
+    global _last_ppl_scored
+    _last_ppl_scored = scored
     qs = quantile_sketch(scored, value_col="lm_score_x1e6",
                          ps=(_PPL_LO_P, _PPL_HI_P))
     bounds = qs.agg(
@@ -542,38 +567,15 @@ def cx_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ppl_buckets_sql() -> str:
     from ocr_platform_spark.operators.text_analysis import TA_LM_SQL
 
-    return f"""
-WITH scored AS ({TA_LM_SQL}),
-hist AS (
-  SELECT CAST(length(bin(lm_score_x1e6)) - 1 AS BIGINT) AS bin,
-         count(*) AS cnt
-  FROM scored GROUP BY 1),
-cum AS (
-  SELECT bin, cnt,
-         CAST(coalesce(sum(cnt) OVER (ORDER BY bin
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS BIGINT) AS cum_before,
-         CAST(sum(cnt) OVER () AS BIGINT) AS n_total
-  FROM hist),
-est AS (
-  SELECT p.p,
-         CAST((CAST(1 AS BIGINT) << CAST(c.bin AS INT))
-              + ((p.p * c.n_total + 99) // 100 - c.cum_before - 1)
-                * (CAST(1 AS BIGINT) << CAST(c.bin AS INT)) // c.cnt
-              AS BIGINT) AS est
-  FROM (SELECT unnest([{_PPL_LO_P}, {_PPL_HI_P}]) AS p) p JOIN cum c
-    ON c.cum_before < (p.p * c.n_total + 99) // 100
-   AND (p.p * c.n_total + 99) // 100 <= c.cum_before + c.cnt),
-bounds AS (
-  SELECT max(CASE WHEN p = {_PPL_LO_P} THEN est END) AS lo,
-         max(CASE WHEN p = {_PPL_HI_P} THEN est END) AS hi
-  FROM est)
+    return (f"WITH scored AS ({TA_LM_SQL}),\n"
+            + _hist_cum_ctes("scored", "lm_score_x1e6") + ",\n"
+            + _est_bounds_ctes(_PPL_LO_P, _PPL_HI_P) + """
 SELECT s.doc_id, s.lm_score_x1e6,
        CASE WHEN s.lm_score_x1e6 > b.hi THEN 'head'
             WHEN s.lm_score_x1e6 >= b.lo THEN 'middle'
             ELSE 'tail' END AS bucket
 FROM scored s CROSS JOIN bounds b
-"""
+""")
 
 
 # --- HyperLogLog with a SPEC'D register layout -----------------------------

@@ -55,9 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (BooleanType, LongType, StringType,
                                StructField, StructType)
 
-from ocr_platform_spark.operators.pagemeta import (_CDATA_CLOSE,
-                                                   _META_COMMENT,
-                                                   _META_TAG)
+from ocr_platform_spark.operators.pagemeta import _CDATA_CLOSE, _META_TAG
 
 TABLE_DOCS = 300
 
@@ -78,7 +76,7 @@ def table_block(url: str) -> str:
     variant menu; cell payloads embed hash hex so they never collide
     with the page's own words."""
     h = hashlib.md5(url.encode("utf-8")).hexdigest()
-    d = [int(c, 16) for c in h[:13]]
+    d = [int(c, 16) for c in h[:14]]
     if d[0] >= 14:
         return ""                                   # 2/16: no table
     n_rows = 1 + d[1] % 3
@@ -107,6 +105,8 @@ def table_block(url: str) -> str:
         if d[11] < 3 and r == 0 and c == 0:
             body += ('<script>var t = "<table><tr><td>fake</td></tr>'
                      '</table>";</script>')
+        if d[13] < 6 and r == 0 and c == 0:
+            body += "<!-- ghost <td>never</td> -->"
         close = "" if omit else f"</{t(tag)}>"
         return f"<{t(tag)}{attrs}>{body}{close}"
 
@@ -234,13 +234,25 @@ class TableCollector:
 
 def scan_tables(text: str) -> list[tuple[int, int, int, bool, str]]:
     """Tokenize with the shared tag grammar and drive the collector.
-    Comments stripped first; script/style CDATA skipped to the matching
-    close tag with the raw body routed as (non-unescaped) data."""
+    Comments outside CDATA are invisible (html.parser emits no event
+    for them — their bodies are never tokenized and never become cell
+    data); comments INSIDE script/style bodies stay raw, because the
+    CDATA branch grabs the body verbatim before the comment scan can
+    see it (html.parser's CDATA mode does the same). Script/style
+    CDATA is skipped to the matching close tag with the raw body
+    routed as (non-unescaped) data."""
     col = TableCollector()
-    text = _META_COMMENT.sub("", text)
     pos = 0
     while True:
         m = _META_TAG.search(text, pos)
+        c = text.find("<!--", pos)
+        if c != -1 and (m is None or c < m.start()):
+            col.on_data(unescape(text[pos:c]))
+            e = text.find("-->", c + 4)
+            if e == -1:
+                break           # unterminated comment swallows the rest
+            pos = e + 3
+            continue
         if m is None:
             break                   # EOF: open cell never commits
         col.on_data(unescape(text[pos:m.start()]))

@@ -354,8 +354,8 @@ def readability(docs: DataFrame) -> DataFrame:
                         syll.alias("n_syllables"))
             .select("doc_id", "n_words", "n_sentences", "n_syllables",
                     F.expr(
-                        "20684 - (101 * ((100 * n_words) DIV n_sentences))"
-                        " DIV 100"
+                        "20684 - (1015 * ((100 * n_words) DIV n_sentences))"
+                        " DIV 1000"
                         " - (8460 * ((100 * n_syllables) DIV n_words))"
                         " DIV 100").cast("long").alias("flesch_x100")))
 
@@ -379,7 +379,7 @@ WITH f AS (
              AS BIGINT) AS n_syllables
   FROM documents)
 SELECT doc_id, n_words, n_sentences, n_syllables,
-       CAST(20684 - (101 * ((100 * n_words) // n_sentences)) // 100
+       CAST(20684 - (1015 * ((100 * n_words) // n_sentences)) // 1000
                   - (8460 * ((100 * n_syllables) // n_words)) // 100
             AS BIGINT) AS flesch_x100
 FROM f
@@ -722,6 +722,19 @@ def _bigram_rows(docs: DataFrame) -> DataFrame:
                     F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
 
 
+def _bigram_model(rows: DataFrame) -> DataFrame:
+    """(lang, w1, w2, ...) rows → (lang, w1, w2, p_x1e6): THE bigram
+    estimator — c_bi·1e6 DIV c_uni — in one place, shared by lm_scores
+    and dsir_weights (and mirrored once in _model_ctes for both
+    oracles). A smoothing or fixed-point change lands everywhere or
+    nowhere."""
+    bi = rows.groupBy("lang", "w1", "w2").agg(F.count("*").alias("c_bi"))
+    uni = rows.groupBy("lang", "w1").agg(F.count("*").alias("c_uni"))
+    return bi.join(uni, ["lang", "w1"]).select(
+        "lang", "w1", "w2",
+        F.expr("(c_bi * 1000000) DIV c_uni").alias("p_x1e6"))
+
+
 def lm_scores(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, text) → (doc_id, n_bigrams, lm_score_x1e6): mean
     probability of the document's bigrams under the per-language model
@@ -730,13 +743,7 @@ def lm_scores(docs: DataFrame) -> DataFrame:
     bg = _bigram_rows(docs)
     train = bg.where(
         F.pmod(F.col("doc_id"), F.lit(_LM_TRAIN_MOD)) == _LM_TRAIN_RES)
-    bi = (train.groupBy("lang", "w1", "w2")
-          .agg(F.count("*").alias("c_bi")))
-    uni = (train.groupBy("lang", "w1")
-           .agg(F.count("*").alias("c_uni")))
-    model = bi.join(uni, ["lang", "w1"]).select(
-        "lang", "w1", "w2",
-        F.expr("(c_bi * 1000000) DIV c_uni").alias("p_x1e6"))
+    model = _bigram_model(train)
     scored = (bg.join(model, ["lang", "w1", "w2"], "left")
               .groupBy("doc_id")
               .agg(F.count("*").alias("n_bigrams"),
@@ -769,30 +776,26 @@ def ta_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # model than the source distribution predicts — DSIR's keep signal with
 # a deterministic threshold instead of Gumbel sampling.
 #
-# Shape at scale: two count-model builds (map-side-combined aggregates;
-# the source model scans the same exploded bigrams as the target, one
-# pass), then ONE scoring pass joining each corpus bigram against both
-# models — plain shuffle equi-joins on (lang, w1, w2), models too big
-# to broadcast at corpus scale. No window, no driver state; the
-# threshold is a literal. Same int64 bound as lm_scores (count * 1e6).
+# Shape at scale: the exploded bigram relation is DERIVED THREE times
+# (target-model build, source-model build, scoring pass) — deliberate:
+# each derivation pipelines the explode straight into a map-side-
+# combined aggregate or the scoring join, while persisting the bigram
+# stream would materialize ~10x the corpus bytes to disk for exactly
+# two saved re-scans (columnar parquet scans + codegen explode are the
+# cheap part; the shuffles behind the aggregates are paid either way).
+# The model joins are plain shuffle equi-joins on (lang, w1, w2),
+# models too big to broadcast at corpus scale. No window, no driver
+# state; the threshold is a literal. Same int64 bound as lm_scores
+# (count * 1e6). The estimator itself is _bigram_model — one copy.
 
 
 def dsir_weights(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, text) → (doc_id, n_bigrams, target_x1e6,
     source_x1e6, weight_x1e6, selected)."""
     bg = _bigram_rows(docs)
-
-    def model(rows: DataFrame) -> DataFrame:
-        bi = rows.groupBy("lang", "w1", "w2").agg(
-            F.count("*").alias("c_bi"))
-        uni = rows.groupBy("lang", "w1").agg(F.count("*").alias("c_uni"))
-        return bi.join(uni, ["lang", "w1"]).select(
-            "lang", "w1", "w2",
-            F.expr("(c_bi * 1000000) DIV c_uni").alias("p_x1e6"))
-
-    target = model(bg.where(
+    target = _bigram_model(bg.where(
         F.pmod(F.col("doc_id"), F.lit(_LM_TRAIN_MOD)) == _LM_TRAIN_RES))
-    source = model(bg)
+    source = _bigram_model(bg)
     scored = (bg
               .join(target.withColumnRenamed("p_x1e6", "pt"),
                     ["lang", "w1", "w2"], "left")
@@ -817,8 +820,10 @@ def cx_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(load(spark, sf_dir, "documents"))
 
 
-TA_LM_SQL = rf"""
-WITH toks AS (
+# Shared oracle fragments — ONE copy of the tokenize/zip CTEs and of
+# the model estimator (the SQL mirror of _bigram_model), composed by
+# both TA_LM_SQL and CX_DSIR_SQL.
+_LM_BG_CTES = r"""toks AS (
   SELECT doc_id, lang,
          regexp_split_to_array(trim(text), '\s+') AS t
   FROM documents),
@@ -830,15 +835,25 @@ bg AS (
          unnest(t[2:len(t)]) AS w2
   FROM toks),
 train AS (SELECT * FROM bg
-          WHERE doc_id % {_LM_TRAIN_MOD} = {_LM_TRAIN_RES}),
-bi AS (SELECT lang, w1, w2, count(*) AS c_bi
-       FROM train GROUP BY lang, w1, w2),
-uni AS (SELECT lang, w1, count(*) AS c_uni
-        FROM train GROUP BY lang, w1),
-model AS (
-  SELECT bi.lang, bi.w1, bi.w2,
-         (c_bi * 1000000) // c_uni AS p_x1e6
-  FROM bi JOIN uni ON uni.lang = bi.lang AND uni.w1 = bi.w1),
+          WHERE doc_id % {mod} = {res})""".format(
+    mod=_LM_TRAIN_MOD, res=_LM_TRAIN_RES)
+
+
+def _model_ctes(name: str, src: str) -> str:
+    """CTEs building bigram model ``name`` from relation ``src`` —
+    the SQL mirror of _bigram_model."""
+    return f"""{name}_bi AS (SELECT lang, w1, w2, count(*) AS c_bi
+           FROM {src} GROUP BY lang, w1, w2),
+{name}_uni AS (SELECT lang, w1, count(*) AS c_uni
+           FROM {src} GROUP BY lang, w1),
+{name} AS (
+  SELECT b.lang, b.w1, b.w2, (c_bi * 1000000) // c_uni AS p_x1e6
+  FROM {name}_bi b JOIN {name}_uni u
+    ON u.lang = b.lang AND u.w1 = b.w1)"""
+
+
+TA_LM_SQL = ("WITH " + _LM_BG_CTES + ",\n" + _model_ctes("model", "train")
+             + """,
 scored AS (
   SELECT bg.doc_id, count(*) AS n_bigrams,
          sum(coalesce(m.p_x1e6, 0)) AS s
@@ -849,37 +864,12 @@ SELECT d.doc_id,
        CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        CAST(coalesce(sc.s // sc.n_bigrams, 0) AS BIGINT) AS lm_score_x1e6
 FROM documents d LEFT JOIN scored sc ON sc.doc_id = d.doc_id
-"""
+""")
 
 
-CX_DSIR_SQL = rf"""
-WITH toks AS (
-  SELECT doc_id, lang,
-         regexp_split_to_array(trim(text), '\s+') AS t
-  FROM documents),
-bg AS (
-  SELECT doc_id, lang,
-         unnest(t[1:len(t) - 1]) AS w1,
-         unnest(t[2:len(t)]) AS w2
-  FROM toks),
-train AS (SELECT * FROM bg
-          WHERE doc_id % {_LM_TRAIN_MOD} = {_LM_TRAIN_RES}),
-t_bi AS (SELECT lang, w1, w2, count(*) AS c_bi
-         FROM train GROUP BY lang, w1, w2),
-t_uni AS (SELECT lang, w1, count(*) AS c_uni
-          FROM train GROUP BY lang, w1),
-t_model AS (
-  SELECT t_bi.lang, t_bi.w1, t_bi.w2,
-         (c_bi * 1000000) // c_uni AS p_x1e6
-  FROM t_bi JOIN t_uni ON t_uni.lang = t_bi.lang AND t_uni.w1 = t_bi.w1),
-s_bi AS (SELECT lang, w1, w2, count(*) AS c_bi
-         FROM bg GROUP BY lang, w1, w2),
-s_uni AS (SELECT lang, w1, count(*) AS c_uni
-          FROM bg GROUP BY lang, w1),
-s_model AS (
-  SELECT s_bi.lang, s_bi.w1, s_bi.w2,
-         (c_bi * 1000000) // c_uni AS p_x1e6
-  FROM s_bi JOIN s_uni ON s_uni.lang = s_bi.lang AND s_uni.w1 = s_bi.w1),
+CX_DSIR_SQL = ("WITH " + _LM_BG_CTES + ",\n"
+               + _model_ctes("t_model", "train") + ",\n"
+               + _model_ctes("s_model", "bg") + """,
 scored AS (
   SELECT bg.doc_id, count(*) AS n_bigrams,
          sum(coalesce(tm.p_x1e6, 0)) AS st,
@@ -902,7 +892,7 @@ SELECT doc_id, n_bigrams, target_x1e6, source_x1e6,
        target_x1e6 - source_x1e6 AS weight_x1e6,
        target_x1e6 - source_x1e6 > 0 AS selected
 FROM fin
-"""
+""")
 
 
 QUERIES: dict = {

@@ -262,7 +262,7 @@ def _py_flesch(text):
     s = max(len(re.split(r"[.!?]+", text)) - 1, 1)
     y = sum(max(len(re.split(r"[aeiouy]+", t.lower())) - 1, 1)
             for t in toks)
-    score = (20684 - (101 * ((100 * w) // s)) // 100
+    score = (20684 - (1015 * ((100 * w) // s)) // 1000
              - (8460 * ((100 * y) // w)) // 100)
     return w, s, y, score
 

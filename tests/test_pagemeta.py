@@ -175,3 +175,34 @@ def test_canonical_dedup_families(spark):
     assert multi > 5
     kept = sum(r["is_kept"] for r in rows)
     assert kept == len(by_key)
+
+
+def test_commented_out_meta_is_invisible():
+    """A <meta> inside an HTML comment must not count or win first-wins
+    (html.parser emits no event for comments)."""
+    from ocr_platform_spark.operators.pagemeta import _scan_head_meta
+
+    pm = _scan_head_meta(
+        '<head><!-- <meta property="og:title" content="GHOST"> -->'
+        '<meta property="og:title" content="Real"></head>')
+    assert pm.og_title == "Real"
+    assert pm.n_meta == 1
+
+
+def test_comment_inside_ld_script_stays_raw():
+    """html.parser's CDATA mode passes comments through as data, so a
+    commented '@type' inside an ld+json body IS searched — the former
+    global comment pre-strip diverged from the fixture exactly here."""
+    from ocr_platform_spark.operators.pagemeta import _scan_head_meta
+
+    pm = _scan_head_meta(
+        '<script type="application/ld+json">'
+        '/* <!-- "@type": "Hidden" --> */</script>')
+    assert pm.jsonld_type == "Hidden"
+
+
+def test_comment_inside_title_is_skipped_not_text():
+    from ocr_platform_spark.operators.pagemeta import _scan_head_meta
+
+    pm = _scan_head_meta("<title>Be<!-- not -->fore</title>")
+    assert pm.title == "Before"

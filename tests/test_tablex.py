@@ -91,10 +91,27 @@ def test_scan_inline_markup_stripped_text_kept():
     assert cells == [(0, 0, 0, False, "bold lnk")]
 
 
-def test_scan_comment_inside_cell_stripped():
+def test_scan_comment_inside_cell_is_invisible():
     assert scan_tables(
         "<table><tr><td>a<!-- <td>ghost</td> -->b</td></tr></table>") \
         == [(0, 0, 0, False, "ab")]
+
+
+def test_scan_comment_inside_cdata_stays_raw():
+    """html.parser's CDATA mode passes comments through as data — the
+    scanner must NOT strip them there (review finding: a global
+    pre-strip diverged from the fixture oracle on this input)."""
+    cells = scan_tables(
+        "<table><tr><td>x <script>a <!-- kept --> b</script></td></tr>"
+        "</table>")
+    assert cells == [(0, 0, 0, False, "x a <!-- kept --> b")]
+
+
+def test_scan_unterminated_comment_swallows_rest():
+    assert scan_tables(
+        "<table><tr><td>a</td><td>b</td><!-- open forever "
+        "<td>c</td></tr></table>") == \
+        [(0, 0, 0, False, "a"), (0, 0, 1, False, "b")]
 
 
 def test_scan_deterministic():
@@ -124,6 +141,7 @@ def test_menu_exercises_every_variant():
     assert any("&amp; tail" in b for b in vals)          # entity
     assert any("inner" in b for b in vals)               # nested table
     assert any("<script>" in b for b in vals)            # CDATA trap
+    assert any("<!-- ghost" in b for b in vals)          # comment trap
     assert any(b.count("<table") + b.count("<TABLE") >= 2
                for b in vals)                            # second table
 
