@@ -117,3 +117,54 @@ def run_ingest_stream(spark: SparkSession, input_dir: str, output_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- structured-extraction kernels over the same file-source stream --------
+# The metadata and table scanners (operators/pagemeta.py, tablex.py) are
+# stateless mapInPandas projections, so they stream exactly like the
+# text-extraction kernel: file source lists new files, the IDENTICAL
+# kernel maps each micro-batch, the checkpoint gives exactly-once per
+# file. Streamed output is byte-identical to a batch run over the same
+# files (tests/test_streaming.py), which is what lets an incremental
+# daily top-up share one downstream schema with the backfill.
+
+def metadata_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    from ocr_platform_spark.operators.pagemeta import (augment_meta,
+                                                       page_metadata)
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    return page_metadata(augment_meta(pages))
+
+
+def tables_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    from ocr_platform_spark.operators.tablex import (augment_tables,
+                                                     page_tables)
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    return page_tables(augment_tables(pages))
+
+
+def _run_kernel_stream(df: DataFrame, output_dir: str,
+                       checkpoint_dir: str, available_now: bool = True):
+    writer = (df.writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_metadata_stream(spark: SparkSession, input_dir: str,
+                        output_dir: str, checkpoint_dir: str,
+                        available_now: bool = True):
+    return _run_kernel_stream(metadata_stream(spark, input_dir),
+                              output_dir, checkpoint_dir, available_now)
+
+
+def run_tables_stream(spark: SparkSession, input_dir: str,
+                      output_dir: str, checkpoint_dir: str,
+                      available_now: bool = True):
+    return _run_kernel_stream(tables_stream(spark, input_dir),
+                              output_dir, checkpoint_dir, available_now)

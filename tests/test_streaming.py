@@ -115,3 +115,69 @@ def test_warc_stream_honors_transport_charset(spark, tmp_path):
     rows = spark.read.parquet(str(tmp_path / "out")).collect()
     assert len(rows) == 1
     assert "привет мир" in rows[0]["extracted_text"]
+
+
+def test_metadata_stream_matches_batch_and_resumes(spark, tmp_path):
+    """The head-metadata scanner over readStream: exactly-once per file,
+    row-identical to the batch kernel over the same pages."""
+    import pandas as pd
+
+    from ocr_platform_spark.datagen import gen_document
+    from ocr_platform_spark.operators.pagemeta import (augment_meta,
+                                                       page_metadata)
+    from ocr_platform_spark.sources.pages import PAGES_SCHEMA
+    from ocr_platform_spark.streaming.ingest import run_metadata_stream
+
+    inp = str(tmp_path / "pages")
+    out = str(tmp_path / "meta")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(n0, n1):
+        pdf = pd.DataFrame([gen_document(i, 42) for i in range(n0, n1)])
+        spark.createDataFrame(pdf, schema=PAGES_SCHEMA) \
+            .write.mode("append").parquet(inp)
+
+    drop(0, 40)
+    run_metadata_stream(spark, inp, out, ckpt).awaitTermination(120)
+    assert spark.read.parquet(out).count() == 40
+    drop(40, 70)
+    run_metadata_stream(spark, inp, out, ckpt).awaitTermination(120)
+    got = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == 70, "re-run must not duplicate old files"
+
+    batch = {r["url"]: r for r in page_metadata(augment_meta(
+        spark.read.schema(PAGES_SCHEMA).parquet(inp))).collect()}
+    assert set(got) == set(batch)
+    for url, r in got.items():
+        b = batch[url]
+        for f in ("title", "og_title", "og_type", "canonical_url",
+                  "jsonld_type", "n_meta"):
+            assert r[f] == b[f], (url, f)
+
+
+def test_tables_stream_matches_batch(spark, tmp_path):
+    """The table scanner over readStream: cell-identical to batch."""
+    import pandas as pd
+
+    from ocr_platform_spark.datagen import gen_document
+    from ocr_platform_spark.operators.tablex import (augment_tables,
+                                                     page_tables)
+    from ocr_platform_spark.sources.pages import PAGES_SCHEMA
+    from ocr_platform_spark.streaming.ingest import run_tables_stream
+
+    inp = str(tmp_path / "pages")
+    out = str(tmp_path / "cells")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = pd.DataFrame([gen_document(i, 42) for i in range(60)])
+    spark.createDataFrame(pdf, schema=PAGES_SCHEMA) \
+        .write.mode("append").parquet(inp)
+
+    run_tables_stream(spark, inp, out, ckpt).awaitTermination(120)
+    got = {(r["url"], r["table_idx"], r["row_idx"], r["col_idx"]):
+           (r["is_header"], r["cell_text"])
+           for r in spark.read.parquet(out).collect()}
+    batch = {(r["url"], r["table_idx"], r["row_idx"], r["col_idx"]):
+             (r["is_header"], r["cell_text"])
+             for r in page_tables(augment_tables(
+                 spark.read.schema(PAGES_SCHEMA).parquet(inp))).collect()}
+    assert got == batch and got
