@@ -90,6 +90,8 @@ QUERY_SET = [
     # ml_kmeans — not timed here at sf0.1)
     # round-5 wave-29/30 additions (integer Flesch, URL features)
     "ta_readability", "cx_url_features",
+    # round-5 wave-33 addition (one-row corpus data card)
+    "cx_data_card",
 ]
 
 

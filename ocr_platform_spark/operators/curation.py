@@ -129,9 +129,61 @@ FROM documents d
 """
 
 
+# --- corpus data card -------------------------------------------------------
+# The one-row summary every dataset release publishes (FineWeb/Dolma
+# data cards): corpus size in docs/hosts/langs/tokens/bytes, the exact-
+# duplicate mass, and the quality-gate pass count — the numbers a
+# consumer reads before deciding to train on the corpus. Three
+# independent 1-row aggregates (each map-side combinable: base census,
+# dup census over the fingerprint groups, gopher pass count)
+# cross-joined broadcast into one row; the corpus never shuffles.
+
+def cx_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_hosts"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"))
+    dups = dd_exact(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_fingerprints"),
+        F.sum(F.col("n_copies") - 1).cast("long").alias("n_exact_dup_docs"))
+    quality = (ta_gopher_quality(spark, sf_dir)
+               .agg(F.sum(F.col("gopher_pass").cast("long"))
+                    .cast("long").alias("n_gopher_pass")))
+    return (base.crossJoin(F.broadcast(dups))
+            .crossJoin(F.broadcast(quality)))
+
+
+CX_DATA_CARD_SQL = rf"""
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_hosts,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+              AS BIGINT) AS n_tokens,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars
+  FROM documents),
+dups AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_fingerprints,
+         CAST(sum(n_copies - 1) AS BIGINT) AS n_exact_dup_docs
+  FROM ({DD_EXACT_SQL}) e),
+quality AS (
+  SELECT CAST(sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gopher_pass
+  FROM ({TA_GOPHER_SQL}) g)
+SELECT * FROM base CROSS JOIN dups CROSS JOIN quality
+"""
+
+
 QUERIES: dict = {
     "cx_curation_pipeline": (cx_curation_pipeline, CX_CURATION_SQL),
     # wave 25: per-document funnel attribution, beyond-window
     # (local-gate record)
     "cx_filter_funnel": (cx_filter_funnel, CX_FUNNEL_SQL),
+    # wave 33: one-row corpus data card, beyond-window (local-gate
+    # record)
+    "cx_data_card": (cx_data_card, CX_DATA_CARD_SQL),
 }

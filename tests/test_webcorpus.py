@@ -486,3 +486,29 @@ def test_url_features_match_python(spark):
     assert any(r["host_digits"] >= 3 for r in rows)       # spam hosts
     assert any(r["path_depth"] >= 6 for r in rows)        # deep paths
     assert any(r["n_params"] >= 3 for r in rows)          # tracking tails
+
+
+# --- corpus data card --------------------------------------------------------
+
+def test_data_card_matches_python_census(spark):
+    import duckdb
+
+    from ocr_platform_spark.operators.curation import cx_data_card
+
+    rows = duckdb.connect().execute(
+        f"""SELECT doc_id, lang, source, text
+            FROM read_parquet('{SF_DIR}/documents.parquet')""").fetchall()
+    fps: dict = {}
+    for _, _, _, t in rows:
+        fp = " ".join(t.strip().split()).lower()
+        fps[fp] = fps.get(fp, 0) + 1
+    r = cx_data_card(spark, SF_DIR).collect()[0]
+    assert r["n_docs"] == len(rows)
+    assert r["n_hosts"] == len({s for _, _, s, _ in rows})
+    assert r["n_langs"] == len({la for _, la, _, _ in rows})
+    assert r["n_tokens"] == sum(len(t.strip().split())
+                                for _, _, _, t in rows)
+    assert r["n_chars"] == sum(len(t) for _, _, _, t in rows)
+    assert r["n_fingerprints"] == len(fps)
+    assert r["n_exact_dup_docs"] == sum(c - 1 for c in fps.values())
+    assert 0 < r["n_gopher_pass"] <= r["n_docs"]
