@@ -92,6 +92,8 @@ QUERY_SET = [
     "ta_readability", "cx_url_features",
     # round-5 wave-33 addition (one-row corpus data card)
     "cx_data_card",
+    # round-5 wave-34 addition (heading-outline extraction)
+    "extract_headings",
 ]
 
 

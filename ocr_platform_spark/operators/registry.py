@@ -48,9 +48,9 @@ def assert_fixture_scale(sf_dir: str, query: str,
 def _modules():
     from ocr_platform_spark.operators import (
         asof, crawldelta, curation, dedup, incremental, kmeans,
-        pagemeta, pdf_extract, relational, robots, scalar_queries,
-        search, similarity, sitemap, sketches, tablex, text_analysis,
-        webcorpus, webgraph, weblinks)
+        outline, pagemeta, pdf_extract, relational, robots,
+        scalar_queries, search, similarity, sitemap, sketches, tablex,
+        text_analysis, webcorpus, webgraph, weblinks)
     from ocr_platform_spark.plans import corpus_job
     from ocr_platform_spark.streaming import sessions, windowed
     # corpus_job last: a round-4 late addition — it must NOT displace any
@@ -63,7 +63,7 @@ def _modules():
             similarity, curation, pdf_extract, windowed, sessions,
             webcorpus, webgraph, weblinks, corpus_job, search, robots,
             asof, sitemap, crawldelta, sketches, pagemeta, tablex,
-            kmeans)
+            kmeans, outline)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -704,6 +704,71 @@ def ta_compress_ratio() -> None:
     }))
 
 
+def extract_headings_fixture() -> None:
+    """Independent replica of operators/outline.py: the same pages
+    re-parsed with stdlib html.parser driving an independently written
+    heading collector (implied closes, cross-level close commits,
+    EOF-drops)."""
+    from html.parser import HTMLParser
+
+    from ocr_platform_spark.operators.outline import OUTLINE_DOCS
+
+    class Collector(HTMLParser):
+        H = {f"h{i}": i for i in range(1, 7)}
+
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.out: list[tuple] = []
+            self.level = 0
+            self.parts: list[str] = []
+
+        def _commit(self) -> None:
+            if self.level:
+                self.out.append((len(self.out), self.level,
+                                 " ".join("".join(self.parts).split())))
+            self.level = 0
+            self.parts = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag in self.H:
+                self._commit()
+                self.level = self.H[tag]
+
+        def handle_startendtag(self, tag, attrs):
+            if tag in self.H:
+                self._commit()
+                self.out.append((len(self.out), self.H[tag], ""))
+            else:
+                self.handle_starttag(tag, attrs)
+                self.handle_endtag(tag)
+
+        def handle_endtag(self, tag):
+            if tag in self.H:
+                self._commit()
+
+        def handle_data(self, data):
+            if self.level:
+                self.parts.append(data)
+
+    rows = []
+    for i in range(OUTLINE_DOCS):
+        d = gen_document(i, seed=SEED)
+        if d["html"] is None:
+            continue
+        c = Collector()
+        c.feed(bytes(d["html"]).decode("utf-8", "replace"))
+        c.close()                     # EOF: open heading never commits
+        for (hi, lv, tx) in c.out:
+            rows.append((d["url"], hi, lv, tx))
+    cols = list(zip(*rows))
+    _write("extract_headings.parquet", pa.table({
+        "url": pa.array(cols[0], pa.string()),
+        "heading_idx": pa.array(cols[1], pa.int64()),
+        "level": pa.array(cols[2], pa.int64()),
+        "text": pa.array(cols[3], pa.string()),
+    }))
+
+
 if __name__ == "__main__":
     flagship_pages()
     langid_pages()
@@ -725,3 +790,4 @@ if __name__ == "__main__":
     extract_metadata_fixture()
     extract_tables_fixture()
     ta_compress_ratio()
+    extract_headings_fixture()
