@@ -94,6 +94,8 @@ QUERY_SET = [
     "cx_data_card",
     # round-5 wave-34 addition (heading-outline extraction)
     "extract_headings",
+    # round-5 wave-35 addition (language-ID confusion matrix)
+    "ta_langid_confusion",
 ]
 
 

@@ -549,6 +549,28 @@ def ta_langid_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                     detect_language_udf("extracted_text").alias("lang_detected")))
 
 
+# --- language-ID evaluation (confusion matrix) -----------------------------
+# The evaluation twin of ta_langid_pages: the (labeled, detected)
+# confusion matrix every language-ID deployment publishes — the number
+# that decides whether the classifier is good enough to gate a corpus
+# split on. One map-side-combined aggregate over the per-page
+# detections; oracle = the SAME aggregation in SQL over the langid
+# fixture (live SQL over the fixture input — the kernel is pinned by
+# the fixture, the matrix is pinned by the aggregation).
+
+def ta_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (ta_langid_pages(spark, sf_dir)
+            .groupBy("lang", "lang_detected")
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+def _langid_confusion_sql() -> str:
+    return ("SELECT lang, lang_detected, CAST(count(*) AS BIGINT) AS n "
+            "FROM (" + _fixture_sql(
+                "langid_pages.parquet", "url, lang, lang_detected")
+            + ") GROUP BY lang, lang_detected")
+
+
 # --- PII scrubbing (the C4/RefinedWeb masking step) ------------------------
 # Conservative ASCII patterns from the Java-regex ∩ RE2 common subset (no
 # lookaround, no backreferences; \d and \b are ASCII-based in both), so
@@ -923,4 +945,7 @@ QUERIES: dict = {
     # wave 29: integer Flesch readability, beyond-window (local-gate
     # record)
     "ta_readability": (ta_readability, TA_READABILITY_SQL),
+    # wave 35: language-ID confusion matrix, beyond-window (local-gate
+    # record)
+    "ta_langid_confusion": (ta_langid_confusion, _langid_confusion_sql()),
 }

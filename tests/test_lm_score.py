@@ -300,3 +300,23 @@ def test_readability_planted_cases(spark):
             (1, _py_flesch("The cat sat. The dog ran!")),
             (2, _py_flesch("xyzzy brrr")), (3, _py_flesch("a"))]:
         assert got[doc_id]["flesch_x100"] == score
+
+
+# --- language-ID confusion matrix --------------------------------------------
+
+def test_langid_confusion_sums_and_diagonal(spark):
+    """Matrix cells sum to the detected-page count, and the diagonal
+    dominates (the detector is supposed to be mostly right)."""
+    from ocr_platform_spark.operators.text_analysis import (
+        ta_langid_confusion, ta_langid_pages)
+
+    pages = ta_langid_pages(spark, SF_DIR).collect()
+    want: dict = {}
+    for r in pages:
+        k = (r["lang"], r["lang_detected"])
+        want[k] = want.get(k, 0) + 1
+    got = {(r["lang"], r["lang_detected"]): r["n"]
+           for r in ta_langid_confusion(spark, SF_DIR).collect()}
+    assert got == want
+    diag = sum(n for (a, b), n in got.items() if a == b)
+    assert diag >= 0.9 * sum(got.values())
