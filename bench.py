@@ -96,6 +96,8 @@ QUERY_SET = [
     "extract_headings",
     # round-5 wave-35 addition (language-ID confusion matrix)
     "ta_langid_confusion",
+    # round-5 wave-36 addition (anchor-text retrieval)
+    "wl_anchor_search",
 ]
 
 

@@ -340,6 +340,57 @@ def cx_bloom_frontier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_frontier_bloom(links_df(pages_df(spark, LINKS_DOCS)))
 
 
+# --- anchor-text retrieval --------------------------------------------------
+# The query-side use of the anchor signal (the wl_anchor_corpus
+# docstring's "anchor text describes the TARGET better than the
+# target's own page"): rank link TARGETS for a term by their inbound
+# anchor matches, counting content links separately from boilerplate
+# ones — the classic query-independent relevance evidence web search
+# has used since anchor-text indexing began. Shape at scale: the term
+# filter hits the parsed-link stream BEFORE anything shuffles (the
+# match set is orders of magnitude smaller than the link graph), then
+# one map-side-combined aggregate per target. Oracle = the same
+# aggregation as live SQL over the extract_links fixture (the kernel
+# is fixture-pinned; the retrieval composition stays SQL).
+
+ANCHOR_QUERY_TERM = "book"
+
+
+def anchor_search(links: DataFrame,
+                  term: str = ANCHOR_QUERY_TERM) -> DataFrame:
+    """links → (target, n_links, n_content, n_hosts) for targets whose
+    inbound anchor text contains ``term`` (case-insensitive)."""
+    from pyspark.sql import functions as F
+
+    hits = (links
+            .where(F.col("resolved").isNotNull()
+                   & F.lower(F.col("anchor_text")).contains(term.lower()))
+            .select(F.col("resolved").alias("target"),
+                    (~F.col("boilerplate")).cast("long").alias("is_content"),
+                    F.regexp_extract("url", HOST_RE, 1).alias("src_host")))
+    return hits.groupBy("target").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.sum("is_content").cast("long").alias("n_content"),
+        F.countDistinct("src_host").cast("long").alias("n_hosts"))
+
+
+def wl_anchor_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_platform_spark.sources.pages import pages_df
+
+    return anchor_search(links_df(pages_df(spark, LINKS_DOCS)))
+
+
+WL_ANCHOR_SEARCH_SQL = (
+    "SELECT resolved AS target, CAST(count(*) AS BIGINT) AS n_links,\n"
+    "       CAST(sum(CASE WHEN boilerplate THEN 0 ELSE 1 END) AS BIGINT)\n"
+    "           AS n_content,\n"
+    "       CAST(count(DISTINCT regexp_extract(url,\n"
+    "                'https://([^/?#]+)', 1)) AS BIGINT) AS n_hosts\n"
+    "FROM (" + _fixture_sql("extract_links.parquet") + ")\n"
+    f"WHERE resolved IS NOT NULL AND lower(anchor_text) LIKE '%{ANCHOR_QUERY_TERM}%'\n"
+    "GROUP BY resolved")
+
+
 QUERIES: dict = {
     "extract_links": (extract_links_q, _fixture_sql("extract_links.parquet")),
     "wl_anchor_corpus": (wl_anchor_corpus_q, WL_ANCHOR_SQL),
@@ -349,4 +400,6 @@ QUERIES: dict = {
     # driver's 50-row window by design (the window is fully allocated);
     # the local gate is its record.
     "cx_bloom_frontier": (cx_bloom_frontier_q, CX_FRONTIER_SQL),
+    # wave 36: anchor-text retrieval, beyond-window (local-gate record)
+    "wl_anchor_search": (wl_anchor_search_q, WL_ANCHOR_SEARCH_SQL),
 }

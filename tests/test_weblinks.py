@@ -238,3 +238,31 @@ def test_bloom_frontier_identical_to_exact(spark):
     n_cand = probed.count()
     n_maybe = probed.where("bloom_maybe").count()
     assert 50 <= n_maybe < n_cand // 2
+
+
+# --- anchor-text retrieval ---------------------------------------------------
+
+def test_anchor_search_matches_python(spark):
+    """Counts must equal a pure-Python recount over the parsed links,
+    and boilerplate links must count in n_links but not n_content."""
+    import re
+
+    from ocr_platform_spark.operators.weblinks import (ANCHOR_QUERY_TERM,
+                                                       extract_links_q,
+                                                       wl_anchor_search_q)
+
+    links = extract_links_q(spark, SF_DIR).collect()
+    want: dict = {}
+    for r in links:
+        if r["resolved"] is None or \
+                ANCHOR_QUERY_TERM not in r["anchor_text"].lower():
+            continue
+        host = re.match(r"https://([^/?#]+)", r["url"]).group(1)
+        n, c, hosts = want.get(r["resolved"], (0, 0, set()))
+        want[r["resolved"]] = (n + 1, c + (0 if r["boilerplate"] else 1),
+                               hosts | {host})
+    got = {r["target"]: (r["n_links"], r["n_content"], r["n_hosts"])
+           for r in wl_anchor_search_q(spark, SF_DIR).collect()}
+    assert got == {t: (n, c, len(h)) for t, (n, c, h) in want.items()}
+    assert any(n > c for n, c, _ in got.values()), \
+        "fixture must exercise the boilerplate distinction"
