@@ -1,0 +1,90 @@
+"""Differential fuzzing: production regex-grammar scanners vs the
+html.parser reference collectors (tools/make_driver_fixtures.py).
+
+The fixed md5 menus exercise each variant once; hypothesis composes the
+SAME building blocks into arbitrary (including wildly malformed)
+structures — stray closes, unbalanced nesting, interleaved comments and
+CDATA, EOF truncation at any token boundary — and the two independent
+implementations must agree on every one. Token alphabet stays inside
+the supported grammar (complete entities only, well-formed tag tokens):
+outside it html.parser's bogus-markup recovery is deliberately
+unspecified here.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.make_driver_fixtures import (HeadingRefCollector,  # noqa: E402
+                                        TableRefCollector)
+
+_TEXT = st.text(alphabet="abc xyz", min_size=0, max_size=12)
+_ENTITY = st.sampled_from(["&amp;", "&lt;", "&#65;"])
+
+_TABLE_TOKENS = st.one_of(
+    _TEXT, _ENTITY,
+    st.sampled_from([
+        "<table>", "</table>", "<tr>", "</tr>",
+        "<td>", "</td>", "<th>", "</th>",
+        "<TD>", "</TD>", "<TABLE>", "</TABLE>",
+        "<td align=\"left\" class='c'>", "<td/>", "<table/>", "<tr/>",
+        "<b>", "</b>", "<a href=\"/x\">", "</a>",
+        "<!-- c <td>ghost</td> -->",
+        "<script>var t = \"<table><tr><td>f\";</script>",
+        "<script>a <!-- kept --> b</script>",
+        "<script>not closed by </scripty> keeps going</script>",
+        "<script>spaced close </script >",
+        "<style>p{}</style>", "<script/>",
+        "<thead>", "</thead>", "<tbody>", "</tbody>",
+    ]))
+
+_HEADING_TOKENS = st.one_of(
+    _TEXT, _ENTITY,
+    st.sampled_from([
+        "<h1>", "</h1>", "<h2>", "</h2>", "<h3>", "</h3>",
+        "<H2>", "</H3>", "<h2/>", "<h6>", "</h6>",
+        "<b>", "</b>", "<p>", "</p>",
+        "<!-- c <h2>ghost</h2> -->",
+        "<script>var t = \"<h1>f\";</script>",
+        "<script>a <!-- kept --> b</script>",
+        "<script>not closed by </scripty> keeps going</script>",
+        "<style>p{}</style>",
+    ]))
+
+
+def _ref_tables(doc: str):
+    c = TableRefCollector()
+    c.feed(doc)
+    c.close()
+    return c.out
+
+
+def _ref_headings(doc: str):
+    c = HeadingRefCollector()
+    c.feed(doc)
+    c.close()
+    return c.out
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_TABLE_TOKENS, min_size=0, max_size=40))
+def test_fuzz_tables_scanner_matches_html_parser(tokens):
+    from ocr_platform_spark.operators.tablex import scan_tables
+
+    doc = "".join(tokens)
+    assert scan_tables(doc) == _ref_tables(doc), doc
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_HEADING_TOKENS, min_size=0, max_size=40))
+def test_fuzz_headings_scanner_matches_html_parser(tokens):
+    from ocr_platform_spark.operators.outline import scan_headings
+
+    doc = "".join(tokens)
+    assert scan_headings(doc) == _ref_headings(doc), doc

@@ -578,75 +578,10 @@ def extract_tables_fixture() -> None:
     pages re-parsed with stdlib html.parser (a different tokenizer)
     driving an independently written collection state machine, so
     fixture agreement checks the implied-close/nesting/CDATA spec."""
-    from html.parser import HTMLParser
-
     from ocr_platform_spark.operators.tablex import (TABLE_DOCS,
                                                      augment_html_tables)
 
-    class Collector(HTMLParser):
-        def __init__(self) -> None:
-            super().__init__(convert_charrefs=True)
-            self.out: list[tuple] = []
-            self.tdepth = 0
-            self.ti = -1
-            self.ri = self.ci = -1
-            self.in_row = False
-            self.cell: tuple[bool, list[str]] | None = None
-
-        def _flush(self) -> None:
-            if self.cell is not None:
-                hd, parts = self.cell
-                self.out.append(
-                    (self.ti, self.ri, self.ci, hd,
-                     " ".join("".join(parts).split())))
-            self.cell = None
-
-        def handle_starttag(self, tag, attrs):
-            if self.tdepth == 0:
-                if tag == "table":
-                    self.tdepth = 1
-                    self.ti += 1
-                    self.ri = self.ci = -1
-                    self.in_row = False
-                    self.cell = None
-                return
-            if tag == "table":
-                self.tdepth += 1
-                return
-            if self.tdepth != 1:
-                return
-            if tag == "tr":
-                self._flush()
-                self.in_row = True
-                self.ri += 1
-                self.ci = -1
-            elif tag in ("td", "th"):
-                self._flush()
-                if not self.in_row:       # implied row
-                    self.in_row = True
-                    self.ri += 1
-                    self.ci = -1
-                self.ci += 1
-                self.cell = (tag == "th", [])
-
-        def handle_endtag(self, tag):
-            if self.tdepth == 0:
-                return
-            if tag == "table":
-                if self.tdepth > 1:
-                    self.tdepth -= 1
-                else:
-                    self._flush()
-                    self.in_row = False
-                    self.tdepth = 0
-            elif self.tdepth == 1 and tag in ("td", "th", "tr"):
-                self._flush()
-                if tag == "tr":
-                    self.in_row = False
-
-        def handle_data(self, data):
-            if self.cell is not None:
-                self.cell[1].append(data)
+    Collector = TableRefCollector
 
     rows = []
     for i in range(TABLE_DOCS):
@@ -709,46 +644,9 @@ def extract_headings_fixture() -> None:
     re-parsed with stdlib html.parser driving an independently written
     heading collector (implied closes, cross-level close commits,
     EOF-drops)."""
-    from html.parser import HTMLParser
-
     from ocr_platform_spark.operators.outline import OUTLINE_DOCS
 
-    class Collector(HTMLParser):
-        H = {f"h{i}": i for i in range(1, 7)}
-
-        def __init__(self) -> None:
-            super().__init__(convert_charrefs=True)
-            self.out: list[tuple] = []
-            self.level = 0
-            self.parts: list[str] = []
-
-        def _commit(self) -> None:
-            if self.level:
-                self.out.append((len(self.out), self.level,
-                                 " ".join("".join(self.parts).split())))
-            self.level = 0
-            self.parts = []
-
-        def handle_starttag(self, tag, attrs):
-            if tag in self.H:
-                self._commit()
-                self.level = self.H[tag]
-
-        def handle_startendtag(self, tag, attrs):
-            if tag in self.H:
-                self._commit()
-                self.out.append((len(self.out), self.H[tag], ""))
-            else:
-                self.handle_starttag(tag, attrs)
-                self.handle_endtag(tag)
-
-        def handle_endtag(self, tag):
-            if tag in self.H:
-                self._commit()
-
-        def handle_data(self, data):
-            if self.level:
-                self.parts.append(data)
+    Collector = HeadingRefCollector
 
     rows = []
     for i in range(OUTLINE_DOCS):
@@ -767,6 +665,122 @@ def extract_headings_fixture() -> None:
         "level": pa.array(cols[2], pa.int64()),
         "text": pa.array(cols[3], pa.string()),
     }))
+
+
+# --- html.parser reference collectors (module-level: shared by the fixture
+# generators above AND the hypothesis differential fuzz in
+# tests/test_fuzz_scanners.py) -----------------------------------------------
+from html.parser import HTMLParser  # noqa: E402
+
+
+class TableRefCollector(HTMLParser):
+    """Independent html.parser-driven implementation of the tablex spec
+    (operators/tablex.py module docstring)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.out: list[tuple] = []
+        self.tdepth = 0
+        self.ti = -1
+        self.ri = self.ci = -1
+        self.in_row = False
+        self.cell: tuple[bool, list[str]] | None = None
+
+    def _flush(self) -> None:
+        if self.cell is not None:
+            hd, parts = self.cell
+            self.out.append(
+                (self.ti, self.ri, self.ci, hd,
+                 " ".join("".join(parts).split())))
+        self.cell = None
+
+    def handle_starttag(self, tag, attrs):
+        if self.tdepth == 0:
+            if tag == "table":
+                self.tdepth = 1
+                self.ti += 1
+                self.ri = self.ci = -1
+                self.in_row = False
+                self.cell = None
+            return
+        if tag == "table":
+            self.tdepth += 1
+            return
+        if self.tdepth != 1:
+            return
+        if tag == "tr":
+            self._flush()
+            self.in_row = True
+            self.ri += 1
+            self.ci = -1
+        elif tag in ("td", "th"):
+            self._flush()
+            if not self.in_row:       # implied row
+                self.in_row = True
+                self.ri += 1
+                self.ci = -1
+            self.ci += 1
+            self.cell = (tag == "th", [])
+
+    def handle_endtag(self, tag):
+        if self.tdepth == 0:
+            return
+        if tag == "table":
+            if self.tdepth > 1:
+                self.tdepth -= 1
+            else:
+                self._flush()
+                self.in_row = False
+                self.tdepth = 0
+        elif self.tdepth == 1 and tag in ("td", "th", "tr"):
+            self._flush()
+            if tag == "tr":
+                self.in_row = False
+
+    def handle_data(self, data):
+        if self.cell is not None:
+            self.cell[1].append(data)
+
+
+class HeadingRefCollector(HTMLParser):
+    """Independent html.parser-driven implementation of the outline spec
+    (operators/outline.py module docstring)."""
+
+    H = {f"h{i}": i for i in range(1, 7)}
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.out: list[tuple] = []
+        self.level = 0
+        self.parts: list[str] = []
+
+    def _commit(self) -> None:
+        if self.level:
+            self.out.append((len(self.out), self.level,
+                             " ".join("".join(self.parts).split())))
+        self.level = 0
+        self.parts = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self.H:
+            self._commit()
+            self.level = self.H[tag]
+
+    def handle_startendtag(self, tag, attrs):
+        if tag in self.H:
+            self._commit()
+            self.out.append((len(self.out), self.H[tag], ""))
+        else:
+            self.handle_starttag(tag, attrs)
+            self.handle_endtag(tag)
+
+    def handle_endtag(self, tag):
+        if tag in self.H:
+            self._commit()
+
+    def handle_data(self, data):
+        if self.level:
+            self.parts.append(data)
 
 
 if __name__ == "__main__":
