@@ -212,7 +212,8 @@ def _scan_head_meta(text: str) -> _PageMeta:
         if m.group(1):                  # end tag
             if tag == "title" and tbuf is not None:
                 t = unescape("".join(tbuf)).strip()
-                out.title = t or None
+                if out.title is None and t:
+                    out.title = t       # first NON-EMPTY title wins
                 tbuf = None
             continue
         if tag == "meta":
@@ -228,7 +229,12 @@ def _scan_head_meta(text: str) -> _PageMeta:
             if a.get("rel") == "canonical" and out.canonical is None:
                 out.canonical = a.get("href")
         elif tag == "title":
-            if out.title is None and tbuf is None:
+            # ANY title element opens the buffer (html.parser's grab
+            # slot): even after a title has won, an ld+json script
+            # inside a later open title is title DATA, not a committed
+            # ld payload — the differential fuzzer caught the old
+            # out.title-gated grab diverging exactly there
+            if tbuf is None:
                 tbuf = []
         elif tag in ("script", "style"):
             if m.group(3).rstrip().endswith("/"):

@@ -88,3 +88,46 @@ def test_fuzz_headings_scanner_matches_html_parser(tokens):
 
     doc = "".join(tokens)
     assert scan_headings(doc) == _ref_headings(doc), doc
+
+
+# --- head-metadata scanner ---------------------------------------------------
+
+from tools.make_driver_fixtures import meta_ref_scan  # noqa: E402
+
+_META_TOKENS = st.one_of(
+    _TEXT, _ENTITY,
+    st.sampled_from([
+        '<meta property="og:title" content="A">',
+        "<META PROPERTY='og:title' CONTENT='B'>",
+        '<meta content="C" property="og:title">',
+        '<meta property="og:title" content="D" property="og:title"'
+        ' PROPERTY="og:type">',             # dup attrs: first-wins
+        '<meta property="og:type" content="book"/>',
+        '<meta charset="utf-8">',
+        '<link rel="canonical" href="https://c.example/x">',
+        '<link href="https://c.example/y" rel="canonical">',
+        "<title>", "</title>", "<title>T1</title>", "<title></title>",
+        '<script type="application/ld+json">{"@type": "Book"}</script>',
+        '<script type="application/ld+json">/* <!-- "@type": "H" --> */'
+        "</script>",
+        "<script>var x = '<meta property=\"og:title\" content=\"G\">';"
+        "</script>",
+        "<!-- <meta property=\"og:title\" content=\"ghost\"> -->",
+        "<b>", "</b>", "<head>", "</head>",
+        "<script>not closed by </scripty> …</script>",
+    ]))
+
+
+def _prod_meta(doc: str):
+    from ocr_platform_spark.operators.pagemeta import _scan_head_meta
+
+    pm = _scan_head_meta(doc)
+    return (pm.title, pm.og_title, pm.og_type, pm.canonical,
+            pm.jsonld_type, pm.n_meta)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_META_TOKENS, min_size=0, max_size=40))
+def test_fuzz_meta_scanner_matches_html_parser(tokens):
+    doc = "".join(tokens)
+    assert _prod_meta(doc) == meta_ref_scan(doc), doc

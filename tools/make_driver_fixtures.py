@@ -500,46 +500,10 @@ def extract_metadata_fixture() -> None:
     pages re-parsed with stdlib html.parser (a different tokenizer) and
     independently written first-wins collection, so fixture agreement
     checks the production scanner's tag/attr/CDATA semantics."""
-    from html.parser import HTMLParser
-
     from ocr_platform_spark.operators.pagemeta import (
         _JSONLD_TYPE, META_DOCS, augment_html)
 
-    class Collector(HTMLParser):
-        def __init__(self) -> None:
-            super().__init__(convert_charrefs=True)
-            self.metas: list[dict] = []
-            self.links: list[dict] = []
-            self.titles: list[str] = []
-            self.lds: list[str] = []
-            self._grab: tuple[str, list[str]] | None = None
-
-        def handle_starttag(self, tag, attrs):
-            amap: dict = {}
-            for k, v in attrs:          # first occurrence wins
-                amap.setdefault(k, v)
-            if tag == "meta":
-                self.metas.append(amap)
-            elif tag == "link":
-                self.links.append(amap)
-            elif tag == "title" and self._grab is None:
-                self._grab = ("title", [])
-            elif (tag == "script" and self._grab is None
-                  and amap.get("type") == "application/ld+json"):
-                self._grab = ("ld", [])
-
-        def handle_endtag(self, tag):
-            if self._grab is None:
-                return
-            kind, buf = self._grab
-            if (tag, kind) in (("title", "title"), ("script", "ld")):
-                (self.titles if kind == "title" else self.lds) \
-                    .append("".join(buf))
-                self._grab = None
-
-        def handle_data(self, data):
-            if self._grab is not None:
-                self._grab[1].append(data)
+    Collector = MetaRefCollector
 
     rows = []
     for i in range(META_DOCS):
@@ -781,6 +745,69 @@ class HeadingRefCollector(HTMLParser):
     def handle_data(self, data):
         if self.level:
             self.parts.append(data)
+
+
+class MetaRefCollector(HTMLParser):
+    """Independent html.parser-driven implementation of the pagemeta
+    first-wins spec (operators/pagemeta.py)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.metas: list[dict] = []
+        self.links: list[dict] = []
+        self.titles: list[str] = []
+        self.lds: list[str] = []
+        self._grab: tuple[str, list[str]] | None = None
+
+    def handle_starttag(self, tag, attrs):
+        amap: dict = {}
+        for k, v in attrs:          # first occurrence wins
+            amap.setdefault(k, v)
+        if tag == "meta":
+            self.metas.append(amap)
+        elif tag == "link":
+            self.links.append(amap)
+        elif tag == "title" and self._grab is None:
+            self._grab = ("title", [])
+        elif (tag == "script" and self._grab is None
+              and amap.get("type") == "application/ld+json"):
+            self._grab = ("ld", [])
+
+    def handle_endtag(self, tag):
+        if self._grab is None:
+            return
+        kind, buf = self._grab
+        if (tag, kind) in (("title", "title"), ("script", "ld")):
+            (self.titles if kind == "title" else self.lds) \
+                .append("".join(buf))
+            self._grab = None
+
+    def handle_data(self, data):
+        if self._grab is not None:
+            self._grab[1].append(data)
+
+
+def meta_ref_scan(doc: str):
+    """Reference _PageMeta-equivalent tuple from MetaRefCollector output
+    (the same first-wins reduction extract_metadata_fixture applies)."""
+    import re as _re
+
+    from ocr_platform_spark.operators.pagemeta import _JSONLD_TYPE
+
+    c = MetaRefCollector()
+    c.feed(doc)
+    c.close()
+    return (
+        next((t.strip() for t in c.titles if t.strip()), None),
+        next((m.get("content") for m in c.metas
+              if m.get("property") == "og:title"), None),
+        next((m.get("content") for m in c.metas
+              if m.get("property") == "og:type"), None),
+        next((lk.get("href") for lk in c.links
+              if lk.get("rel") == "canonical"), None),
+        next((m.group(1) for m in map(_JSONLD_TYPE.search, c.lds)
+              if m), None),
+        len(c.metas))
 
 
 if __name__ == "__main__":
