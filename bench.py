@@ -98,6 +98,8 @@ QUERY_SET = [
     "ta_langid_confusion",
     # round-5 wave-36 addition (anchor-text retrieval)
     "wl_anchor_search",
+    # round-5 wave-39 addition (JSONL shard ingestion)
+    "jsonl_ingest",
 ]
 
 

@@ -52,6 +52,7 @@ def _modules():
         scalar_queries, search, similarity, sitemap, sketches, tablex,
         text_analysis, webcorpus, webgraph, weblinks)
     from ocr_platform_spark.plans import corpus_job
+    from ocr_platform_spark.sources import jsonl
     from ocr_platform_spark.streaming import sessions, windowed
     # corpus_job last: a round-4 late addition — it must NOT displace any
     # of the front-loaded queries out of the driver's 50-row CORRECTNESS
@@ -63,7 +64,7 @@ def _modules():
             similarity, curation, pdf_extract, windowed, sessions,
             webcorpus, webgraph, weblinks, corpus_job, search, robots,
             asof, sitemap, crawldelta, sketches, pagemeta, tablex,
-            kmeans, outline)
+            kmeans, outline, jsonl)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,131 @@
+"""JSONL document ingestion: the LLM-corpus exchange format.
+
+Next to WARC (the crawl container), JSONL is THE format corpora are
+actually shipped in — one JSON object per line, gigabyte files, sharded
+by count. Reference parity: the reference ingests provider JSON records
+over its API routes (apps/web's version payloads); this is the bulk
+equivalent with the same never-drop error envelope as the WARC source.
+
+Record spec (implemented here AND independently in
+tools/make_driver_fixtures.py:jsonl_fixture's oracle pass):
+
+- file bytes decode utf-8 (replace) and split on ``\\n``; a trailing
+  empty chunk from the final newline is dropped; every other line —
+  including blank interior lines — yields exactly one row (never-drop).
+- a line parses iff ``json.loads`` accepts it AND yields an object;
+  ``url`` must be a non-empty string and ``text`` a string. Failures
+  route to ``parse_error`` ∈ {empty, malformed, not_object, bad_url,
+  bad_text} with all payload columns null.
+- valid rows carry (url, ts, lang, n_tokens, sha256(text)) — ``ts`` /
+  ``lang`` pass through when strings (else null), ``n_tokens`` when an
+  int (else null); the text itself is hashed, not shipped, so the
+  ingest manifest stays narrow.
+
+Shape at scale: ``binaryFile`` yields one row per shard file and packs
+files into tasks by size — parallelism comes free from the format's
+sharding, the parse is one Arrow-batched mapInPandas, and there is NO
+shuffle anywhere in ingest (the warc.py shape).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import pathlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (LongType, StringType, StructField,
+                               StructType)
+
+FIXTURE_DIR = (pathlib.Path(__file__).resolve().parents[2]
+               / "tests" / "fixtures" / "jsonl")
+
+JSONL_SCHEMA = StructType([
+    StructField("jsonl_file", StringType(), False),
+    StructField("line_no", LongType(), False),
+    StructField("url", StringType(), True),
+    StructField("ts", StringType(), True),
+    StructField("lang", StringType(), True),
+    StructField("n_tokens", LongType(), True),
+    StructField("text_sha256", StringType(), True),
+    StructField("parse_error", StringType(), True),
+])
+
+
+def parse_jsonl_line(line: str) -> tuple:
+    """One line → (url, ts, lang, n_tokens, text_sha256, parse_error)."""
+    if not line.strip():
+        return (None, None, None, None, None, "empty")
+    try:
+        obj = json.loads(line)
+    except ValueError:
+        return (None, None, None, None, None, "malformed")
+    if not isinstance(obj, dict):
+        return (None, None, None, None, None, "not_object")
+    url = obj.get("url")
+    if not isinstance(url, str) or not url:
+        return (None, None, None, None, None, "bad_url")
+    text = obj.get("text")
+    if not isinstance(text, str):
+        return (None, None, None, None, None, "bad_text")
+    ts = obj.get("ts")
+    lang = obj.get("lang")
+    n_tok = obj.get("n_tokens")
+    return (url,
+            ts if isinstance(ts, str) else None,
+            lang if isinstance(lang, str) else None,
+            n_tok if isinstance(n_tok, int)
+            and not isinstance(n_tok, bool) else None,
+            hashlib.sha256(text.encode("utf-8")).hexdigest(),
+            None)
+
+
+def parse_jsonl_bytes(name: str, data: bytes) -> list[tuple]:
+    """Whole file → rows per the module-docstring line spec."""
+    text = data.decode("utf-8", "replace")
+    lines = text.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()                      # trailing final newline
+    return [(name, i) + parse_jsonl_line(ln)
+            for i, ln in enumerate(lines)]
+
+
+def read_jsonl(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Glob of .jsonl shard files → one row per line, never-drop."""
+    path = pathlib.Path(path_glob)
+    reader = spark.read.format("binaryFile")
+    if any(ch in path.name for ch in "*?["):
+        reader = reader.option("pathGlobFilter", path.name)
+        src = str(path.parent)
+    else:
+        src = path_glob
+    files = reader.load(src).select("path", "content")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                name = p.rsplit("/", 1)[-1]
+                rows.extend(parse_jsonl_bytes(name, bytes(content)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in JSONL_SCHEMA])
+
+    return files.mapInPandas(gen, schema=JSONL_SCHEMA)
+
+
+def jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture-oracled (committed shard files, scale-free):
+    tools/make_driver_fixtures.py:jsonl_fixture re-parses the same
+    bytes with an independently written json.loads pass."""
+    return read_jsonl(spark, str(FIXTURE_DIR / "*.jsonl"))
+
+
+from ocr_platform_spark.operators.registry import \
+    fixture_sql as _fixture_sql  # noqa: E402
+
+QUERIES: dict = {
+    # wave 39: JSONL shard ingestion, beyond-window (local-gate record)
+    "jsonl_ingest": (jsonl_ingest, _fixture_sql("jsonl_ingest.parquet")),
+}

@@ -1,0 +1,69 @@
+"""JSONL ingestion kernel + query pins (sources/jsonl.py)."""
+
+from __future__ import annotations
+
+from ocr_platform_spark.sources.jsonl import (parse_jsonl_bytes,
+                                              parse_jsonl_line)
+
+
+def test_line_spec_branches():
+    assert parse_jsonl_line("")[-1] == "empty"
+    assert parse_jsonl_line("   ")[-1] == "empty"
+    assert parse_jsonl_line('{"url": "u", "te')[-1] == "malformed"
+    assert parse_jsonl_line("[1]")[-1] == "not_object"
+    assert parse_jsonl_line('{"text": "t"}')[-1] == "bad_url"
+    assert parse_jsonl_line('{"url": 5, "text": "t"}')[-1] == "bad_url"
+    assert parse_jsonl_line('{"url": "", "text": "t"}')[-1] == "bad_url"
+    assert parse_jsonl_line('{"url": "u"}')[-1] == "bad_text"
+    assert parse_jsonl_line('{"url": "u", "text": 5}')[-1] == "bad_text"
+
+
+def test_valid_line_lenient_metadata():
+    import hashlib
+
+    url, ts, lang, ntok, sha, err = parse_jsonl_line(
+        '{"url": "u", "text": "hi", "ts": 7, "lang": ["x"],'
+        ' "n_tokens": "9"}')
+    assert err is None and url == "u"
+    assert ts is None and lang is None and ntok is None   # wrong types
+    assert sha == hashlib.sha256(b"hi").hexdigest()
+    # bool is not an int for n_tokens
+    assert parse_jsonl_line(
+        '{"url": "u", "text": "t", "n_tokens": true}')[3] is None
+    assert parse_jsonl_line(
+        '{"url": "u", "text": "t", "n_tokens": 4}')[3] == 4
+
+
+def test_bytes_spec_trailing_newline_and_line_numbers():
+    rows = parse_jsonl_bytes(
+        "f", b'{"url": "u", "text": "a"}\n\n{"url": "v", "text": "b"}\n')
+    assert [(r[1], r[-1]) for r in rows] == \
+        [(0, None), (1, "empty"), (2, None)]
+    assert parse_jsonl_bytes("f", b"") == []
+    # no trailing newline: last line still parses
+    rows = parse_jsonl_bytes("f", b'{"url": "u", "text": "a"}')
+    assert len(rows) == 1 and rows[0][-1] is None
+
+
+def test_jsonl_ingest_query_invariants(spark):
+    """Every parse_error branch must be LIVE in the committed fixture,
+    clean shards must be fully clean, and counts must be exact."""
+    from ocr_platform_spark.sources.jsonl import jsonl_ingest
+
+    rows = jsonl_ingest(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 132
+    errs = {r["parse_error"] for r in rows if r["parse_error"]}
+    assert errs == {"empty", "malformed", "not_object",
+                    "bad_url", "bad_text"}
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r["jsonl_file"], []).append(r)
+    for shard in ("docs-00.jsonl", "docs-01.jsonl", "docs-02.jsonl"):
+        assert len(by_file[shard]) == 40
+        assert all(r["parse_error"] is None for r in by_file[shard])
+        assert all(r["text_sha256"] and r["n_tokens"] is not None
+                   for r in by_file[shard])
+    assert "emptyfile.jsonl" not in by_file
+    # line numbers contiguous per file
+    for rs in by_file.values():
+        assert sorted(r["line_no"] for r in rs) == list(range(len(rs)))

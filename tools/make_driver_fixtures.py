@@ -631,6 +631,102 @@ def extract_headings_fixture() -> None:
     }))
 
 
+def jsonl_fixture() -> None:
+    """Write the committed JSONL shard files (deterministic: clean CC-
+    style records + a hostile shard covering every parse_error branch)
+    and the oracle parquet via an INDEPENDENT json.loads pass
+    implementing the sources/jsonl.py line spec."""
+    import json
+
+    from ocr_platform_spark.sources.jsonl import FIXTURE_DIR
+
+    FIXTURE_DIR.mkdir(parents=True, exist_ok=True)
+    langs = ("en", "ar", "fa", "tr")
+    for shard in range(3):
+        lines = []
+        for i in range(shard * 40, shard * 40 + 40):
+            lines.append(json.dumps({
+                "url": f"https://j{i % 7}.example/doc/{i}",
+                "ts": f"2024-01-{(i % 28) + 1:02d}T00:00:00Z",
+                "lang": langs[i % 4],
+                "n_tokens": 10 + (i * 7) % 90,
+                "text": f"doc {i} body " + " ".join(
+                    f"w{(i * 13 + k) % 50}" for k in range(12)),
+            }, ensure_ascii=False))
+        (FIXTURE_DIR / f"docs-{shard:02d}.jsonl").write_text(
+            "\n".join(lines) + "\n", encoding="utf-8")
+    hostile = [
+        '{"url": "https://h.example/ok", "text": "fine", "lang": "en"}',
+        '{"url": "https://h.example/trunc", "te',          # malformed
+        "not json at all",                                 # malformed
+        "",                                                # empty
+        "[1, 2, 3]",                                       # not_object
+        '{"lang": "en", "text": "no url"}',                # bad_url
+        '{"url": 123, "text": "numeric url"}',             # bad_url
+        '{"url": "", "text": "empty url"}',                # bad_url
+        '{"url": "https://h.example/notext"}',             # bad_text
+        '{"url": "https://h.example/badtext", "text": 5}', # bad_text
+        '{"url": "https://h.example/extra", "text": "t",'
+        ' "ts": 7, "lang": ["x"], "n_tokens": "9"}',       # lenient nulls
+        '{"url": "https://h.example/booltok", "text": "t",'
+        ' "n_tokens": true}',                              # bool is not int
+    ]
+    (FIXTURE_DIR / "hostile.jsonl").write_text(
+        "\n".join(hostile) + "\n", encoding="utf-8")
+    (FIXTURE_DIR / "emptyfile.jsonl").write_bytes(b"")
+
+    # independent oracle pass (json.loads + the documented line spec,
+    # written separately from the production kernel)
+    import hashlib as _hl
+
+    rows = []
+    for f in sorted(FIXTURE_DIR.glob("*.jsonl")):
+        body = f.read_bytes().decode("utf-8", "replace")
+        lines = body.split("\n")
+        if lines and lines[-1] == "":
+            lines = lines[:-1]
+        for no, ln in enumerate(lines):
+            url = ts = lang = sha = err = None
+            ntok = None
+            if not ln.strip():
+                err = "empty"
+            else:
+                try:
+                    o = json.loads(ln)
+                    if not isinstance(o, dict):
+                        err = "not_object"
+                    elif not (isinstance(o.get("url"), str)
+                              and o.get("url")):
+                        err = "bad_url"
+                    elif not isinstance(o.get("text"), str):
+                        err = "bad_text"
+                    else:
+                        url = o["url"]
+                        if isinstance(o.get("ts"), str):
+                            ts = o["ts"]
+                        if isinstance(o.get("lang"), str):
+                            lang = o["lang"]
+                        v = o.get("n_tokens")
+                        if isinstance(v, int) and not isinstance(v, bool):
+                            ntok = v
+                        sha = _hl.sha256(
+                            o["text"].encode("utf-8")).hexdigest()
+                except ValueError:
+                    err = "malformed"
+            rows.append((f.name, no, url, ts, lang, ntok, sha, err))
+    cols = list(zip(*rows))
+    _write("jsonl_ingest.parquet", pa.table({
+        "jsonl_file": pa.array(cols[0], pa.string()),
+        "line_no": pa.array(cols[1], pa.int64()),
+        "url": pa.array(cols[2], pa.string()),
+        "ts": pa.array(cols[3], pa.string()),
+        "lang": pa.array(cols[4], pa.string()),
+        "n_tokens": pa.array(cols[5], pa.int64()),
+        "text_sha256": pa.array(cols[6], pa.string()),
+        "parse_error": pa.array(cols[7], pa.string()),
+    }))
+
+
 # --- html.parser reference collectors (module-level: shared by the fixture
 # generators above AND the hypothesis differential fuzz in
 # tests/test_fuzz_scanners.py) -----------------------------------------------
@@ -832,3 +928,4 @@ if __name__ == "__main__":
     extract_tables_fixture()
     ta_compress_ratio()
     extract_headings_fixture()
+    jsonl_fixture()
