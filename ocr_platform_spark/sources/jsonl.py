@@ -115,6 +115,46 @@ def read_jsonl(spark: SparkSession, path_glob: str) -> DataFrame:
     return files.mapInPandas(gen, schema=JSONL_SCHEMA)
 
 
+def read_jsonl_stream(spark: SparkSession, path_glob: str,
+                      max_files_per_trigger: int | None = None
+                      ) -> DataFrame:
+    """Streaming variant: a binaryFile file-source stream over a growing
+    shard directory — new .jsonl files are discovered per micro-batch
+    and parsed by the SAME kernel, so streamed rows are row-identical to
+    a batch ``read_jsonl`` over the same files (the read_warc_stream
+    contract: explicit source schema, maxFilesPerTrigger bounds batch
+    size, the checkpoint's file log gives exactly-once per file)."""
+    from pyspark.sql.types import BinaryType, TimestampType
+
+    binfile_schema = StructType([
+        StructField("path", StringType(), False),
+        StructField("modificationTime", TimestampType(), False),
+        StructField("length", LongType(), False),
+        StructField("content", BinaryType(), True),
+    ])
+    path = pathlib.Path(path_glob)
+    reader = spark.readStream.format("binaryFile").schema(binfile_schema)
+    if any(ch in path.name for ch in "*?["):
+        reader = reader.option("pathGlobFilter", path.name)
+        src = str(path.parent)
+    else:
+        src = path_glob
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(src).select("path", "content")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                name = p.rsplit("/", 1)[-1]
+                rows.extend(parse_jsonl_bytes(name, bytes(content)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in JSONL_SCHEMA])
+
+    return files.mapInPandas(gen, schema=JSONL_SCHEMA)
+
+
 def jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture-oracled (committed shard files, scale-free):
     tools/make_driver_fixtures.py:jsonl_fixture re-parses the same

@@ -67,3 +67,36 @@ def test_jsonl_ingest_query_invariants(spark):
     # line numbers contiguous per file
     for rs in by_file.values():
         assert sorted(r["line_no"] for r in rs) == list(range(len(rs)))
+
+
+def test_jsonl_stream_matches_batch_and_resumes(spark, tmp_path):
+    """Streaming ingest over a growing shard dir: exactly-once per file,
+    row-identical to batch over the same files."""
+    import shutil
+
+    from ocr_platform_spark.sources.jsonl import (FIXTURE_DIR, read_jsonl,
+                                                  read_jsonl_stream)
+
+    inp = tmp_path / "shards"
+    inp.mkdir()
+    out = str(tmp_path / "rows")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (read_jsonl_stream(spark, str(inp / "*.jsonl"))
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    shutil.copy(FIXTURE_DIR / "docs-00.jsonl", inp / "docs-00.jsonl")
+    run()
+    assert spark.read.parquet(out).count() == 40
+    shutil.copy(FIXTURE_DIR / "docs-01.jsonl", inp / "docs-01.jsonl")
+    shutil.copy(FIXTURE_DIR / "hostile.jsonl", inp / "hostile.jsonl")
+    run()
+    got = {(r["jsonl_file"], r["line_no"]): tuple(r)
+           for r in spark.read.parquet(out).collect()}
+    batch = {(r["jsonl_file"], r["line_no"]): tuple(r)
+             for r in read_jsonl(spark, str(inp / "*.jsonl")).collect()}
+    assert got == batch and len(got) == 92
