@@ -100,6 +100,8 @@ QUERY_SET = [
     "wl_anchor_search",
     # round-5 wave-39 addition (JSONL shard ingestion)
     "jsonl_ingest",
+    # round-5 wave-41 addition (hopping windows)
+    "ev_hopping_agg",
 ]
 
 

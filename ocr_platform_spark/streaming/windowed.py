@@ -82,6 +82,50 @@ GROUP BY 1, 2
 """
 
 
+# --- hopping (sliding) windows ---------------------------------------------
+# The overlapping-window twin of the tumbling aggregate: 1-hour windows
+# every 30 minutes, so each event lands in EXACTLY two windows (slide
+# divides width — the constant-fanout case every metrics pipeline uses
+# for smoothed rates). Spark expresses it natively (F.window with a
+# slideDuration); the oracle replicates the window-assignment rule
+# explicitly: the containing starts are the event's 30-minute bucket
+# and the one before it. Same fixed-point cents + the r04 outer-CAST
+# lesson as the tumbling SQL.
+
+HOP_WINDOW, HOP_SLIDE = "1 hour", "30 minutes"
+
+
+def hopping_event_aggregate(events: DataFrame) -> DataFrame:
+    return (events
+            .withColumn("value_cents",
+                        F.round(F.col("value") * 100).cast("long"))
+            .groupBy(F.window("ts", HOP_WINDOW, HOP_SLIDE).alias("w"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value_cents").alias("sum_value_cents"))
+            .select(F.unix_timestamp(F.col("w.start"))
+                    .alias("window_start"),
+                    "event_type", "n_events", "sum_value_cents"))
+
+
+def ev_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_platform_spark.operators.tables import load
+
+    return hopping_event_aggregate(load(spark, sf_dir, "events"))
+
+
+EV_HOPPING_SQL = """
+SELECT CAST(floor(epoch(time_bucket(INTERVAL '30 minutes', ts)))
+            AS BIGINT) - k.k * 1800 AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM events, unnest([0, 1]) AS k(k)
+GROUP BY 1, 2
+"""
+
+
 def stream_windowed_aggregate(spark: SparkSession, input_dir: str,
                               watermark: str = "2 hours") -> DataFrame:
     """Streaming variant: identical plan behind a watermark."""
@@ -105,5 +149,7 @@ def run_windowed_stream(spark: SparkSession, input_dir: str,
 
 
 QUERIES: dict = {
+    # wave 41: hopping windows, beyond-window (local-gate record)
+    "ev_hopping_agg": (ev_hopping_agg, EV_HOPPING_SQL),
     "ev_windowed_agg": (ev_windowed_agg, EV_WINDOWED_SQL),
 }

@@ -136,3 +136,42 @@ def test_session_stream_drops_late_rows(spark, tmp_path):
             for r in spark.read.parquet(out).collect()}
     assert rows[(1, 1)]["n_events"] == 1
     assert rows[(1, 1)]["sum_value_cents"] == 100   # not 1000
+
+
+# --- hopping windows ---------------------------------------------------------
+
+def test_hopping_every_event_in_exactly_two_windows(spark):
+    """Slide divides width 2:1, so sum of window counts == 2x events and
+    each tumbling bucket's mass appears in both covering windows."""
+    from pyspark.sql import functions as F
+
+    from ocr_platform_spark.operators.tables import load
+    from ocr_platform_spark.streaming.windowed import ev_hopping_agg
+
+    sf = "/root/testdata/sf0.01"
+    n_events = load(spark, sf, "events").count()
+    agg = ev_hopping_agg(spark, sf)
+    assert agg.agg(F.sum("n_events")).first()[0] == 2 * n_events
+    # window starts sit on the 30-minute grid
+    assert agg.filter(F.pmod("window_start", F.lit(1800)) != 0).count() == 0
+
+
+def test_hopping_matches_manual_assignment(spark):
+    """Planted events: one at :05 lands in the :00 and -:30 windows."""
+    import datetime as dt
+
+    from ocr_platform_spark.streaming.windowed import (
+        EVENTS_SCHEMA, hopping_event_aggregate)
+
+    t0 = dt.datetime(2024, 1, 1, 10, 5, 0)
+    events = spark.createDataFrame(
+        [(1, t0, 1, "click", 1.0, None)], EVENTS_SCHEMA)
+    rows = sorted((r["window_start"], r["n_events"])
+                  for r in hopping_event_aggregate(events).collect())
+    base = int(dt.datetime(2024, 1, 1, 10, 0, 0)
+               .replace(tzinfo=dt.timezone.utc).timestamp())
+    # session TZ is UTC in tests; the two covering windows are 09:30/10:00
+    got_starts = [r[0] for r in rows]
+    assert len(rows) == 2
+    assert got_starts[1] - got_starts[0] == 1800
+    assert all(n == 1 for _, n in rows)
