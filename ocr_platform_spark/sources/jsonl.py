@@ -155,6 +155,33 @@ def read_jsonl_stream(spark: SparkSession, path_glob: str,
     return files.mapInPandas(gen, schema=JSONL_SCHEMA)
 
 
+def write_jsonl(docs: DataFrame, output_dir: str,
+                n_shards: int = 8) -> None:
+    """Export documents as sharded JSONL — the format corpora ship in.
+
+    Shard membership is DETERMINISTIC (md5(url) % n_shards, the repo's
+    engine-portable hash family — never Spark's internal partitioner),
+    so re-exports land every record in the same shard and a resume can
+    diff shard-by-shard. Serialization is JVM-side ``to_json`` over a
+    struct (no per-row Python); one file per shard via a hash
+    repartition (each task streams one shard — bounded memory at any
+    corpus size; raise n_shards with the corpus). Row ORDER within a
+    shard is not part of the contract (the reader is order-insensitive
+    by line_no anyway); the roundtrip pin compares record sets.
+    """
+    from pyspark.sql import functions as F
+
+    shard = F.pmod(
+        F.conv(F.substring(F.md5("url"), 1, 14), 16, 10).cast("long"),
+        F.lit(n_shards))
+    (docs.withColumn("shard", shard)
+     .withColumn("line", F.to_json(F.struct(
+         *[c for c in docs.columns])))
+     .repartition(n_shards, "shard")
+     .select("shard", "line")
+     .write.partitionBy("shard").mode("overwrite").text(output_dir))
+
+
 def jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture-oracled (committed shard files, scale-free):
     tools/make_driver_fixtures.py:jsonl_fixture re-parses the same

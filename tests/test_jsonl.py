@@ -100,3 +100,43 @@ def test_jsonl_stream_matches_batch_and_resumes(spark, tmp_path):
     batch = {(r["jsonl_file"], r["line_no"]): tuple(r)
              for r in read_jsonl(spark, str(inp / "*.jsonl")).collect()}
     assert got == batch and len(got) == 92
+
+
+def test_write_jsonl_roundtrip_and_deterministic_shards(spark, tmp_path):
+    """Export → re-read roundtrip preserves the record set, and shard
+    membership is the documented md5 rule (re-export lands identically)."""
+    import glob
+    import hashlib
+    import json
+
+    from ocr_platform_spark.sources.jsonl import write_jsonl
+
+    docs = spark.createDataFrame(
+        [(f"https://e.example/d/{i}", f"body {i} text", "en", 10 + i)
+         for i in range(50)],
+        "url string, text string, lang string, n_tokens long")
+    out = str(tmp_path / "export")
+    write_jsonl(docs, out, n_shards=4)
+
+    got = {}
+    for f in glob.glob(out + "/shard=*/part-*.txt"):
+        shard = int(f.split("shard=")[1].split("/")[0])
+        for ln in open(f, encoding="utf-8"):
+            o = json.loads(ln)
+            got[o["url"]] = (o["text"], o["lang"], o["n_tokens"], shard)
+    assert len(got) == 50
+    for i in range(50):
+        url = f"https://e.example/d/{i}"
+        text, lang, ntok, shard = got[url]
+        assert (text, lang, ntok) == (f"body {i} text", "en", 10 + i)
+        want = int(hashlib.md5(url.encode()).hexdigest()[:14], 16) % 4
+        assert shard == want, url
+    # re-export is shard-stable
+    out2 = str(tmp_path / "export2")
+    write_jsonl(docs, out2, n_shards=4)
+    shards2 = {}
+    for f in glob.glob(out2 + "/shard=*/part-*.txt"):
+        shard = int(f.split("shard=")[1].split("/")[0])
+        for ln in open(f, encoding="utf-8"):
+            shards2[json.loads(ln)["url"]] = shard
+    assert shards2 == {u: sh for u, (_, _, _, sh) in got.items()}
