@@ -148,6 +148,27 @@ def run_windowed_stream(spark: SparkSession, input_dir: str,
             .start())
 
 
+
+def stream_hopping_aggregate(spark: SparkSession, input_dir: str,
+                             watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the hopping aggregate: identical plan behind a
+    watermark (Spark's sliding window is stateful-streaming-native)."""
+    events = (spark.readStream.schema(EVENTS_SCHEMA)
+              .format("parquet").load(input_dir))
+    return hopping_event_aggregate(events.withWatermark("ts", watermark))
+
+
+def run_hopping_stream(spark: SparkSession, input_dir: str,
+                       output_dir: str, checkpoint_dir: str,
+                       watermark: str = "2 hours"):
+    agg = stream_hopping_aggregate(spark, input_dir, watermark)
+    return (agg.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True).start())
+
+
 QUERIES: dict = {
     # wave 41: hopping windows, beyond-window (local-gate record)
     "ev_hopping_agg": (ev_hopping_agg, EV_HOPPING_SQL),

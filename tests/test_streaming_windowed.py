@@ -175,3 +175,28 @@ def test_hopping_matches_manual_assignment(spark):
     assert len(rows) == 2
     assert got_starts[1] - got_starts[0] == 1800
     assert all(n == 1 for _, n in rows)
+
+
+def test_hopping_stream_matches_batch_and_drops_late(spark, tmp_path):
+    """Sliding windows behind a watermark: stream == batch over on-time
+    events; the late row is dropped from BOTH of its covering windows."""
+    from ocr_platform_spark.streaming.windowed import (
+        hopping_event_aggregate, run_hopping_stream)
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("ev", "hop", "ckpt"))
+    _drop(spark, inp, BATCH1)
+    _drain(run_hopping_stream, spark, inp, out, ckpt)
+    _drop(spark, inp, BATCH2 + LATE)
+    _drain(run_hopping_stream, spark, inp, out, ckpt)
+    _drop(spark, inp, SENTINEL)
+    _drain(run_hopping_stream, spark, inp, out, ckpt)
+
+    got = {(r["window_start"], r["event_type"]):
+           (r["n_events"], r["sum_value_cents"])
+           for r in spark.read.parquet(out).collect()}
+    valid = spark.createDataFrame(_events(BATCH1 + BATCH2),
+                                  schema=EVENTS_SCHEMA)
+    want = {(r["window_start"], r["event_type"]):
+            (r["n_events"], r["sum_value_cents"])
+            for r in hopping_event_aggregate(valid).collect()}
+    assert got == want
