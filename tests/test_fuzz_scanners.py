@@ -131,3 +131,46 @@ def _prod_meta(doc: str):
 def test_fuzz_meta_scanner_matches_html_parser(tokens):
     doc = "".join(tokens)
     assert _prod_meta(doc) == meta_ref_scan(doc), doc
+
+
+# --- JSONL line-spec kernel (total over arbitrary bytes) ---------------------
+
+from tools.make_driver_fixtures import jsonl_oracle_rows  # noqa: E402
+
+_JSONL_FRAGMENTS = st.one_of(
+    st.sampled_from([
+        '{"url": "u", "text": "t"}', '{"url": "u"}', '{"text": "t"}',
+        '{"url": "", "text": "t"}', '{"url": 5, "text": "t"}',
+        '{"url": "u", "text": 5}',
+        '{"url": "u", "text": "t", "n_tokens": true}',
+        '{"url": "u", "text": "t", "n_tokens": 7, "ts": "x",'
+        ' "lang": "en"}',
+        "[1]", "null", '"str"', "42", "not json", "", "   ",
+        '{"url": "u", "te', "{", "}",
+    ]),
+    st.text(alphabet='abc {}[]":,0-\néا', max_size=20))
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(_JSONL_FRAGMENTS, min_size=0, max_size=12),
+       st.booleans())
+def test_fuzz_jsonl_kernel_matches_oracle(fragments, trailing_nl):
+    """parse_jsonl_bytes (production) vs jsonl_oracle_rows (independent
+    spec implementation) must agree on ARBITRARY byte payloads — both
+    functions are total over bytes; fragments include embedded newlines
+    and non-ASCII so the utf-8/replace + line-split paths are hit."""
+    from ocr_platform_spark.sources.jsonl import parse_jsonl_bytes
+
+    body = "\n".join(fragments) + ("\n" if trailing_nl else "")
+    data = body.encode("utf-8")
+    assert parse_jsonl_bytes("f", data) == jsonl_oracle_rows("f", data)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=200))
+def test_fuzz_jsonl_kernel_total_over_raw_bytes(data):
+    """Raw (possibly invalid-utf8) bytes: both sides still agree —
+    the decode('replace') path is part of the spec."""
+    from ocr_platform_spark.sources.jsonl import parse_jsonl_bytes
+
+    assert parse_jsonl_bytes("f", data) == jsonl_oracle_rows("f", data)

@@ -675,45 +675,11 @@ def jsonl_fixture() -> None:
         "\n".join(hostile) + "\n", encoding="utf-8")
     (FIXTURE_DIR / "emptyfile.jsonl").write_bytes(b"")
 
-    # independent oracle pass (json.loads + the documented line spec,
-    # written separately from the production kernel)
-    import hashlib as _hl
-
+    # independent oracle pass (jsonl_oracle_rows below — json.loads +
+    # the documented line spec, written separately from the kernel)
     rows = []
     for f in sorted(FIXTURE_DIR.glob("*.jsonl")):
-        body = f.read_bytes().decode("utf-8", "replace")
-        lines = body.split("\n")
-        if lines and lines[-1] == "":
-            lines = lines[:-1]
-        for no, ln in enumerate(lines):
-            url = ts = lang = sha = err = None
-            ntok = None
-            if not ln.strip():
-                err = "empty"
-            else:
-                try:
-                    o = json.loads(ln)
-                    if not isinstance(o, dict):
-                        err = "not_object"
-                    elif not (isinstance(o.get("url"), str)
-                              and o.get("url")):
-                        err = "bad_url"
-                    elif not isinstance(o.get("text"), str):
-                        err = "bad_text"
-                    else:
-                        url = o["url"]
-                        if isinstance(o.get("ts"), str):
-                            ts = o["ts"]
-                        if isinstance(o.get("lang"), str):
-                            lang = o["lang"]
-                        v = o.get("n_tokens")
-                        if isinstance(v, int) and not isinstance(v, bool):
-                            ntok = v
-                        sha = _hl.sha256(
-                            o["text"].encode("utf-8")).hexdigest()
-                except ValueError:
-                    err = "malformed"
-            rows.append((f.name, no, url, ts, lang, ntok, sha, err))
+        rows.extend(jsonl_oracle_rows(f.name, f.read_bytes()))
     cols = list(zip(*rows))
     _write("jsonl_ingest.parquet", pa.table({
         "jsonl_file": pa.array(cols[0], pa.string()),
@@ -725,6 +691,49 @@ def jsonl_fixture() -> None:
         "text_sha256": pa.array(cols[6], pa.string()),
         "parse_error": pa.array(cols[7], pa.string()),
     }))
+
+
+def jsonl_oracle_rows(name: str, data: bytes) -> list[tuple]:
+    """Independent implementation of the sources/jsonl.py line spec
+    (shared by jsonl_fixture and the differential fuzz in
+    tests/test_fuzz_scanners.py) — written from the documented spec,
+    not by calling the production kernel."""
+    import hashlib as _hl
+    import json as _json
+
+    out = []
+    lines = data.decode("utf-8", "replace").split("\n")
+    if lines and lines[-1] == "":
+        lines = lines[:-1]
+    for no, ln in enumerate(lines):
+        url = ts = lang = sha = err = None
+        ntok = None
+        if not ln.strip():
+            err = "empty"
+        else:
+            try:
+                o = _json.loads(ln)
+                if not isinstance(o, dict):
+                    err = "not_object"
+                elif not (isinstance(o.get("url"), str) and o.get("url")):
+                    err = "bad_url"
+                elif not isinstance(o.get("text"), str):
+                    err = "bad_text"
+                else:
+                    url = o["url"]
+                    if isinstance(o.get("ts"), str):
+                        ts = o["ts"]
+                    if isinstance(o.get("lang"), str):
+                        lang = o["lang"]
+                    v = o.get("n_tokens")
+                    if isinstance(v, int) and not isinstance(v, bool):
+                        ntok = v
+                    sha = _hl.sha256(
+                        o["text"].encode("utf-8")).hexdigest()
+            except ValueError:
+                err = "malformed"
+        out.append((name, no, url, ts, lang, ntok, sha, err))
+    return out
 
 
 # --- html.parser reference collectors (module-level: shared by the fixture
