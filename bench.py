@@ -102,6 +102,8 @@ QUERY_SET = [
     "jsonl_ingest",
     # round-5 wave-41 addition (hopping windows)
     "ev_hopping_agg",
+    # round-5 wave-45 addition (grouped quantile sketch)
+    "ta_host_median",
 ]
 
 

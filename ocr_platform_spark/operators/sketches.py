@@ -460,6 +460,77 @@ FROM ps p JOIN cum c
 """)
 
 
+# --- grouped quantile sketch (per-host median) -----------------------------
+# The GROUP BY form of the sketch — the reason sketches exist at all:
+# per-host p50 length without per-host sorts. Same power-of-two bins
+# and rank convention as quantile_sketch, but the histogram keys on
+# (source, bin) and the cumulative window partitions BY SOURCE over
+# <=64 bin rows per host — a bounded partition, never a corpus window
+# (the WindowExec here is the safe kind: its partition is the sketch
+# state, not the data).
+
+GQS_P = 50
+
+
+def grouped_quantile_sketch(docs: DataFrame, group_col: str = "source",
+                            value_col: str = "n_chars",
+                            p: int = GQS_P) -> DataFrame:
+    """→ (source, n_total, est): per-group percentile estimate."""
+    from pyspark.sql.window import Window
+
+    hist = (docs.select(
+        F.col(group_col),
+        (F.length(F.bin(F.col(value_col))) - 1).cast("long").alias("bin"))
+        .groupBy(group_col, "bin").agg(F.count("*").alias("cnt")))
+    w = (Window.partitionBy(group_col).orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    wt = Window.partitionBy(group_col)
+    cum = (hist
+           .withColumn("cum_before",
+                       F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+           .withColumn("n_total", F.sum("cnt").over(wt))
+           .withColumn("r", F.expr(f"({p} * n_total + 99) DIV 100")))
+    width = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT))")
+    return (cum.where((F.col("cum_before") < F.col("r"))
+                      & (F.col("r") <= F.col("cum_before") + F.col("cnt")))
+            .select(F.col(group_col),
+                    F.col("n_total").cast("long"),
+                    (width + F.call_function(
+                        "div",
+                        (F.col("r") - F.col("cum_before") - 1) * width,
+                        F.col("cnt"))).cast("long").alias("est")))
+
+
+def ta_host_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return grouped_quantile_sketch(load(spark, sf_dir, "documents"))
+
+
+TA_HOST_MEDIAN_SQL = f"""
+WITH hist AS (
+  SELECT source, CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM documents GROUP BY 1, 2),
+cum AS (
+  SELECT source, bin, cnt,
+         CAST(coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before,
+         CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_total
+  FROM hist),
+ranked AS (
+  SELECT source, bin, cnt, cum_before, n_total,
+         ({GQS_P} * n_total + 99) // 100 AS r
+  FROM cum)
+SELECT source, n_total,
+       CAST((CAST(1 AS BIGINT) << CAST(bin AS INT))
+            + (r - cum_before - 1)
+              * (CAST(1 AS BIGINT) << CAST(bin AS INT)) // cnt
+            AS BIGINT) AS est
+FROM ranked
+WHERE cum_before < r AND r <= cum_before + cnt
+"""
+
+
 # --- sketch-driven length-band curation ------------------------------------
 # The composition that makes the quantile sketch a CURATION operator and
 # not a report: "drop the shortest quartile and the >p99 tail" is the
@@ -700,4 +771,6 @@ QUERIES: dict = {
     "cx_ppl_buckets": (cx_ppl_buckets, _ppl_buckets_sql()),
     # wave 20: HyperLogLog with a spec'd register layout — beyond-window
     "ta_hll_distinct": (ta_hll_distinct, TA_HLL_SQL),
+    # wave 45: grouped quantile sketch (per-host median), beyond-window
+    "ta_host_median": (ta_host_median, TA_HOST_MEDIAN_SQL),
 }

@@ -642,3 +642,58 @@ def test_hll_plan_two_aggregates_no_window(spark):
         .executedPlan().toString()
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+# --- grouped quantile sketch (per-host median) -------------------------------
+
+def test_host_median_matches_python_and_brackets_truth(spark):
+    """Per-host estimate must equal the pure-Python histogram recompute
+    exactly, and must land in the same power-of-two bin as the TRUE
+    per-host median (the sketch's accuracy contract)."""
+    import duckdb
+
+    from ocr_platform_spark.operators.sketches import (GQS_P,
+                                                       ta_host_median)
+
+    rows = duckdb.connect().execute(
+        f"""SELECT source, n_chars
+            FROM read_parquet('{SF_DIR}/documents.parquet')""").fetchall()
+    by_host: dict = {}
+    for src, n in rows:
+        by_host.setdefault(src, []).append(int(n))
+    want = {}
+    truth_bin = {}
+    for src, vals in by_host.items():
+        hist: dict = {}
+        for v in vals:
+            b = max(v.bit_length() - 1, 0)
+            hist[b] = hist.get(b, 0) + 1
+        n = len(vals)
+        r = -(-GQS_P * n // 100)          # ceil
+        cum = 0
+        for b in sorted(hist):
+            if cum < r <= cum + hist[b]:
+                want[src] = (n, (1 << b)
+                             + (r - cum - 1) * (1 << b) // hist[b])
+                break
+            cum += hist[b]
+        truth = sorted(vals)[r - 1]
+        truth_bin[src] = max(truth.bit_length() - 1, 0)
+    got = {r["source"]: (r["n_total"], r["est"])
+           for r in ta_host_median(spark, SF_DIR).collect()}
+    assert got == want
+    for src, (_, est) in got.items():
+        assert max(est.bit_length() - 1, 0) == truth_bin[src], src
+
+
+def test_host_median_window_is_per_group_bounded(spark):
+    """The cumulative window must partition by source (<=64 rows per
+    partition) — never a global single-partition window."""
+    from ocr_platform_spark.operators.sketches import ta_host_median
+
+    plan = ta_host_median(spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines                      # the windows exist...
+    for ln in win_lines:                  # ...and every one keys on source
+        assert "windowspecdefinition(source" in ln, ln
