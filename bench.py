@@ -104,6 +104,8 @@ QUERY_SET = [
     "ev_hopping_agg",
     # round-5 wave-45 addition (grouped quantile sketch)
     "ta_host_median",
+    # round-5 wave-46 addition (microdata extraction)
+    "extract_microdata",
 ]
 
 

@@ -174,3 +174,43 @@ def test_fuzz_jsonl_kernel_total_over_raw_bytes(data):
     from ocr_platform_spark.sources.jsonl import parse_jsonl_bytes
 
     assert parse_jsonl_bytes("f", data) == jsonl_oracle_rows("f", data)
+
+
+# --- microdata scanner -------------------------------------------------------
+
+from tools.make_driver_fixtures import MicroRefCollector  # noqa: E402
+
+_MICRO_TOKENS = st.one_of(
+    _TEXT, _ENTITY,
+    st.sampled_from([
+        "<div itemscope>", "</div>", "<p itemscope>", "</p>",
+        '<div itemscope itemtype="https://schema.org/Product">',
+        '<span itemprop="name">', "</span>", "<span>",
+        '<span itemprop="a">', '<span itemprop="">', "<span itemprop>",
+        '<meta itemprop="m" content="v">', '<meta itemprop="m">',
+        '<meta itemprop="m" content="">',
+        '<a itemprop="u" href="/x">', '<a itemprop="u">', "</a>",
+        '<img itemprop="i" src="/p.png">', '<img itemprop="i">',
+        '<time itemprop="t" datetime="2024-01-01">', "<time itemprop='t'>",
+        "</time>", '<span itemprop="e"/>', "<b>", "</b>",
+        "<!-- c <span itemprop=\"ghost\">g</span> -->",
+        "<script>var x = \"<span itemprop='f'>n</span>\";</script>",
+        "<script>not closed by </scripty> keeps going</script>",
+        '<SPAN ITEMPROP="up">', "</SPAN>",
+    ]))
+
+
+def _ref_micro(doc: str):
+    c = MicroRefCollector()
+    c.feed(doc)
+    c.close()
+    return c.rows
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_MICRO_TOKENS, min_size=0, max_size=40))
+def test_fuzz_micro_scanner_matches_html_parser(tokens):
+    from ocr_platform_spark.operators.microdata import scan_microdata
+
+    doc = "".join(tokens)
+    assert scan_microdata(doc) == _ref_micro(doc), doc

@@ -736,6 +736,33 @@ def jsonl_oracle_rows(name: str, data: bytes) -> list[tuple]:
     return out
 
 
+def extract_microdata_fixture() -> None:
+    """Independent replica of operators/microdata.py over the same
+    augmented pages (MicroRefCollector below, html.parser events)."""
+    from ocr_platform_spark.operators.microdata import (MICRO_DOCS,
+                                                        augment_html_micro)
+
+    rows = []
+    for i in range(MICRO_DOCS):
+        d = gen_document(i, seed=SEED)
+        html = augment_html_micro(d["url"], d["html"])
+        if html is None:
+            continue
+        c = MicroRefCollector()
+        c.feed(bytes(html).decode("utf-8", "replace"))
+        c.close()                     # EOF: open text prop never commits
+        for (it, pi, pr, va) in c.rows:
+            rows.append((d["url"], it, pi, pr, va))
+    cols = list(zip(*rows))
+    _write("extract_microdata.parquet", pa.table({
+        "url": pa.array(cols[0], pa.string()),
+        "item_idx": pa.array(cols[1], pa.int64()),
+        "prop_idx": pa.array(cols[2], pa.int64()),
+        "prop": pa.array(cols[3], pa.string()),
+        "value": pa.array(cols[4], pa.string()),
+    }))
+
+
 # --- html.parser reference collectors (module-level: shared by the fixture
 # generators above AND the hypothesis differential fuzz in
 # tests/test_fuzz_scanners.py) -----------------------------------------------
@@ -915,6 +942,66 @@ def meta_ref_scan(doc: str):
         len(c.metas))
 
 
+class MicroRefCollector(HTMLParser):
+    """Independent html.parser-driven implementation of the microdata
+    spec (operators/microdata.py module docstring)."""
+
+    ATTRV = {"meta": "content", "a": "href", "link": "href",
+             "img": "src"}
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.rows: list[tuple] = []
+        self.scope = -1
+        self.counts: dict[int, int] = {}
+        self.pending: tuple | None = None   # (item, prop, tag, parts)
+
+    def _emit(self, item, prop, value):
+        k = self.counts.get(item, 0)
+        self.counts[item] = k + 1
+        self.rows.append((item, k, prop, value))
+
+    def _close_pending(self):
+        if self.pending is not None:
+            item, prop, _t, parts = self.pending
+            self._emit(item, prop, " ".join("".join(parts).split()))
+        self.pending = None
+
+    def _start(self, tag, attrs, selfclosed):
+        amap: dict = {}
+        for k, v in attrs:
+            amap.setdefault(k, v)
+        if "itemscope" in amap or "itemprop" in amap:
+            self._close_pending()
+        if "itemscope" in amap:
+            self.scope += 1
+        if "itemprop" in amap:
+            prop = amap.get("itemprop") or ""
+            av = self.ATTRV.get(tag)
+            if av is not None and amap.get(av) is not None:
+                self._emit(self.scope, prop, amap[av])
+            elif tag == "time" and amap.get("datetime") is not None:
+                self._emit(self.scope, prop, amap["datetime"])
+            elif not selfclosed:
+                self.pending = (self.scope, prop, tag, [])
+            else:
+                self._emit(self.scope, prop, "")
+
+    def handle_starttag(self, tag, attrs):
+        self._start(tag, attrs, False)
+
+    def handle_startendtag(self, tag, attrs):
+        self._start(tag, attrs, True)
+
+    def handle_endtag(self, tag):
+        if self.pending is not None and tag == self.pending[2]:
+            self._close_pending()
+
+    def handle_data(self, data):
+        if self.pending is not None:
+            self.pending[3].append(data)
+
+
 if __name__ == "__main__":
     flagship_pages()
     langid_pages()
@@ -938,3 +1025,4 @@ if __name__ == "__main__":
     ta_compress_ratio()
     extract_headings_fixture()
     jsonl_fixture()
+    extract_microdata_fixture()
