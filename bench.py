@@ -106,6 +106,8 @@ QUERY_SET = [
     "ta_host_median",
     # round-5 wave-46 addition (microdata extraction)
     "extract_microdata",
+    # round-5 wave-47 addition (wide catalog fold)
+    "cx_item_catalog",
 ]
 
 

@@ -37,6 +37,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (LongType, StringType, StructField,
                                StructType)
 
@@ -239,11 +240,59 @@ def extract_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page_microdata(augment_micro(pages_df(spark, MICRO_DOCS)))
 
 
+
+
+def item_catalog(triples: DataFrame) -> DataFrame:
+    """The fold itself, factored so the duplicate-prop tie-break is
+    unit-testable on synthetic triples."""
+    def first_of(prop: str, alias: str):
+        return F.min(F.when(F.col("prop") == prop,
+                            F.struct("prop_idx", "value")))["value"] \
+            .alias(alias)
+
+    return (triples.groupBy("url", "item_idx")
+            .agg(F.count("*").cast("long").alias("n_props"),
+                 first_of("name", "item_name"),
+                 first_of("url", "item_url"),
+                 first_of("image", "image"),
+                 first_of("date", "date")))
+
+
+def cx_item_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumption side of microdata: fold each item's prop triples
+    into one wide catalog record (name/url/image/date + prop count) —
+    the (url, item) grain a product-search or metadata-enrichment
+    pipeline joins against. FIRST-prop-wins inside an item (min by
+    prop_idx via min(struct(prop_idx, value)) — an AGGREGATE, no
+    window; the oracle's arg_min(value, prop_idx) mirrors it exactly,
+    NOT a lexicographic min over values); items keep a row even when
+    sparse, and orphan props (item_idx -1) surface as their own row.
+
+    Oracle = live SQL over the extract_microdata fixture (the
+    cx_canonical_dedup pattern: the fixture pins the scanner, the fold
+    stays SQL)."""
+    return item_catalog(extract_microdata(spark, sf_dir))
+
+
 from ocr_platform_spark.operators.registry import \
     fixture_sql as _fixture_sql  # noqa: E402
+
+CX_ITEM_CATALOG_SQL = (
+    "WITH t AS (" + _fixture_sql("extract_microdata.parquet") + """)
+SELECT url, item_idx,
+       CAST(count(*) AS BIGINT) AS n_props,
+       arg_min(value, prop_idx) FILTER (WHERE prop = 'name')
+           AS item_name,
+       arg_min(value, prop_idx) FILTER (WHERE prop = 'url')
+           AS item_url,
+       arg_min(value, prop_idx) FILTER (WHERE prop = 'image') AS image,
+       arg_min(value, prop_idx) FILTER (WHERE prop = 'date') AS date
+FROM t GROUP BY url, item_idx""")
 
 QUERIES: dict = {
     # wave 46: microdata extraction, beyond-window (local-gate record)
     "extract_microdata": (
         extract_microdata, _fixture_sql("extract_microdata.parquet")),
+    # wave 47: wide catalog fold over the triples, beyond-window
+    "cx_item_catalog": (cx_item_catalog, CX_ITEM_CATALOG_SQL),
 }

@@ -110,3 +110,37 @@ def test_extract_microdata_query_invariants(spark):
     assert {"name", "url", "image", "date", "site"} <= props
     assert any(r["item_idx"] == -1 for r in rows)            # orphans
     assert any(r["item_idx"] == 1 for r in rows)             # second item
+
+
+# --- wide catalog fold -------------------------------------------------------
+
+def test_item_catalog_first_prop_wins_not_lexicographic(spark):
+    """Duplicate props inside an item: the FIRST (lowest prop_idx)
+    wins, even when a later value sorts lexicographically smaller —
+    the exact trap an unordered min(value) oracle would hide."""
+    from ocr_platform_spark.operators.microdata import item_catalog
+
+    triples = spark.createDataFrame(
+        [("u", 0, 0, "name", "zzz first"),
+         ("u", 0, 1, "name", "aaa later"),    # lexicographically smaller
+         ("u", 0, 2, "url", "/b"),
+         ("u", 1, 0, "image", "/i.png")],
+        "url string, item_idx long, prop_idx long, prop string,"
+        " value string")
+    rows = {r["item_idx"]: r for r in item_catalog(triples).collect()}
+    assert rows[0]["item_name"] == "zzz first"
+    assert rows[0]["item_url"] == "/b" and rows[0]["n_props"] == 3
+    assert rows[1]["image"] == "/i.png" and rows[1]["item_name"] is None
+
+
+def test_cx_item_catalog_covers_all_items(spark):
+    from ocr_platform_spark.operators.microdata import (cx_item_catalog,
+                                                        extract_microdata)
+
+    items = {(r["url"], r["item_idx"])
+             for r in extract_microdata(spark, SF_DIR).collect()}
+    rows = cx_item_catalog(spark, SF_DIR).collect()
+    assert {(r["url"], r["item_idx"]) for r in rows} == items
+    assert any(r["item_idx"] == -1 for r in rows)        # orphan rows
+    assert any(r["item_name"] is None for r in rows)     # sparse items
+    assert any(r["item_name"] and r["item_url"] for r in rows)
