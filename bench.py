@@ -108,6 +108,8 @@ QUERY_SET = [
     "extract_microdata",
     # round-5 wave-47 addition (wide catalog fold)
     "cx_item_catalog",
+    # round-5 wave-48 additions (content-defined chunking)
+    "dd_cdc_chunks", "dd_cdc_census",
 ]
 
 

@@ -47,7 +47,7 @@ def assert_fixture_scale(sf_dir: str, query: str,
 
 def _modules():
     from ocr_platform_spark.operators import (
-        asof, crawldelta, curation, dedup, incremental, kmeans,
+        asof, cdc, crawldelta, curation, dedup, incremental, kmeans,
         microdata, outline, pagemeta, pdf_extract, relational, robots,
         scalar_queries, search, similarity, sitemap, sketches, tablex,
         text_analysis, webcorpus, webgraph, weblinks)
@@ -64,7 +64,7 @@ def _modules():
             similarity, curation, pdf_extract, windowed, sessions,
             webcorpus, webgraph, weblinks, corpus_job, search, robots,
             asof, sitemap, crawldelta, sketches, pagemeta, tablex,
-            kmeans, outline, jsonl, microdata)
+            kmeans, outline, jsonl, microdata, cdc)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -214,3 +214,31 @@ def test_fuzz_micro_scanner_matches_html_parser(tokens):
 
     doc = "".join(tokens)
     assert scan_microdata(doc) == _ref_micro(doc), doc
+
+
+# --- content-defined chunking (total over arbitrary bytes) -------------------
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=4000))
+def test_fuzz_cdc_matches_independent_rolling_pass(data):
+    """Production cdc_chunks vs a test-local re-implementation of the
+    spec (mask arithmetic via modulo, different loop shape) — both
+    total over bytes."""
+    import hashlib
+
+    from ocr_platform_spark.operators.cdc import (CDC_MASK, CDC_MAX,
+                                                  CDC_MIN, GEAR,
+                                                  cdc_chunks)
+
+    rows, start, h, n = [], 0, 0, 0
+    for i, b in enumerate(data):
+        h = ((h * 2) + GEAR[b]) % (1 << 62)
+        n += 1
+        if n == CDC_MAX or (n >= CDC_MIN and h % (CDC_MASK + 1) == 0):
+            rows.append(("u", len(rows), start, i + 1 - start,
+                         hashlib.md5(data[start:i + 1]).hexdigest()))
+            start, h, n = i + 1, 0, 0
+    if n:
+        rows.append(("u", len(rows), start, len(data) - start,
+                     hashlib.md5(data[start:]).hexdigest()))
+    assert cdc_chunks("u", data) == rows

@@ -509,3 +509,62 @@ def test_phrase_search_overlapping_and_partial(spark):
     got = {r["doc_id"]: r["n_matches"]
            for r in phrase_search(docs, ("a", "b", "a")).collect()}
     assert got == {1: 2}
+
+
+# --- content-defined chunking ------------------------------------------------
+
+def test_cdc_invariants_and_shift_resistance():
+    """Chunks tile the payload exactly; lengths respect [MIN, MAX] (tail
+    excepted); and CONTENT-defined boundaries resynchronize after an
+    insertion — the property fixed-size blocks lack."""
+    import hashlib
+
+    from ocr_platform_spark.operators.cdc import (CDC_MAX, CDC_MIN,
+                                                  cdc_chunks)
+
+    data = b"".join(hashlib.sha256(str(i).encode()).digest()
+                    for i in range(200))               # 6400 distinct bytes
+    rows = cdc_chunks("u", data)
+    assert rows[0][2] == 0
+    for (u, i, off, ln, md5), nxt in zip(rows, rows[1:]):
+        assert nxt[2] == off + ln                      # contiguous
+        assert CDC_MIN <= ln <= CDC_MAX
+        assert md5 == hashlib.md5(data[off:off + ln]).hexdigest()
+    assert rows[-1][2] + rows[-1][3] == len(data)
+    # insert 3 bytes near the front: later chunk hashes reappear
+    shifted = data[:10] + b"XYZ" + data[10:]
+    h_orig = {r[4] for r in rows}
+    h_shift = {r[4] for r in cdc_chunks("u", shifted)}
+    assert len(h_orig & h_shift) >= len(h_orig) // 2
+
+
+def test_cdc_empty_and_tiny_payloads():
+    from ocr_platform_spark.operators.cdc import cdc_chunks
+
+    assert cdc_chunks("u", b"") == []
+    rows = cdc_chunks("u", b"abc")          # under MIN: one tail chunk
+    assert len(rows) == 1 and rows[0][3] == 3
+
+
+def test_cdc_census_prices_shared_boilerplate(spark):
+    """Same-host pages share nav/header markup: the census must find
+    multi-url shared chunks, and every census row must be consistent
+    with the raw chunk table."""
+    from pyspark.sql import functions as F
+
+    from ocr_platform_spark.operators.cdc import (dd_cdc_census,
+                                                  dd_cdc_chunks)
+
+    census = {r["chunk_md5"]: r for r in
+              dd_cdc_census(spark, SF).collect()}
+    assert census
+    assert any(r["n_urls"] > 1 for r in census.values())
+    raw = (dd_cdc_chunks(spark, SF).groupBy("chunk_md5")
+           .agg(F.count("*").alias("n"),
+                F.countDistinct("url").alias("u")).collect())
+    for r in raw:
+        if r["n"] > 1:
+            c = census[r["chunk_md5"]]
+            assert (c["n_copies"], c["n_urls"]) == (r["n"], r["u"])
+        else:
+            assert r["chunk_md5"] not in census

@@ -763,6 +763,45 @@ def extract_microdata_fixture() -> None:
     }))
 
 
+def cdc_fixture() -> None:
+    """Independent re-chunking of the same page bytes: a separately
+    written rolling-hash pass implementing the operators/cdc.py spec
+    (shared GEAR constants; the LOOP is written twice)."""
+    from ocr_platform_spark.operators.cdc import (CDC_DOCS, CDC_MASK,
+                                                  CDC_MAX, CDC_MIN, GEAR)
+
+    def oracle_chunks(url, data):
+        rows, start, h, n = [], 0, 0, 0
+        i = 0
+        while i < len(data):
+            h = ((h * 2) + GEAR[data[i]]) % (1 << 62)
+            n += 1
+            i += 1
+            if n == CDC_MAX or (n >= CDC_MIN and h % (CDC_MASK + 1) == 0):
+                rows.append((url, len(rows), start, i - start,
+                             hashlib.md5(data[start:i]).hexdigest()))
+                start, h, n = i, 0, 0
+        if n:
+            rows.append((url, len(rows), start, len(data) - start,
+                         hashlib.md5(data[start:]).hexdigest()))
+        return rows
+
+    rows = []
+    for i in range(CDC_DOCS):
+        d = gen_document(i, seed=SEED)
+        if d["html"] is None:
+            continue
+        rows.extend(oracle_chunks(d["url"], bytes(d["html"])))
+    cols = list(zip(*rows))
+    _write("dd_cdc_chunks.parquet", pa.table({
+        "url": pa.array(cols[0], pa.string()),
+        "chunk_idx": pa.array(cols[1], pa.int64()),
+        "offset": pa.array(cols[2], pa.int64()),
+        "length": pa.array(cols[3], pa.int64()),
+        "chunk_md5": pa.array(cols[4], pa.string()),
+    }))
+
+
 # --- html.parser reference collectors (module-level: shared by the fixture
 # generators above AND the hypothesis differential fuzz in
 # tests/test_fuzz_scanners.py) -----------------------------------------------
@@ -1026,3 +1065,4 @@ if __name__ == "__main__":
     extract_headings_fixture()
     jsonl_fixture()
     extract_microdata_fixture()
+    cdc_fixture()
