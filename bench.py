@@ -110,6 +110,8 @@ QUERY_SET = [
     "cx_item_catalog",
     # round-5 wave-48 additions (content-defined chunking)
     "dd_cdc_chunks", "dd_cdc_census",
+    # round-5 wave-49 addition (RSS/Atom feed extraction)
+    "extract_feed",
 ]
 
 

@@ -242,3 +242,47 @@ def test_fuzz_cdc_matches_independent_rolling_pass(data):
         rows.append(("u", len(rows), start, len(data) - start,
                      hashlib.md5(data[start:]).hexdigest()))
     assert cdc_chunks("u", data) == rows
+
+
+# --- feed scanner ------------------------------------------------------------
+
+from tools.make_driver_fixtures import FeedRefCollector  # noqa: E402
+
+_FEED_TOKENS = st.one_of(
+    _TEXT, _ENTITY,
+    st.sampled_from([
+        "<rss>", "</rss>", "<channel>", "</channel>",
+        "<feed>", "</feed>", "<item>", "</item>", "<entry>", "</entry>",
+        "<item/>", "<entry/>",
+        "<title>", "</title>", "<title/>",
+        "<link>", "</link>", '<link href="https://x/a"/>',
+        '<link href="https://x/b">', "<link href>",
+        "<pubDate>", "</pubDate>", "<updated>", "</updated>",
+        "<TITLE>", "</TITLE>", "<PubDate>",
+        "<!-- <item><title>ghost</title></item> -->",
+        "<description>", "</description>",
+        "<script>var x = \"<item><title>f</title></item>\";</script>",
+    ]))
+
+
+def _ref_feed(doc: str):
+    c = FeedRefCollector()
+    c.feed(doc)
+    c.close()
+    out = []
+    for e in sorted(c.fields):
+        d = c.fields[e]
+        if e == -1 and not d:
+            continue
+        out.append((e, d.get("title"), d.get("link"),
+                    d.get("updated"), len(d)))
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_FEED_TOKENS, min_size=0, max_size=40))
+def test_fuzz_feed_scanner_matches_html_parser(tokens):
+    from ocr_platform_spark.operators.feeds import scan_feed
+
+    doc = "".join(tokens)
+    assert scan_feed(doc) == _ref_feed(doc), doc

@@ -802,6 +802,34 @@ def cdc_fixture() -> None:
     }))
 
 
+def feeds_fixture() -> None:
+    """Independent replica of operators/feeds.py over the same synthetic
+    feed corpus (FeedRefCollector below, html.parser events)."""
+    from ocr_platform_spark.operators.feeds import FEED_DOCS, feed_doc
+
+    rows = []
+    for i in range(FEED_DOCS):
+        url, xml = feed_doc(i)
+        c = FeedRefCollector()
+        c.feed(xml.decode("utf-8", "replace"))
+        c.close()                     # EOF: open field never commits
+        for e in sorted(c.fields):
+            d = c.fields[e]
+            if e == -1 and not d:
+                continue
+            rows.append((url, e, d.get("title"), d.get("link"),
+                         d.get("updated"), len(d)))
+    cols = list(zip(*rows))
+    _write("extract_feed.parquet", pa.table({
+        "url": pa.array(cols[0], pa.string()),
+        "entry_idx": pa.array(cols[1], pa.int64()),
+        "title": pa.array(cols[2], pa.string()),
+        "link": pa.array(cols[3], pa.string()),
+        "updated": pa.array(cols[4], pa.string()),
+        "n_fields": pa.array(cols[5], pa.int64()),
+    }))
+
+
 # --- html.parser reference collectors (module-level: shared by the fixture
 # generators above AND the hypothesis differential fuzz in
 # tests/test_fuzz_scanners.py) -----------------------------------------------
@@ -1041,6 +1069,63 @@ class MicroRefCollector(HTMLParser):
             self.pending[3].append(data)
 
 
+class FeedRefCollector(HTMLParser):
+    """Independent html.parser-driven implementation of the feed spec
+    (operators/feeds.py module docstring)."""
+
+    ENTRY = ("item", "entry")
+    FIELD = {"title": "title", "link": "link",
+             "pubdate": "updated", "updated": "updated"}
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.fields: dict[int, dict] = {}
+        self.scope = -1
+        self.pending: tuple | None = None   # (entry, field, tag, parts)
+
+    def _set(self, entry, field, value):
+        self.fields.setdefault(entry, {}).setdefault(field, value)
+
+    def _close_pending(self):
+        if self.pending is not None:
+            e, field, _t, parts = self.pending
+            self._set(e, field, " ".join("".join(parts).split()))
+        self.pending = None
+
+    def _start(self, tag, attrs, selfclosed):
+        if tag in self.ENTRY or tag in self.FIELD:
+            self._close_pending()
+        if tag in self.ENTRY:
+            self.scope += 1
+            self.fields.setdefault(self.scope, {})
+            return
+        if tag in self.FIELD:
+            amap: dict = {}
+            for k, v in attrs:
+                amap.setdefault(k, v)
+            field = self.FIELD[tag]
+            if tag == "link" and amap.get("href") is not None:
+                self._set(self.scope, field, amap["href"])
+            elif not selfclosed:
+                self.pending = (self.scope, field, tag, [])
+            else:
+                self._set(self.scope, field, "")
+
+    def handle_starttag(self, tag, attrs):
+        self._start(tag, attrs, False)
+
+    def handle_startendtag(self, tag, attrs):
+        self._start(tag, attrs, True)
+
+    def handle_endtag(self, tag):
+        if self.pending is not None and tag == self.pending[2]:
+            self._close_pending()
+
+    def handle_data(self, data):
+        if self.pending is not None:
+            self.pending[3].append(data)
+
+
 if __name__ == "__main__":
     flagship_pages()
     langid_pages()
@@ -1066,3 +1151,4 @@ if __name__ == "__main__":
     jsonl_fixture()
     extract_microdata_fixture()
     cdc_fixture()
+    feeds_fixture()
