@@ -112,6 +112,8 @@ QUERY_SET = [
     "dd_cdc_chunks", "dd_cdc_census",
     # round-5 wave-49 addition (RSS/Atom feed extraction)
     "extract_feed",
+    # round-5 wave-50 addition (inverse-CDF percentile normalization)
+    "ta_lm_percentile",
 ]
 
 

@@ -756,6 +756,90 @@ FROM est
 """
 
 
+# --- inverse-CDF percentile normalization ----------------------------------
+# The OTHER direction of the quantile sketch: quantile_sketch maps
+# p -> value; this maps each document's VALUE -> approximate percentile
+# (the inverse CDF) — the normalization step that makes scores from
+# different corpora comparable before mixing (CCNet normalizes LM
+# scores exactly this way). Estimate: rank(v) = cum_before(bin(v)) +
+# (v - 2^bin) * cnt_bin DIV 2^bin (within-bin linear interpolation, the
+# mirror of the quantile estimator), pct_x1e4 = rank * 10000 DIV N.
+# All int64, both engines identical. The histogram collapses to <=64
+# rows and BROADCASTS back onto the corpus projection; the scored
+# relation persists with the evict-predecessor pattern (two consumers:
+# histogram + projection).
+
+_last_pct_scored = None
+
+
+def pct_release() -> None:
+    global _last_pct_scored
+    if _last_pct_scored is not None:
+        try:
+            _last_pct_scored.unpersist(blocking=False)
+        except Exception:
+            pass
+        _last_pct_scored = None
+
+
+def ta_lm_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from ocr_platform_spark.operators.text_analysis import lm_scores
+
+    scored = (lm_scores(load(spark, sf_dir, "documents"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    pct_release()
+    global _last_pct_scored
+    _last_pct_scored = scored
+
+    from pyspark.sql.window import Window
+
+    hist = (scored.select(
+        (F.length(F.bin(F.col("lm_score_x1e6"))) - 1).cast("long")
+        .alias("bin"))
+        .groupBy("bin").agg(F.count("*").alias("cnt")))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    wt = (Window.orderBy(F.lit(1))
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    cum = (hist
+           .withColumn("cum_before",
+                       F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+           .withColumn("n_total", F.sum("cnt").over(wt)))
+    v = F.col("lm_score_x1e6")
+    width = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT))")
+    rank = (F.col("cum_before")
+            + F.call_function("div",
+                              F.greatest(v - width, F.lit(0).cast("long"))
+                              * F.col("cnt"), width))
+    return (scored
+            .withColumn("bin",
+                        (F.length(F.bin(v)) - 1).cast("long"))
+            .join(F.broadcast(cum), "bin")
+            .select("doc_id", "lm_score_x1e6",
+                    F.call_function("div", rank * 10000,
+                                    F.col("n_total"))
+                    .cast("long").alias("pct_x1e4")))
+
+
+def _lm_percentile_sql() -> str:
+    from ocr_platform_spark.operators.text_analysis import TA_LM_SQL
+
+    return (f"WITH scored AS ({TA_LM_SQL}),\n"
+            + _hist_cum_ctes("scored", "lm_score_x1e6") + """
+SELECT s.doc_id, s.lm_score_x1e6,
+       CAST(((c.cum_before
+              + (greatest(s.lm_score_x1e6
+                          - (CAST(1 AS BIGINT) << CAST(c.bin AS INT)), 0)
+                 * c.cnt) // (CAST(1 AS BIGINT) << CAST(c.bin AS INT)))
+             * 10000) // c.n_total AS BIGINT) AS pct_x1e4
+FROM scored s
+JOIN cum c
+  ON c.bin = CAST(length(bin(s.lm_score_x1e6)) - 1 AS BIGINT)
+""")
+
+
 QUERIES: dict = {
     "ta_kmv_distinct": (ta_kmv_distinct, TA_KMV_SQL),
     "ta_quantile_sketch": (ta_quantile_sketch, TA_QS_SQL),
@@ -773,4 +857,6 @@ QUERIES: dict = {
     "ta_hll_distinct": (ta_hll_distinct, TA_HLL_SQL),
     # wave 45: grouped quantile sketch (per-host median), beyond-window
     "ta_host_median": (ta_host_median, TA_HOST_MEDIAN_SQL),
+    # wave 50: inverse-CDF percentile normalization, beyond-window
+    "ta_lm_percentile": (ta_lm_percentile, _lm_percentile_sql()),
 }

@@ -697,3 +697,44 @@ def test_host_median_window_is_per_group_bounded(spark):
     assert win_lines                      # the windows exist...
     for ln in win_lines:                  # ...and every one keys on source
         assert "windowspecdefinition(source" in ln, ln
+
+
+# --- inverse-CDF percentile normalization ------------------------------------
+
+def test_lm_percentile_matches_python_and_is_monotone(spark):
+    """pct must equal the pure-Python inverse-CDF recompute, be bounded
+    in [0, 10000], and be monotone non-decreasing in the score."""
+    from ocr_platform_spark.operators.sketches import ta_lm_percentile
+    from ocr_platform_spark.operators.tables import load
+    from ocr_platform_spark.operators.text_analysis import lm_scores
+
+    scores = {r["doc_id"]: r["lm_score_x1e6"]
+              for r in lm_scores(load(spark, SF_DIR, "documents"))
+              .collect()}
+    hist: dict = {}
+    for v in scores.values():
+        b = max(v.bit_length() - 1, 0)
+        hist[b] = hist.get(b, 0) + 1
+    n = len(scores)
+    cumb = {}
+    cum = 0
+    for b in sorted(hist):
+        cumb[b] = cum
+        cum += hist[b]
+
+    def pct(v):
+        b = max(v.bit_length() - 1, 0)
+        rank = cumb[b] + max(v - (1 << b), 0) * hist[b] // (1 << b)
+        return rank * 10000 // n
+
+    got = {r["doc_id"]: (r["lm_score_x1e6"], r["pct_x1e4"])
+           for r in ta_lm_percentile(spark, SF_DIR).collect()}
+    assert set(got) == set(scores)                     # never-drop
+    for doc_id, (v, p) in got.items():
+        assert v == scores[doc_id]
+        assert p == pct(v), (doc_id, v)
+        assert 0 <= p <= 10000
+    by_score = sorted(got.values())
+    assert all(a[1] <= b[1] for a, b in zip(by_score, by_score[1:]))
+    # the normalization discriminates (not all equal)
+    assert len({p for _, p in got.values()}) > 10
