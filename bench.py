@@ -114,6 +114,8 @@ QUERY_SET = [
     "extract_feed",
     # round-5 wave-50 addition (inverse-CDF percentile normalization)
     "ta_lm_percentile",
+    # round-5 wave-51 addition (feed-driven recrawl queue)
+    "cx_feed_recrawl",
 ]
 
 

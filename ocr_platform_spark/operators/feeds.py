@@ -219,12 +219,58 @@ def extract_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page_feeds(feeds_df(spark))
 
 
+
+
+def cx_feed_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scheduling step feed discovery exists for: collapse every
+    feed-announced link onto ONE recrawl candidate carrying its newest
+    announcement (keep-newest as a MAX-STRUCT AGGREGATE over
+    (updated, url, entry_idx) — no window; a link announced by a
+    million feeds is one combine-able row), counting how many feeds
+    announce it (syndication fan-in = a popularity prior the frontier
+    can rank by). Entries without a link (or the -1 header rows) are
+    not candidates and drop here BY CONTRACT — the extraction query
+    keeps them; this is the consumer. Oracle = live SQL over the feed
+    fixture (fixture pins the scanner; the fold stays SQL)."""
+    from pyspark.sql import functions as F
+
+    entries = extract_feed(spark, sf_dir)
+    cands = entries.where(F.col("link").isNotNull()
+                          & (F.col("entry_idx") >= 0))
+    newest = F.max(F.struct(
+        F.coalesce("updated", F.lit("")).alias("u"),
+        F.col("url").alias("feed_url")))
+    return (cands.groupBy("link")
+            .agg(F.count("*").cast("long").alias("n_announcements"),
+                 F.countDistinct("url").cast("long").alias("n_feeds"),
+                 newest.alias("k"))
+            .select("link", "n_announcements", "n_feeds",
+                    F.when(F.col("k.u") == "", None)
+                    .otherwise(F.col("k.u")).alias("newest_updated"),
+                    F.col("k.feed_url").alias("newest_feed")))
+
+
 from ocr_platform_spark.operators.registry import \
     fixture_sql as _fixture_sql  # noqa: E402
+
+CX_FEED_RECRAWL_SQL = (
+    "WITH e AS (" + _fixture_sql("extract_feed.parquet") + """)
+SELECT link, CAST(count(*) AS BIGINT) AS n_announcements,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_feeds,
+       CASE WHEN max(coalesce(updated, '') || chr(1) || url)
+                 LIKE chr(1) || '%' THEN NULL
+            ELSE split_part(max(coalesce(updated, '') || chr(1) || url),
+                            chr(1), 1) END AS newest_updated,
+       split_part(max(coalesce(updated, '') || chr(1) || url),
+                  chr(1), 2) AS newest_feed
+FROM e WHERE link IS NOT NULL AND entry_idx >= 0
+GROUP BY link""")
 
 QUERIES: dict = {
     # wave 49: RSS/Atom feed extraction, beyond-window (local-gate
     # record)
     "extract_feed": (
         extract_feed, _fixture_sql("extract_feed.parquet")),
+    # wave 51: feed-driven recrawl queue, beyond-window
+    "cx_feed_recrawl": (cx_feed_recrawl, CX_FEED_RECRAWL_SQL),
 }

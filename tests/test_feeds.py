@@ -78,3 +78,32 @@ def test_extract_feed_query_invariants(spark):
     assert not any("shadowed" in (r["title"] or "") for r in rows)
     assert any(r["link"] and r["link"].startswith("https://s.example/")
                for r in rows)
+
+
+# --- feed-driven recrawl queue -----------------------------------------------
+
+def test_feed_recrawl_keep_newest_and_fanin(spark):
+    """One candidate per link carrying the newest announcement; counts
+    match a pure-Python recount; headers and linkless entries excluded
+    by contract."""
+    from ocr_platform_spark.operators.feeds import (cx_feed_recrawl,
+                                                    extract_feed)
+
+    entries = extract_feed(spark, SF_DIR).collect()
+    want: dict = {}
+    for r in entries:
+        if r["link"] is None or r["entry_idx"] < 0:
+            continue
+        n, feeds, best = want.get(r["link"], (0, set(), None))
+        key = (r["updated"] or "", r["url"])
+        best = key if best is None or key > best else best
+        want[r["link"]] = (n + 1, feeds | {r["url"]}, best)
+    got = {r["link"]: r for r in cx_feed_recrawl(spark, SF_DIR).collect()}
+    assert set(got) == set(want)
+    for link, (n, feeds, (u, furl)) in want.items():
+        g = got[link]
+        assert (g["n_announcements"], g["n_feeds"]) == (n, len(feeds))
+        assert g["newest_updated"] == (u or None)
+        assert g["newest_feed"] == furl
+    # some links carry no timestamp (the NULL branch is live)
+    assert any(g["newest_updated"] is None for g in got.values())
