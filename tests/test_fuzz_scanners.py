@@ -286,3 +286,42 @@ def test_fuzz_feed_scanner_matches_html_parser(tokens):
 
     doc = "".join(tokens)
     assert scan_feed(doc) == _ref_feed(doc), doc
+
+
+# --- code-block scanner ------------------------------------------------------
+
+from tools.make_driver_fixtures import CodeRefCollector  # noqa: E402
+
+_CODE_TOKENS = st.one_of(
+    _TEXT, _ENTITY, st.sampled_from(["\n", "    ", "\n    "]),
+    st.sampled_from([
+        "<pre>", "</pre>", "<pre/>", "<PRE>", "</PRE>",
+        '<pre class="language-python">', "<pre class='lang-JS high'>",
+        '<pre class="language-">', '<pre class="token k">',
+        "<code>", "</code>", '<code class="highlight lang-rs">',
+        '<code class="lang-"/>', '<code class="language-sql">',
+        "<br>", "<br/>", "<BR>", "</br>",
+        '<span class="k">', "</span>", '<span class="lang-ghost">',
+        "<b>", "</b>", "<p>", "</p>",
+        "<!-- <pre>ghost</pre> -->",
+        "<script>if (a &lt; b) x;</script>",
+        "<script>var t = \"</pre>\";</script>",
+        "<script>not closed by </scripty> keeps going</script>",
+        "<style>pre{}</style>",
+    ]))
+
+
+def _ref_code(doc: str):
+    c = CodeRefCollector()
+    c.feed(doc)
+    c.close()
+    return c.out
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_CODE_TOKENS, min_size=0, max_size=40))
+def test_fuzz_code_scanner_matches_html_parser(tokens):
+    from ocr_platform_spark.operators.codeblocks import scan_code
+
+    doc = "".join(tokens)
+    assert scan_code(doc) == _ref_code(doc), doc

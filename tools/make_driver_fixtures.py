@@ -1126,6 +1126,93 @@ class FeedRefCollector(HTMLParser):
             self.pending[3].append(data)
 
 
+class CodeRefCollector(HTMLParser):
+    """Independent html.parser-driven implementation of the code-block
+    spec (operators/codeblocks.py module docstring). html.parser's CDATA
+    mode delivers script/style bodies raw and undecoded, matching the
+    scanner's raw-capture rule without extra work."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.out: list[tuple] = []
+        self.open = False
+        self.lang = None
+        self.parts: list[str] = []
+
+    @staticmethod
+    def _lang(attrs):
+        amap: dict = {}
+        for k, v in attrs:
+            amap.setdefault(k, v)
+        for tok in (amap.get("class") or "").split():
+            low = tok.lower()
+            for pfx in ("language-", "lang-"):
+                if low.startswith(pfx):
+                    if len(tok) > len(pfx):
+                        return tok[len(pfx):].lower()
+                    break     # bare prefix: dead token, try the next one
+        return None
+
+    def _start(self, tag, attrs, selfclosed):
+        if not self.open:
+            if tag == "pre" and not selfclosed:
+                self.open = True
+                self.lang = self._lang(attrs)
+                self.parts = []
+            return
+        if tag == "br":
+            self.parts.append("\n")
+        elif tag == "code" and self.lang is None:
+            self.lang = self._lang(attrs)
+
+    def handle_starttag(self, tag, attrs):
+        self._start(tag, attrs, False)
+
+    def handle_startendtag(self, tag, attrs):
+        self._start(tag, attrs, True)
+
+    def handle_endtag(self, tag):
+        if self.open and tag == "pre":
+            text = "".join(self.parts)
+            if text.startswith("\n"):
+                text = text[1:]
+            self.out.append((len(self.out), self.lang, text,
+                             text.count("\n") + 1 if text else 0,
+                             len(text)))
+            self.open = False
+            self.lang = None
+            self.parts = []
+
+    def handle_data(self, data):
+        if self.open:
+            self.parts.append(data)
+
+
+def codeblocks_fixture() -> None:
+    """Independent replica of operators/codeblocks.py over the same
+    synthetic code-page corpus (CodeRefCollector above)."""
+    from ocr_platform_spark.operators.codeblocks import (CODE_DOCS,
+                                                         code_doc)
+
+    rows = []
+    for i in range(CODE_DOCS):
+        url, html = code_doc(i)
+        c = CodeRefCollector()
+        c.feed(html.decode("utf-8", "replace"))
+        c.close()                     # EOF: open block never commits
+        for (bi, lg, tx, nl, nc) in c.out:
+            rows.append((url, bi, lg, tx, nl, nc))
+    cols = list(zip(*rows))
+    _write("extract_code.parquet", pa.table({
+        "url": pa.array(cols[0], pa.string()),
+        "block_idx": pa.array(cols[1], pa.int64()),
+        "lang": pa.array(cols[2], pa.string()),
+        "text": pa.array(cols[3], pa.string()),
+        "n_lines": pa.array(cols[4], pa.int64()),
+        "n_chars": pa.array(cols[5], pa.int64()),
+    }))
+
+
 if __name__ == "__main__":
     flagship_pages()
     langid_pages()
@@ -1152,3 +1239,4 @@ if __name__ == "__main__":
     extract_microdata_fixture()
     cdc_fixture()
     feeds_fixture()
+    codeblocks_fixture()
