@@ -48,9 +48,10 @@ def assert_fixture_scale(sf_dir: str, query: str,
 def _modules():
     from ocr_platform_spark.operators import (
         asof, cdc, codeblocks, crawldelta, curation, dedup, feeds,
-        incremental, kmeans, microdata, outline, pagemeta, pdf_extract,
-        relational, robots, scalar_queries, search, similarity, sitemap,
-        sketches, tablex, text_analysis, webcorpus, webgraph, weblinks)
+        imagedup, incremental, kmeans, microdata, outline, pagemeta,
+        pdf_extract, relational, robots, scalar_queries, search,
+        similarity, sitemap, sketches, tablex, text_analysis, webcorpus,
+        webgraph, weblinks)
     from ocr_platform_spark.plans import corpus_job
     from ocr_platform_spark.sources import jsonl
     from ocr_platform_spark.streaming import sessions, windowed
@@ -64,7 +65,8 @@ def _modules():
             similarity, curation, pdf_extract, windowed, sessions,
             webcorpus, webgraph, weblinks, corpus_job, search, robots,
             asof, sitemap, crawldelta, sketches, pagemeta, tablex,
-            kmeans, outline, jsonl, microdata, cdc, feeds, codeblocks)
+            kmeans, outline, jsonl, microdata, cdc, feeds, codeblocks,
+            imagedup)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:

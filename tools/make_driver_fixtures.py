@@ -1213,6 +1213,55 @@ def codeblocks_fixture() -> None:
     }))
 
 
+def imagedup_fixture() -> None:
+    """Brute-force all-pairs oracle for mm_phash_dedup: an independent
+    numpy dHash (flat 64-bit int, different grid/packing code) over the
+    same corpus, quadratic scan — so the gate pins BOTH the hash kernel
+    and the banded join's pigeonhole completeness."""
+    import numpy as np
+
+    from ocr_platform_spark.datagen import gen_media
+    from ocr_platform_spark.operators.imagedup import (GRID_H, GRID_W,
+                                                       MAX_HAMMING,
+                                                       PHASH_DOCS,
+                                                       twin_doc)
+    from ocr_platform_spark.operators.multimodal import decode_image
+
+    def ref_hash(payload: bytes) -> int:
+        w, h, ch, px = decode_image(payload)
+        arr = np.frombuffer(px, np.uint8).astype(np.int64).reshape(
+            h, w, ch)
+        ys = (np.arange(GRID_H) * h) // GRID_H
+        xs = (np.arange(GRID_W) * w) // GRID_W
+        g = arr[ys][:, xs].sum(axis=2) // ch       # integer channel mean
+        bits = (g[:, :-1] < g[:, 1:]).astype(np.uint64).ravel()
+        v = 0
+        for bit in bits:
+            v = (v << 1) | int(bit)
+        return v
+
+    hashes = {}
+    for i in range(PHASH_DOCS):
+        for row in filter(None, [gen_media(i), twin_doc(i)]):
+            try:
+                hashes[row["url"]] = ref_hash(row["media"])
+            except Exception:
+                continue                  # corrupt/audio/video: no hash
+    urls = sorted(hashes)
+    rows = []
+    for i, a in enumerate(urls):
+        for b in urls[i + 1:]:
+            d = bin(hashes[a] ^ hashes[b]).count("1")
+            if d <= MAX_HAMMING:
+                rows.append((a, b, d))
+    cols = list(zip(*rows))
+    _write("mm_phash_dedup.parquet", pa.table({
+        "url_a": pa.array(cols[0], pa.string()),
+        "url_b": pa.array(cols[1], pa.string()),
+        "hamming": pa.array(cols[2], pa.int64()),
+    }))
+
+
 if __name__ == "__main__":
     flagship_pages()
     langid_pages()
@@ -1240,3 +1289,4 @@ if __name__ == "__main__":
     cdc_fixture()
     feeds_fixture()
     codeblocks_fixture()
+    imagedup_fixture()
