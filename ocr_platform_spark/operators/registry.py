@@ -54,7 +54,7 @@ def _modules():
         webgraph, weblinks)
     from ocr_platform_spark.plans import corpus_job
     from ocr_platform_spark.sources import jsonl
-    from ocr_platform_spark.streaming import sessions, windowed
+    from ocr_platform_spark.streaming import attribution, sessions, windowed
     # corpus_job last: a round-4 late addition — it must NOT displace any
     # of the front-loaded queries out of the driver's 50-row CORRECTNESS
     # window this round; round 5 front-loads it for a driver row.
@@ -66,7 +66,7 @@ def _modules():
             webcorpus, webgraph, weblinks, corpus_job, search, robots,
             asof, sitemap, crawldelta, sketches, pagemeta, tablex,
             kmeans, outline, jsonl, microdata, cdc, feeds, codeblocks,
-            imagedup)
+            imagedup, attribution)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
