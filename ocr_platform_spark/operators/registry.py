@@ -51,7 +51,7 @@ def _modules():
         imagedup, incremental, kmeans, microdata, outline, pagemeta,
         pdf_extract, relational, robots, scalar_queries, search,
         similarity, sitemap, sketches, tablex, text_analysis, webcorpus,
-        webgraph, weblinks)
+        webgraph, weblinks, zorder)
     from ocr_platform_spark.plans import corpus_job
     from ocr_platform_spark.sources import jsonl
     from ocr_platform_spark.streaming import attribution, sessions, windowed
@@ -66,7 +66,7 @@ def _modules():
             webcorpus, webgraph, weblinks, corpus_job, search, robots,
             asof, sitemap, crawldelta, sketches, pagemeta, tablex,
             kmeans, outline, jsonl, microdata, cdc, feeds, codeblocks,
-            imagedup, attribution, cdx)
+            imagedup, attribution, cdx, zorder)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
