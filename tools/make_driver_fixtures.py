@@ -1262,6 +1262,32 @@ def imagedup_fixture() -> None:
     }))
 
 
+def bpetrain_fixture() -> None:
+    """Sequential-trainer oracle for ml_bpe_train: the dict+Counter
+    ``train_bpe`` (functions/bpe.py — a different algorithm shape from
+    the distributed regex/aggregate loop) over the same corpus."""
+    from collections import Counter
+
+    import duckdb
+
+    from ocr_platform_spark.functions.bpe import pretokenize, train_bpe
+    from ocr_platform_spark.operators.bpetrain import N_MERGES
+
+    texts = [t for (t,) in duckdb.sql(
+        "SELECT text FROM read_parquet("
+        "'/root/testdata/sf0.01/documents.parquet') ORDER BY doc_id"
+    ).fetchall() if t]
+    counts: Counter = Counter()
+    for t in texts:
+        counts.update(pretokenize(t))
+    merges = train_bpe(dict(counts), N_MERGES)
+    _write("ml_bpe_train.sf0.01.parquet", pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left": pa.array([a for a, _ in merges], pa.string()),
+        "right": pa.array([b for _, b in merges], pa.string()),
+    }))
+
+
 if __name__ == "__main__":
     flagship_pages()
     langid_pages()
@@ -1290,3 +1316,4 @@ if __name__ == "__main__":
     feeds_fixture()
     codeblocks_fixture()
     imagedup_fixture()
+    bpetrain_fixture()
