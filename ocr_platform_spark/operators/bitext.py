@@ -1,0 +1,158 @@
+"""Margin-based bitext mining — parallel-corpus extraction.
+
+Multilingual training sets are mined, not found: for every non-English
+document, score English candidates and keep a pair only when the best
+candidate is not just NEAR but MARGIN-separated from the rest —
+Artetxe & Schwenk's ratio margin (the LASER/CCMatrix criterion):
+
+    margin(x, y) = cos(x, y) / ((meanK(x) + meanK(y)) / 2)
+
+where meanK is the mean cosine of the row's k nearest neighbors on the
+OTHER side. Absolute-threshold mining fails because embedding spaces
+have hubs (candidates near everything); the margin denominator prices
+each row's own neighborhood density, so a hub's high cosines cancel.
+
+Exact-integer discipline (the ann_* pattern): cosines are the
+sequential-fold doubles of similarity._cos_expr (bit-identical to
+DuckDB's list_cosine_similarity), quantized to floor(cos * 1e9) BEFORE
+any aggregation, so the k-NN means are integer sums — margin_x1e6 =
+(cosq * 8e6) DIV (sumK(x) + sumK(y)) with k = 4, every division on
+positive operands (rows with non-positive denominators are dropped —
+a src whose best four cosines sum negative has no mineable pair by
+construction). Acceptance: best-by-(margin, tgt_id) per src with
+margin_x1e6 >= 1_600_000 — on this corpus the planted translations
+score 1.86-2.25e6 and the best random pair 1.40e6 (measured; the
+liveness test pins full precision AND full recall at this gap).
+
+The corpus plants translations deterministically: every src_id % 3 == 1
+document gets a synthetic English twin (id + 10000) whose vector is
+an elementwise affine nudge of the source (x * 0.97 + 0.013 — enough
+to drop cosine off 1.0 while staying unambiguous).
+
+Scale shape: the all-pairs scoring here is the ORACLE path, guarded by
+the dedup discipline (`_guard_oracle_scale`); at corpus scale
+candidate generation is the existing ANN LSH bucketing
+(similarity.py) and the margin criterion runs on candidates only —
+the denominator's k-NN means come from the same candidate lists,
+exactly how CCMatrix shards it. Documented, not duplicated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocr_platform_spark.operators.dedup import _guard_oracle_scale
+from ocr_platform_spark.operators.similarity import _cos_expr
+from ocr_platform_spark.operators.tables import load
+
+MARGIN_K = 4
+MARGIN_THRESH_X1E6 = 1_600_000
+PLANT_MOD = 3                 # src_id % 3 == 1 sources get a translation
+PLANT_ID_BASE = 10_000
+
+
+def _sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    j = docs.join(emb, docs.doc_id == emb.vec_id)
+    src = (j.where(F.col("lang") != "en")
+           .select(F.col("doc_id").alias("src_id"), F.col("e").alias("es")))
+    planted = (src.where(F.col("src_id") % PLANT_MOD == 1)
+               .select((F.col("src_id") + PLANT_ID_BASE).alias("tgt_id"),
+                       F.transform("es", lambda x: x * 0.97 + 0.013)
+                       .alias("et")))
+    tgt = (j.where(F.col("lang") == "en")
+           .select(F.col("doc_id").alias("tgt_id"),
+                   F.col("e").alias("et"))
+           .unionByName(planted))
+    return src, tgt
+
+
+def mine_bitext(src: DataFrame, tgt: DataFrame,
+                k: int = MARGIN_K,
+                thresh_x1e6: int = MARGIN_THRESH_X1E6) -> DataFrame:
+    pairs = (src.crossJoin(tgt)
+             .select("src_id", "tgt_id",
+                     F.floor(_cos_expr("es", "et") * 1e9)
+                     .cast("long").alias("cosq")))
+    wx = Window.partitionBy("src_id").orderBy(
+        F.desc("cosq"), F.desc("tgt_id"))
+    wy = Window.partitionBy("tgt_id").orderBy(
+        F.desc("cosq"), F.desc("src_id"))
+    ranked = (pairs
+              .withColumn("rx", F.row_number().over(wx))
+              .withColumn("ry", F.row_number().over(wy)))
+    sx = (ranked.where(F.col("rx") <= k).groupBy("src_id")
+          .agg(F.sum("cosq").alias("sx")))
+    sy = (ranked.where(F.col("ry") <= k).groupBy("tgt_id")
+          .agg(F.sum("cosq").alias("sy")))
+    m = (pairs.join(sx, "src_id").join(sy, "tgt_id")
+         .where(F.col("sx") + F.col("sy") > 0)
+         .select("src_id", "tgt_id", "cosq",
+                 F.call_function(
+                     "div", F.col("cosq") * F.lit(2_000_000 * k),
+                     F.col("sx") + F.col("sy")).alias("marginq")))
+    best = (m.groupBy("src_id")
+            .agg(F.max(F.struct(F.col("marginq").alias("mq"),
+                                F.col("tgt_id").alias("t"),
+                                F.col("cosq").alias("c"))).alias("k")))
+    return (best.where(F.col("k.mq") >= thresh_x1e6)
+            .select("src_id", F.col("k.t").alias("tgt_id"),
+                    F.call_function("div", F.col("k.c"), F.lit(1000))
+                    .alias("cos_x1e6"),
+                    F.col("k.mq").alias("margin_x1e6")))
+
+
+def cx_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src, tgt = _sides(spark, sf_dir)
+    _guard_oracle_scale(src, "cx_bitext_mine", 5_000)
+    return mine_bitext(src, tgt)
+
+
+CX_BITEXT_SQL = f"""
+WITH src AS (
+  SELECT d.doc_id AS src_id, CAST(e.embedding AS DOUBLE[]) AS es
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.lang <> 'en'),
+tgt AS (
+  SELECT d.doc_id AS tgt_id, CAST(e.embedding AS DOUBLE[]) AS et
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.lang = 'en'
+  UNION ALL
+  SELECT src_id + {PLANT_ID_BASE},
+         list_transform(es, x -> x * 0.97 + 0.013)
+  FROM src WHERE src_id % {PLANT_MOD} = 1),
+pairs AS (
+  SELECT src_id, tgt_id,
+         CAST(floor(list_cosine_similarity(es, et) * 1e9) AS BIGINT)
+             AS cosq
+  FROM src, tgt),
+rx AS (SELECT *, row_number() OVER (PARTITION BY src_id
+           ORDER BY cosq DESC, tgt_id DESC) AS r FROM pairs),
+sax AS (SELECT src_id, CAST(sum(cosq) AS BIGINT) AS sx
+        FROM rx WHERE r <= {MARGIN_K} GROUP BY 1),
+ry AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
+           ORDER BY cosq DESC, src_id DESC) AS r FROM pairs),
+say AS (SELECT tgt_id, CAST(sum(cosq) AS BIGINT) AS sy
+        FROM ry WHERE r <= {MARGIN_K} GROUP BY 1),
+m AS (
+  SELECT p.src_id, p.tgt_id, p.cosq,
+         CAST((p.cosq * {2_000_000 * MARGIN_K}) // (sx + sy) AS BIGINT)
+             AS marginq
+  FROM pairs p JOIN sax USING (src_id) JOIN say USING (tgt_id)
+  WHERE sx + sy > 0),
+best AS (
+  SELECT src_id,
+         max(struct_pack(mq := marginq, t := tgt_id, c := cosq)) AS k
+  FROM m GROUP BY 1)
+SELECT src_id, k.t AS tgt_id, CAST(k.c // 1000 AS BIGINT) AS cos_x1e6,
+       CAST(k.mq AS BIGINT) AS margin_x1e6
+FROM best WHERE k.mq >= {MARGIN_THRESH_X1E6}
+"""
+
+QUERIES: dict = {
+    # wave 59: margin-criterion bitext mining, beyond-window
+    "cx_bitext_mine": (cx_bitext_mine, CX_BITEXT_SQL),
+}

@@ -47,8 +47,8 @@ def assert_fixture_scale(sf_dir: str, query: str,
 
 def _modules():
     from ocr_platform_spark.operators import (
-        asof, bpetrain, cdc, cdx, codeblocks, containment, crawldelta,
-        curation, dedup, feeds,
+        asof, bitext, bpetrain, cdc, cdx, codeblocks, containment,
+        crawldelta, curation, dedup, feeds,
         imagedup, incremental, kmeans, microdata, outline, pagemeta,
         pdf_extract, relational, robots, scalar_queries, search,
         similarity, sitemap, sketches, tablex, text_analysis, webcorpus,
@@ -67,7 +67,8 @@ def _modules():
             webcorpus, webgraph, weblinks, corpus_job, search, robots,
             asof, sitemap, crawldelta, sketches, pagemeta, tablex,
             kmeans, outline, jsonl, microdata, cdc, feeds, codeblocks,
-            imagedup, attribution, cdx, zorder, containment, bpetrain)
+            imagedup, attribution, cdx, zorder, containment, bpetrain,
+            bitext)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
