@@ -116,6 +116,15 @@ QUERY_SET = [
     "ta_lm_percentile",
     # round-5 wave-51 addition (feed-driven recrawl queue)
     "cx_feed_recrawl",
+    # round-5 waves 52-57 (code blocks, image phash, interval join,
+    # SURT/CDX, Morton keys, containment dedup)
+    "extract_code", "cx_code_corpus", "mm_phash_dedup",
+    "ev_click_pairs", "ev_last_touch", "cx_cdx_index", "cx_cdx_lookup",
+    "cx_zorder_key", "dd_containment",
+    # (wave 58's ml_bpe_train is fixture-pinned to sf0.01 — not timed
+    # here, the ta_bpe_tokens precedent)
+    # round-5 wave-59 addition (ratio-margin bitext mining)
+    "cx_bitext_mine",
 ]
 
 
