@@ -94,8 +94,16 @@ def cdx_index(captures: DataFrame) -> DataFrame:
 
 
 def cdx_lookup(index: DataFrame, prefix: str) -> DataFrame:
-    """Domain-subtree range query + latest capture per surt."""
-    hits = index.where(F.col("surt").startswith(prefix))
+    """Domain-subtree range query + latest capture per surt. The
+    prefix is a host-label path (``com,example``); matches must end
+    the label at a boundary — ``)`` (the domain itself) or ``,`` (a
+    subdomain) — or a bare prefix would also swallow unrelated hosts
+    that merely EXTEND the last label (``example-shop.com`` →
+    ``com,example-shop)…`` starts with ``com,example``). Two
+    StartsWith predicates are still one contiguous stats-prunable
+    range each (self-review catch; pinned by test)."""
+    hits = index.where(F.col("surt").startswith(prefix + ")")
+                       | F.col("surt").startswith(prefix + ","))
     return (hits.groupBy("surt")
             .agg(F.count("*").cast("long").alias("n_captures"),
                  F.max(F.struct(F.col("captured").alias("d"),
@@ -175,7 +183,8 @@ SELECT surt, count(*) AS n_captures,
            AS latest_capture,
        CAST(max(struct_pack(d := captured, k := o_orderkey)).k AS BIGINT)
            AS kept_orderkey
-FROM idx WHERE starts_with(surt, '{LOOKUP_PREFIX}')
+FROM idx WHERE starts_with(surt, '{LOOKUP_PREFIX})')
+   OR starts_with(surt, '{LOOKUP_PREFIX},')
 GROUP BY surt
 """
 

@@ -52,6 +52,22 @@ def test_subtree_prefix_covers_subdomains_only(spark):
     assert miss == {"blog.sample.org", "shop.example.co.uk"}
 
 
+def test_lookup_prefix_respects_label_boundary(spark):
+    """An unrelated host that merely EXTENDS the last label must not
+    match the subtree (the self-review catch)."""
+    idx = spark.createDataFrame(
+        [("com,example)/a", "https://example.com/a", "2024-01-01", 1),
+         ("com,example,docs)/b", "https://docs.example.com/b",
+          "2024-01-02", 2),
+         ("com,example-shop)/c", "https://example-shop.com/c",
+          "2024-01-03", 3),
+         ("com,examplezzz)/d", "https://examplezzz.com/d",
+          "2024-01-04", 4)],
+        "surt string, url string, captured string, o_orderkey long")
+    got = {r["surt"] for r in cdx_lookup(idx, "com,example").collect()}
+    assert got == {"com,example)/a", "com,example,docs)/b"}
+
+
 def test_lookup_latest_capture_aggregate(spark):
     rows = {r["surt"]: r for r in cx_cdx_lookup(spark, SF_DIR).collect()}
     assert rows
@@ -61,7 +77,8 @@ def test_lookup_latest_capture_aggregate(spark):
     # per-surt latest date matches a brute recomputation
     brute: dict = {}
     for r in idx:
-        if r["surt"].startswith(LOOKUP_PREFIX):
+        if r["surt"].startswith((LOOKUP_PREFIX + ")",
+                                 LOOKUP_PREFIX + ",")):
             cur = brute.get(r["surt"])
             if cur is None or r["captured"] > cur:
                 brute[r["surt"]] = r["captured"]
