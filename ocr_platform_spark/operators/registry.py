@@ -51,8 +51,8 @@ def _modules():
         crawldelta, curation, dedup, feeds,
         imagedup, incremental, kmeans, microdata, outline, pagemeta,
         pdf_extract, relational, robots, scalar_queries, search,
-        similarity, sitemap, sketches, stratified, tablex, text_analysis,
-        traps, webcorpus, webgraph, weblinks, zorder)
+        funnel, similarity, sitemap, sketches, stratified, tablex,
+        text_analysis, traps, webcorpus, webgraph, weblinks, zorder)
     from ocr_platform_spark.plans import corpus_job
     from ocr_platform_spark.sources import jsonl
     from ocr_platform_spark.streaming import attribution, sessions, windowed
@@ -68,7 +68,7 @@ def _modules():
             asof, sitemap, crawldelta, sketches, pagemeta, tablex,
             kmeans, outline, jsonl, microdata, cdc, feeds, codeblocks,
             imagedup, attribution, cdx, zorder, containment, bpetrain,
-            bitext, traps, stratified)
+            bitext, traps, stratified, funnel)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
