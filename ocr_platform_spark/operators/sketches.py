@@ -756,6 +756,129 @@ FROM est
 """
 
 
+# --- HLL rollup: sketch once, merge upward ---------------------------------
+# Mergeability is the property that makes a sketch DISTRIBUTED: the
+# corpus-level distinct count must come from register-wise MAX over the
+# per-host registers — never from re-scanning tokens. ta_hll_rollup
+# computes the (source, register) table ONCE and emits both levels from
+# it; the test additionally pins that the merged estimate equals a
+# direct whole-corpus HLL run (exact equality — max is associative, so
+# merge-then-estimate IS estimate-over-union by construction).
+
+def hll_registers(docs: DataFrame) -> DataFrame:
+    """(source, j, mj): the per-host register table — the sketch state
+    every level of the rollup derives from."""
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+    h = _h56("tok")
+    w = h.bitwiseAND(F.lit(_HLL_WMASK))
+    rho = (F.when(w == 0, F.lit(_HLL_WBITS + 1))
+           .otherwise(F.lit(_HLL_WBITS + 1)
+                      - F.length(F.conv(w, 10, 2))).cast("int"))
+    return (toks.select("source", F.shiftright(h, _HLL_WBITS).alias("j"),
+                        rho.alias("rho"))
+            .groupBy("source", "j").agg(F.max("rho").alias("mj")))
+
+
+def hll_estimate(reg: DataFrame, key) -> DataFrame:
+    """Fold a register table grouped by ``key`` into the estimator —
+    the same int64 fixed-point arithmetic as hll_distinct."""
+    term = F.call_function(
+        "shiftleft", F.lit(1).cast("long"),
+        F.greatest(F.lit(_HLL_L) - F.col("mj"), F.lit(0)))
+    folded = reg.groupBy(key).agg(
+        F.count("*").cast("long").alias("n_reg_hit"),
+        F.sum(term).cast("long").alias("s_hit"))
+    n_zero = F.lit(HLL_M) - F.col("n_reg_hit")
+    s_total = (F.col("s_hit")
+               + n_zero * F.lit(1 << _HLL_L).cast("long"))
+    raw = F.call_function("div", F.lit(_HLL_EST_NUM).cast("long"), s_total)
+    lc = F.element_at(F.array(*[F.lit(v).cast("long")
+                                for v in HLL_LC_TABLE]),
+                      n_zero.cast("int"))
+    return folded.withColumn(
+        "hll_est",
+        F.when((n_zero > 0) & (raw <= _HLL_LC_THRESH), lc)
+        .otherwise(raw).cast("long"))
+
+
+_last_hll_reg = None
+
+
+def hll_rollup_release() -> None:
+    global _last_hll_reg
+    if _last_hll_reg is not None:
+        try:
+            _last_hll_reg.unpersist(blocking=False)
+        except Exception:
+            pass
+        _last_hll_reg = None
+
+
+def ta_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both rollup levels from ONE register pass: per-source rows plus
+    the corpus row whose registers are the register-wise MAX merge.
+    The register table persists (evict-predecessor pattern — two
+    consumers; without it the token explode would re-run per level,
+    which is exactly what mergeability exists to avoid)."""
+    from pyspark import StorageLevel
+
+    reg = (hll_registers(load(spark, sf_dir, "documents"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    hll_rollup_release()
+    global _last_hll_reg
+    _last_hll_reg = reg
+    per_src = (hll_estimate(reg, "source")
+               .select(F.lit("source").alias("level"),
+                       F.col("source").alias("key"),
+                       "n_reg_hit", "hll_est"))
+    merged = reg.groupBy("j").agg(F.max("mj").alias("mj"))
+    corpus = (hll_estimate(merged.withColumn("all", F.lit("<ALL>")), "all")
+              .select(F.lit("corpus").alias("level"),
+                      F.col("all").alias("key"),
+                      "n_reg_hit", "hll_est"))
+    return per_src.unionByName(corpus)
+
+
+TA_HLL_ROLLUP_SQL = rf"""
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents),
+h AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) AS h
+  FROM tok),
+reg AS (
+  SELECT source, h >> {_HLL_WBITS} AS j,
+         max(CASE WHEN (h & {_HLL_WMASK}) = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(h & {_HLL_WMASK}))
+             END) AS mj
+  FROM h GROUP BY source, j),
+lvl AS (
+  SELECT 'source' AS level, source AS key, j, mj FROM reg
+  UNION ALL
+  SELECT 'corpus', '<ALL>', j, max(mj) FROM reg GROUP BY 3),
+folded AS (
+  SELECT level, key, CAST(count(*) AS BIGINT) AS n_reg_hit,
+         CAST(sum(CAST(1 AS BIGINT)
+                  << greatest({_HLL_L} - mj, 0)) AS BIGINT) AS s_hit
+  FROM lvl GROUP BY 1, 2),
+est AS (
+  SELECT level, key, n_reg_hit,
+         {HLL_M} - n_reg_hit AS n_zero,
+         {_HLL_EST_NUM} // (s_hit + ({HLL_M} - n_reg_hit)
+                            * (CAST(1 AS BIGINT) << {_HLL_L})) AS raw
+  FROM folded)
+SELECT level, key, n_reg_hit,
+       CAST(CASE WHEN n_zero > 0 AND raw <= {_HLL_LC_THRESH}
+                 THEN ([{", ".join(str(v) for v in HLL_LC_TABLE)}])[n_zero]
+                 ELSE raw END AS BIGINT) AS hll_est
+FROM est
+"""
+
+
 # --- inverse-CDF percentile normalization ----------------------------------
 # The OTHER direction of the quantile sketch: quantile_sketch maps
 # p -> value; this maps each document's VALUE -> approximate percentile
@@ -855,6 +978,8 @@ QUERIES: dict = {
     "cx_ppl_buckets": (cx_ppl_buckets, _ppl_buckets_sql()),
     # wave 20: HyperLogLog with a spec'd register layout — beyond-window
     "ta_hll_distinct": (ta_hll_distinct, TA_HLL_SQL),
+    # wave 63: sketch-once merge-upward rollup, beyond-window
+    "ta_hll_rollup": (ta_hll_rollup, TA_HLL_ROLLUP_SQL),
     # wave 45: grouped quantile sketch (per-host median), beyond-window
     "ta_host_median": (ta_host_median, TA_HOST_MEDIAN_SQL),
     # wave 50: inverse-CDF percentile normalization, beyond-window
