@@ -125,6 +125,10 @@ QUERY_SET = [
     # here, the ta_bpe_tokens precedent)
     # round-5 wave-59 addition (ratio-margin bitext mining)
     "cx_bitext_mine",
+    # round-5 waves 60-63 (trap detection, stratified carving, ordered
+    # funnel, HLL rollup)
+    "cx_trap_detect", "cx_eval_seats", "cx_stratified_eval",
+    "ev_funnel", "ta_hll_rollup",
 ]
 
 
