@@ -50,7 +50,7 @@ def _modules():
         asof, bitext, bpetrain, cdc, cdx, codeblocks, containment,
         crawldelta, curation, dedup, feeds,
         imagedup, incremental, kmeans, microdata, outline, pagemeta,
-        pdf_extract, relational, robots, scalar_queries, search,
+        pdf_extract, relational, robots, scalar_queries, scd2, search,
         funnel, similarity, sitemap, sketches, stratified, tablex,
         text_analysis, traps, webcorpus, webgraph, weblinks, zorder)
     from ocr_platform_spark.plans import corpus_job
@@ -68,7 +68,7 @@ def _modules():
             asof, sitemap, crawldelta, sketches, pagemeta, tablex,
             kmeans, outline, jsonl, microdata, cdc, feeds, codeblocks,
             imagedup, attribution, cdx, zorder, containment, bpetrain,
-            bitext, traps, stratified, funnel)
+            bitext, traps, stratified, funnel, scd2)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
