@@ -129,6 +129,8 @@ QUERY_SET = [
     # funnel, HLL rollup)
     "cx_trap_detect", "cx_eval_seats", "cx_stratified_eval",
     "ev_funnel", "ta_hll_rollup",
+    # round-5 wave-64 addition (SCD-2 temporal history)
+    "cx_scd2_history",
 ]
 
 
